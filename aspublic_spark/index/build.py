@@ -1,0 +1,394 @@
+"""Inverted-index build: tokenize -> per-slice postings -> packed blocks.
+
+Spark-native analog of the reference's index-maintenance path, where
+every ingested row is tokenized and merged into an FTS5 inverted index
+by SQL triggers (common/db_sqlite.py:27-41) / a `tsvector` generated
+column + GIN index (common/db_postgres.py:29-31). Here the index is a
+set of explicit columnar tables, built by DataFrame jobs:
+
+    docs/                doc_id, <key cols>, <meta cols>, doc_len
+    postings_raw/gen=G/slice=S/   term, doc_id, tf, positions  (uncompressed)
+    postings/gen=G/slice=S/       packed blocks (codec.py)
+    dictionary/          term, df, cf, max_tf, min_dl, max_w
+    stats/               n_docs, avgdl, total_tokens
+    manifest/            one JSON per (stage, gen, slice): status + lineage
+                         + metrics (terms/postings/bytes/seconds)
+
+Scale design (the part that must survive 1000 executors / 100 TB):
+
+- the tokenize+raw-postings pass is ONE scan of the input, written
+  partitioned by a deterministic hash slice of doc_id — no per-slice
+  re-scans;
+- the pack stage shuffles by (term, salt): heavy-hitter terms (df above
+  ``salt_max_postings``) are split across ``ceil(df/salt_max)`` salts
+  keyed by doc hash, so no single reducer ever materializes a full
+  Zipf-head posting list (north_rule's explicit skew handling);
+- blocks carry (min_doc, max_doc, block_max_w, max_tf, min_dl) so the
+  query side can do block-max WAND pruning and doc-range intersection
+  without touching the packed bytes;
+- the pack stage is per-(gen, slice) resumable: each slice commits an
+  atomic manifest JSON after its output is written; re-running `build`
+  skips committed slices (north_rule resumability);
+- incremental ingest = a new generation directory (the batch analog of
+  the FTS5 trigger firing per insert); dictionary/stats are recomputed
+  by `refresh_global` over all generations' raw postings.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aspublic_spark import BM25_B, BM25_K1
+from aspublic_spark.functions.tokenizer import tokens_udf
+from aspublic_spark.index import codec
+
+BLOCK_SCHEMA = (
+    "term string, salt int, block_id int, n int, min_doc long, max_doc long, "
+    "doc_gaps binary, tfs binary, dls binary, positions binary, "
+    "block_max_w double, max_tf int, min_dl int"
+)
+
+
+def bm25_weight_np(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    """Okapi BM25 per-term weight (idf excluded), numpy."""
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+
+
+def bm25_weight_col(tf_col, dl_col, avgdl: float):
+    """Same weight as a Catalyst column expression (JVM-side, codegen)."""
+    tf = tf_col.cast("double")
+    dl = dl_col.cast("double")
+    return tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+
+
+def idf_col(df_col, n_docs: float):
+    """idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)  (FIXTURES.md §5)."""
+    d = df_col.cast("double")
+    return F.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
+
+
+def _pack_partition_factory(block_size: int, avgdl: float, store_positions: bool):
+    """mapInPandas fn: pack one shuffle partition of raw postings into blocks.
+
+    The partition holds complete (term, salt) groups (guaranteed by the
+    upstream repartition on the same keys). Grouping + packing is
+    pandas/numpy; one Python call per (term, salt), vectorized inside.
+    """
+
+    def pack(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        out_rows = []
+        for (term, salt), g in pdf.groupby(["term", "salt"], sort=False):
+            order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
+            doc_ids = g["doc_id"].to_numpy()[order]
+            tfs = g["tf"].to_numpy()[order]
+            dls = g["dl"].to_numpy()[order]
+            poss = g["positions"].to_numpy()[order] if store_positions else None
+            n = doc_ids.size
+            for b_i, start in enumerate(range(0, n, block_size)):
+                end = min(start + block_size, n)
+                ids_b = doc_ids[start:end]
+                tfs_b = tfs[start:end]
+                dls_b = dls[start:end]
+                pos_b = (
+                    [np.asarray(p, dtype=np.uint64) for p in poss[start:end]]
+                    if store_positions
+                    else None
+                )
+                blk = codec.pack_block(ids_b, tfs_b, dls_b, pos_b)
+                w = bm25_weight_np(tfs_b, dls_b, avgdl)
+                out_rows.append(
+                    {
+                        "term": term,
+                        "salt": int(salt),
+                        "block_id": b_i,
+                        "n": blk["n"],
+                        "min_doc": blk["min_doc"],
+                        "max_doc": blk["max_doc"],
+                        "doc_gaps": blk["doc_gaps"],
+                        "tfs": blk["tfs"],
+                        "dls": blk["dls"],
+                        "positions": blk["positions"],
+                        "block_max_w": float(w.max()),
+                        "max_tf": int(tfs_b.max()),
+                        "min_dl": int(dls_b.min()),
+                    }
+                )
+                if len(out_rows) >= 2048:
+                    yield pd.DataFrame(out_rows)
+                    out_rows = []
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return pack
+
+
+class IndexBuilder:
+    """Builds and incrementally extends a segmented inverted index."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        key_cols: list[str] = ("conv_id", "turn_idx"),
+        text_col: str = "text",
+        meta_cols: list[str] = ("role", "tool", "ts"),
+        block_size: int = 128,
+        n_slices: int = 8,
+        store_positions: bool = True,
+        salt_max_postings: int = 100_000,
+    ):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.key_cols = list(key_cols)
+        self.text_col = text_col
+        self.meta_cols = list(meta_cols)
+        self.block_size = block_size
+        self.n_slices = n_slices
+        self.store_positions = store_positions
+        self.salt_max_postings = salt_max_postings
+        os.makedirs(os.path.join(index_dir, "manifest"), exist_ok=True)
+
+    # -- paths -------------------------------------------------------
+    def _p(self, *parts) -> str:
+        return os.path.join(self.index_dir, *parts)
+
+    def _manifest_path(self, stage: str, gen: int, slice_id: int | None = None) -> str:
+        name = f"{stage}_g{gen}" + (f"_s{slice_id}" if slice_id is not None else "")
+        return self._p("manifest", name + ".json")
+
+    def _manifest_done(self, stage: str, gen: int, slice_id: int | None = None) -> bool:
+        return os.path.exists(self._manifest_path(stage, gen, slice_id))
+
+    def _commit(self, stage: str, gen: int, slice_id: int | None, metrics: dict):
+        rec = {
+            "stage": stage,
+            "gen": gen,
+            "slice": slice_id,
+            "status": "done",
+            "app_id": self.spark.sparkContext.applicationId,
+            **metrics,
+        }
+        path = self._manifest_path(stage, gen, slice_id)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, path)  # atomic commit
+
+    def manifest(self) -> list[dict]:
+        out = []
+        mdir = self._p("manifest")
+        for name in sorted(os.listdir(mdir)):
+            if name.endswith(".json"):
+                with open(os.path.join(mdir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    # -- doc identity ------------------------------------------------
+    def doc_id_col(self):
+        """Deterministic 64-bit doc id from the key columns.
+
+        Single numeric key (e.g. documents.doc_id) passes through so
+        external ids stay meaningful; composite keys hash via xxhash64
+        (stateless -> identical under any partitioning)."""
+        if len(self.key_cols) == 1:
+            return F.col(self.key_cols[0]).cast("long")
+        return F.xxhash64(*[F.col(c) for c in self.key_cols])
+
+    # -- stages ------------------------------------------------------
+    def build(self, df: DataFrame, gen: int = 0, resume: bool = True) -> dict:
+        """Full build of one generation; per-stage/per-slice resumable."""
+        t0 = time.time()
+        meta_path = self._p("index_meta.json")
+        if not os.path.exists(meta_path):
+            with open(meta_path, "w") as f:
+                json.dump(
+                    {
+                        "key_cols": self.key_cols,
+                        "meta_cols": self.meta_cols,
+                        "text_col": self.text_col,
+                        "block_size": self.block_size,
+                        "n_slices": self.n_slices,
+                        "store_positions": self.store_positions,
+                        "salt_max_postings": self.salt_max_postings,
+                    },
+                    f,
+                )
+        if not (resume and self._manifest_done("raw", gen)):
+            self._stage_raw(df, gen)
+        self._stage_global(resume=resume)
+        self._stage_pack(gen, resume=resume)
+        return {"seconds": time.time() - t0, "manifest": self.manifest()}
+
+    def add_documents(self, df: DataFrame, gen: int, resume: bool = True) -> dict:
+        """Incremental ingest: index a new batch as generation ``gen``.
+
+        Batch analog of the reference's trigger-per-insert index
+        maintenance (db_sqlite.py:28-41). Caller ensures doc keys are
+        new (pair with operators.filters.anti_join_existing for the
+        idempotent ON CONFLICT DO NOTHING upsert, db_sqlite.py:55-59).
+        """
+        return self.build(df, gen=gen, resume=resume)
+
+    def _stage_raw(self, df: DataFrame, gen: int):
+        """One input scan -> docs + uncompressed postings partitioned by slice."""
+        t0 = time.time()
+        doc_id = self.doc_id_col()
+        base = (
+            df.select(
+                doc_id.alias("doc_id"),
+                *[F.col(c) for c in self.key_cols if c != "doc_id"],
+                *[F.col(c) for c in self.meta_cols],
+                tokens_udf(F.col(self.text_col)).alias("_tokens"),
+            )
+            .withColumn("doc_len", F.size("_tokens"))
+            .withColumn("slice", F.pmod(F.xxhash64(F.lit(7), F.col("doc_id")), F.lit(self.n_slices)).cast("int"))
+        )
+        docs = base.drop("_tokens")
+        docs.write.mode("overwrite" if gen == 0 else "append").parquet(self._p("docs"))
+
+        docs_written = self.spark.read.parquet(self._p("docs"))
+        n_docs_total = docs_written.count()
+
+        raw = (
+            base.select("slice", "doc_id", "doc_len", F.posexplode("_tokens").alias("pos", "term"))
+            .groupBy("slice", "term", "doc_id")
+            .agg(
+                F.count("*").cast("int").alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+                F.first("doc_len").alias("dl"),
+            )
+        )
+        raw.write.mode("overwrite").partitionBy("slice").parquet(self._p("postings_raw", f"gen={gen}"))
+
+        # per-slice lineage+metrics over the written raw postings
+        raw_written = self.spark.read.parquet(self._p("postings_raw", f"gen={gen}"))
+        slice_stats = {
+            int(r["slice"]): r
+            for r in raw_written.groupBy("slice")
+            .agg(
+                F.countDistinct("term").alias("n_terms"),
+                F.count("*").alias("n_postings"),
+                F.sum("tf").alias("n_tokens"),
+            )
+            .collect()
+        }
+        secs = time.time() - t0
+        for s in range(self.n_slices):
+            st = slice_stats.get(s)
+            self._commit(
+                "raw",
+                gen,
+                s,
+                {
+                    "n_terms": int(st["n_terms"]) if st else 0,
+                    "n_postings": int(st["n_postings"]) if st else 0,
+                    "n_tokens": int(st["n_tokens"]) if st else 0,
+                    "seconds": secs / self.n_slices,
+                },
+            )
+        self._commit("raw", gen, None, {"n_docs_total": n_docs_total, "seconds": secs})
+
+    def _stage_global(self, resume: bool = True):
+        """(Re)compute corpus stats + dictionary over ALL generations."""
+        self.refresh_global()
+
+    def refresh_global(self):
+        t0 = time.time()
+        docs = self.spark.read.parquet(self._p("docs"))
+        st = docs.agg(
+            F.count("*").alias("n_docs"),
+            F.avg("doc_len").alias("avgdl"),
+            F.sum("doc_len").alias("total_tokens"),
+        ).collect()[0]
+        self.spark.createDataFrame(
+            [(int(st["n_docs"]), float(st["avgdl"] or 0.0), int(st["total_tokens"] or 0))],
+            "n_docs long, avgdl double, total_tokens long",
+        ).write.mode("overwrite").parquet(self._p("stats"))
+
+        avgdl = float(st["avgdl"] or 1.0)
+        raw = self.spark.read.parquet(self._p("postings_raw"))
+        dictionary = raw.groupBy("term").agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
+            F.max(bm25_weight_col(F.col("tf"), F.col("dl"), avgdl)).alias("max_w"),
+        )
+        dictionary.write.mode("overwrite").parquet(self._p("dictionary"))
+        self._commit("global", 0, None, {"n_docs": int(st["n_docs"]), "avgdl": avgdl, "seconds": time.time() - t0})
+
+    def _stage_pack(self, gen: int, resume: bool = True):
+        """Shuffle-merge raw postings by (term, salt) into packed blocks."""
+        stats = self.spark.read.parquet(self._p("stats")).collect()[0]
+        avgdl = float(stats["avgdl"] or 1.0)
+        # heavy-hitter salting plan from the dictionary (driver-side: only
+        # terms with df > salt_max — a handful even on Zipfian corpora)
+        # Heavy-hitter salting plan: a tiny (term -> n_salts) table,
+        # broadcast-joined so the salt assignment stays JVM-side.
+        heavy_df = (
+            self.spark.read.parquet(self._p("dictionary"))
+            .filter(F.col("df") > self.salt_max_postings)
+            .select("term", F.ceil(F.col("df") / self.salt_max_postings).cast("int").alias("n_salts"))
+        )
+        for s in range(self.n_slices):
+            if resume and self._manifest_done("pack", gen, s):
+                continue
+            t0 = time.time()
+            raw = self.spark.read.parquet(self._p("postings_raw", f"gen={gen}")).filter(
+                F.col("slice") == s
+            )
+            raw = raw.join(F.broadcast(heavy_df), "term", "left").withColumn(
+                "salt",
+                F.pmod(F.xxhash64(F.lit(13), F.col("doc_id")), F.coalesce(F.col("n_salts"), F.lit(1))).cast("int"),
+            ).drop("n_salts")
+            n_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            packed = raw.repartition(n_shuffle, "term", "salt").mapInPandas(
+                _pack_partition_factory(self.block_size, avgdl, self.store_positions),
+                BLOCK_SCHEMA,
+            )
+            out = self._p("postings", f"gen={gen}", f"slice={s}")
+            packed.write.mode("overwrite").parquet(out)
+            w = self.spark.read.parquet(out)
+            m = w.agg(
+                F.countDistinct("term").alias("n_terms"),
+                F.sum("n").alias("n_postings"),
+                (
+                    F.sum(F.octet_length("doc_gaps"))
+                    + F.sum(F.octet_length("tfs"))
+                    + F.sum(F.octet_length("dls"))
+                    + F.sum(F.octet_length("positions"))
+                ).alias("bytes_packed"),
+                F.count("*").alias("n_blocks"),
+            ).collect()[0]
+            self._commit(
+                "pack",
+                gen,
+                s,
+                {
+                    "n_terms": int(m["n_terms"] or 0),
+                    "n_postings": int(m["n_postings"] or 0),
+                    "bytes_packed": int(m["bytes_packed"] or 0),
+                    "n_blocks": int(m["n_blocks"] or 0),
+                    "seconds": time.time() - t0,
+                },
+            )
+
+
+def build_index(spark: SparkSession, df: DataFrame, index_dir: str, **kwargs) -> IndexBuilder:
+    b = IndexBuilder(spark, index_dir, **kwargs)
+    b.build(df)
+    return b

@@ -1,0 +1,409 @@
+"""BM25 query engine over the packed inverted index.
+
+Executes the reference's whole search surface (viewer.py
+``/api/unstable/search`` -> db_sqlite.search, db_sqlite.py:62-144) as
+DataFrame plans:
+
+- boolean AND of terms      -> posting intersection (groupBy doc +
+  distinct-term count, Q2)
+- NOT terms                 -> anti-join (Q3)
+- phrase queries            -> position-adjacency join chain over
+  decoded position arrays (Q4) — JVM-side array_contains, no UDF
+- OR groups                 -> union semantics with per-group
+  any-match qualification (Q5, websearch backend)
+- tri-state role/tool, time range, conv_id prefix -> pushed-down
+  structured predicates on the docs table (Q6-Q8)
+- index->row join           -> final join of scored doc ids back to
+  docs / source table (Q9)
+- top-k                     -> TakeOrderedAndProject via
+  orderBy(...).limit(k), by BM25 (score desc, key asc — deterministic
+  tie-break, stricter than the reference's scan-order ties) or by
+  recency like the reference default (Q10, db_sqlite.py:131)
+- scoring                   -> Okapi BM25 k1=1.2 b=0.75 (Q11), the
+  latent capability of the FTS5 index the reference builds
+
+plus block-max pruning (north_rule): packed blocks carry
+(min_doc, max_doc, max_tf, min_dl, block_max_w); the engine reads block
+METADATA first (Parquet column pruning — the varint payloads are not
+touched), establishes a score threshold from a cheap partial pass, and
+drops blocks that provably cannot contribute a top-k document, plus
+doc-range intersection pruning for AND queries. Both prunes are
+lossless: results are identical to the exhaustive plan (tested).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aspublic_spark import BM25_B, BM25_K1
+from aspublic_spark.index import codec
+from aspublic_spark.index.build import bm25_weight_col, idf_col
+from aspublic_spark.query.parser import ParsedQuery, parse_query
+
+_UNPACK_SCHEMA = "term string, doc_id long, tf int, dl int"
+_UNPACK_POS_SCHEMA = _UNPACK_SCHEMA + ", positions array<int>"
+
+_BLOCK_META_COLS = [
+    "term", "salt", "block_id", "n", "min_doc", "max_doc",
+    "block_max_w", "max_tf", "min_dl",
+]
+
+
+def _unpack_factory(with_positions: bool):
+    def unpack(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            terms, docs, tfs, dls, poss = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                r = row._asdict()
+                if with_positions:
+                    ids, tf, dl, pos = codec.unpack_block(r, with_positions=True)
+                    poss.extend([p.astype(np.int64) for p in pos])
+                else:
+                    ids, tf, dl = codec.unpack_block(r)
+                terms.append(np.repeat(r["term"], ids.size))
+                docs.append(ids)
+                tfs.append(tf.astype(np.int64))
+                dls.append(dl.astype(np.int64))
+            if not docs:
+                continue
+            out = pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(docs),
+                    "tf": np.concatenate(tfs).astype(np.int32),
+                    "dl": np.concatenate(dls).astype(np.int32),
+                }
+            )
+            if with_positions:
+                out["positions"] = pd.Series(poss, dtype=object)
+            yield out
+
+    return unpack
+
+
+@dataclass
+class SearchResult:
+    df: DataFrame
+    parsed: ParsedQuery
+    pruning: dict
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "index_meta.json")) as f:
+            meta = json.load(f)
+        self.key_cols: list[str] = meta["key_cols"]
+        self.meta_cols: list[str] = meta["meta_cols"]
+        self.store_positions: bool = meta["store_positions"]
+        self.block_size: int = meta.get("block_size", 128)
+        st = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
+        self.n_docs = int(st["n_docs"])
+        self.avgdl = float(st["avgdl"] or 1.0)
+
+    # -- raw table access ---------------------------------------------
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+
+    def dictionary(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "dictionary"))
+
+    def blocks(self, terms: list[str]) -> DataFrame:
+        df = self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+        return df.filter(F.col("term").isin(list(terms)))  # pushed to scan
+
+    def term_stats(self, terms: list[str]) -> dict[str, dict]:
+        if not terms:
+            return {}
+        rows = self.dictionary().filter(F.col("term").isin(list(terms))).collect()
+        return {r["term"]: r.asDict() for r in rows}
+
+    def idf(self, df_t: int) -> float:
+        return math.log((self.n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+
+    def _safe_ub_w(self, max_tf: float, min_dl: float) -> float:
+        """Upper bound of the BM25 weight for any posting with tf<=max_tf,
+        dl>=min_dl under the CURRENT avgdl (monotonic in tf up, dl down) —
+        valid across generations even when avgdl drifted since pack."""
+        return (
+            max_tf * (BM25_K1 + 1.0)
+            / (max_tf + BM25_K1 * (1.0 - BM25_B + BM25_B * min_dl / self.avgdl))
+        )
+
+    def unpack(self, blocks: DataFrame, with_positions: bool = False) -> DataFrame:
+        schema = _UNPACK_POS_SCHEMA if with_positions else _UNPACK_SCHEMA
+        cols = ["term", "doc_gaps", "tfs", "dls"] + (["positions"] if with_positions else [])
+        return blocks.select(*cols).mapInPandas(_unpack_factory(with_positions), schema)
+
+    # -- structured predicates (Q6-Q8) ---------------------------------
+    def filtered_docs(
+        self,
+        role: str | None = None,
+        tool_present: bool | None = None,
+        after=None,
+        before=None,
+        conv_prefix: str | None = None,
+    ) -> DataFrame:
+        d = self.docs()
+        if role is not None:
+            d = d.filter(F.col("role") == role)
+        if tool_present is True:
+            d = d.filter(F.col("tool").isNotNull())
+        elif tool_present is False:
+            d = d.filter(F.col("tool").isNull())
+        if after is not None:
+            d = d.filter(F.col("ts") > F.lit(after))  # strict, viewer semantics
+        if before is not None:
+            d = d.filter(F.col("ts") < F.lit(before))
+        if conv_prefix is not None and "conv_id" in d.columns:
+            d = d.filter(F.col("conv_id").startswith(conv_prefix))
+        return d
+
+    # -- phrase evaluation (Q4) ----------------------------------------
+    def _phrase_docs(self, phrase: list[str], unp_pos: DataFrame) -> DataFrame:
+        cur = (
+            unp_pos.filter(F.col("term") == phrase[0])
+            .select("doc_id", F.explode("positions").alias("p"))
+        )
+        for i, t in enumerate(phrase[1:], start=1):
+            nxt = unp_pos.filter(F.col("term") == t).select(
+                F.col("doc_id").alias("_d"), F.col("positions").alias(f"_pos{i}")
+            )
+            cur = (
+                cur.join(nxt, cur.doc_id == nxt._d)
+                .filter(F.array_contains(F.col(f"_pos{i}"), F.col("p") + i))
+                .select("doc_id", "p")
+            )
+        return cur.select("doc_id").distinct()
+
+    # -- block pruning (north_rule: block-max WAND) ----------------------
+    def _prune_blocks(
+        self,
+        pos_blocks: DataFrame,
+        not_blocks: DataFrame | None,
+        pq: ParsedQuery,
+        idf_map: dict[str, float],
+        k: int,
+        docs_filtered: DataFrame,
+        has_doc_filters: bool,
+    ):
+        info = {"theta": 0.0, "range_pruned": False, "theta_pruned": False}
+        terms = list(idf_map)
+        # per-block score upper bound (safe under avgdl drift)
+        ub_w = (
+            F.col("max_tf").cast("double") * (BM25_K1 + 1.0)
+            / (
+                F.col("max_tf").cast("double")
+                + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("min_dl").cast("double") / self.avgdl)
+            )
+        )
+        idf_expr = F.create_map(*[x for t in terms for x in (F.lit(t), F.lit(idf_map[t]))])
+        pos_blocks = pos_blocks.withColumn("_ub", idf_expr[F.col("term")] * ub_w)
+
+        # ---- doc-range intersection pruning for AND/phrase queries ----
+        and_like = list(pq.and_terms) + [t for ph in pq.phrases for t in ph]
+        if and_like:
+            stats = self.term_stats(and_like)
+            rarest = min(and_like, key=lambda t: stats.get(t, {}).get("df", 0))
+            ivals = (
+                pos_blocks.filter(F.col("term") == rarest)
+                .select("min_doc", "max_doc")
+                .collect()
+            )
+            merged = []
+            for lo, hi in sorted((r["min_doc"], r["max_doc"]) for r in ivals):
+                if merged and lo <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+                else:
+                    merged.append((lo, hi))
+            if merged:
+                iv_df = self.spark.createDataFrame(merged, "lo long, hi long")
+                cond = (F.col("min_doc") <= F.col("hi")) & (F.col("max_doc") >= F.col("lo"))
+                pos_blocks = pos_blocks.join(F.broadcast(iv_df), cond, "left_semi")
+                if not_blocks is not None:
+                    not_blocks = not_blocks.join(F.broadcast(iv_df), cond, "left_semi")
+                info["range_pruned"] = True
+                info["n_intervals"] = len(merged)
+
+        # ---- threshold (theta) pruning --------------------------------
+        # Valid only when no phrases (adjacency could invalidate partial
+        # candidates' qualification) and no NOT terms (exclusion could
+        # invalidate theta). Structured doc filters are applied inside
+        # the phase-1 candidate scoring, so they are safe.
+        if not pq.phrases and not pq.not_terms and terms:
+            total_ub = sum(
+                idf_map[t] * self._safe_ub_w(s["max_tf"], s["min_dl"])
+                for t, s in self.term_stats(terms).items()
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("term").orderBy(F.col("_ub").desc(), "salt", "block_id")
+            top_blocks = (
+                pos_blocks.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= max(1, math.ceil(2 * k / self.block_size)))
+                .drop("_rn")
+            )
+            phase1 = self.unpack(top_blocks)
+            scored1 = self._score(phase1, idf_map)
+            qual1 = self._qualify(scored1, pq)
+            if has_doc_filters:
+                qual1 = qual1.join(docs_filtered.select("doc_id"), "doc_id", "left_semi")
+            top = qual1.orderBy(F.col("score").desc()).limit(k).collect()
+            if len(top) >= k:
+                theta = float(top[-1]["score"])
+                info["theta"] = theta
+                # a block of term t survives iff its own bound plus every
+                # other term's global bound can reach theta
+                gub = {
+                    t: idf_map[t] * self._safe_ub_w(s["max_tf"], s["min_dl"])
+                    for t, s in self.term_stats(terms).items()
+                }
+                other_expr = F.create_map(
+                    *[x for t in terms for x in (F.lit(t), F.lit(total_ub - gub.get(t, 0.0)))]
+                )
+                pos_blocks = pos_blocks.filter(
+                    F.col("_ub") + other_expr[F.col("term")] >= theta
+                )
+                info["theta_pruned"] = True
+        return pos_blocks.drop("_ub"), not_blocks, info
+
+    # -- scoring + qualification ----------------------------------------
+    def _score(self, unpacked: DataFrame, idf_map: dict[str, float]) -> DataFrame:
+        terms = list(idf_map)
+        idf_expr = F.create_map(*[x for t in terms for x in (F.lit(t), F.lit(idf_map[t]))])
+        w = idf_expr[F.col("term")] * bm25_weight_col(F.col("tf"), F.col("dl"), self.avgdl)
+        return (
+            unpacked.withColumn("_w", w)
+            .groupBy("doc_id")
+            .agg(
+                F.sum("_w").alias("score"),
+                F.collect_set("term").alias("_terms"),
+            )
+        )
+
+    def _qualify(self, scored: DataFrame, pq: ParsedQuery) -> DataFrame:
+        out = scored
+        need = sorted(set(pq.and_terms))
+        if need:
+            cond = F.lit(True)
+            for t in need:
+                cond = cond & F.array_contains("_terms", t)
+            out = out.filter(cond)
+        for g in pq.or_groups:
+            gcond = F.lit(False)
+            for t in sorted(set(g)):
+                gcond = gcond | F.array_contains("_terms", t)
+            out = out.filter(gcond)
+        return out
+
+    # -- main entry -------------------------------------------------------
+    def search(
+        self,
+        q: str | ParsedQuery | None = None,
+        k: int = 50,
+        role: str | None = None,
+        tool_present: bool | None = None,
+        after=None,
+        before=None,
+        conv_prefix: str | None = None,
+        order: str = "bm25",
+        block_max: bool = True,
+        parser=parse_query,
+    ) -> SearchResult:
+        """Run one search; returns a DataFrame of at most k rows with
+        columns [key_cols..., meta_cols..., score] ordered by the
+        requested criterion with deterministic tie-breaks."""
+        k = max(1, min(int(k), 100))  # reference clamp, viewer.py:123
+        pq = parser(q) if isinstance(q, str) else (q or ParsedQuery())
+        has_doc_filters = any(
+            v is not None for v in (role, tool_present, after, before, conv_prefix)
+        )
+        docs_f = self.filtered_docs(role, tool_present, after, before, conv_prefix)
+        key_meta = [c for c in self.key_cols if c != "doc_id"] + self.meta_cols
+
+        order_cols = (
+            [F.col("score").desc()] + [F.col(c).asc() for c in self.key_cols]
+            if order == "bm25"
+            else [F.col("ts").desc()] + [F.col(c).asc() for c in self.key_cols]
+        )
+
+        if pq.is_empty():
+            # pure structured query (reference requires q, but recency
+            # browsing is well-defined): top-k most recent
+            out = (
+                docs_f.withColumn("score", F.lit(0.0))
+                .select("doc_id", *key_meta, "score")
+                .orderBy(*order_cols)
+                .limit(k)
+            )
+            return SearchResult(out, pq, {})
+
+        pos_terms = pq.positive_terms
+        stats = self.term_stats(pos_terms)
+        # an AND/phrase term absent from the corpus -> empty result
+        required = set(pq.and_terms) | {t for ph in pq.phrases for t in ph}
+        if any(t not in stats for t in required) or not any(t in stats for t in pos_terms):
+            empty = docs_f.limit(0).withColumn("score", F.lit(0.0)).select(
+                "doc_id", *key_meta, "score"
+            )
+            return SearchResult(empty, pq, {"empty": True})
+        # OR groups where no alternative exists -> unsatisfiable
+        for g in pq.or_groups:
+            if not any(t in stats for t in g):
+                empty = docs_f.limit(0).withColumn("score", F.lit(0.0)).select(
+                    "doc_id", *key_meta, "score"
+                )
+                return SearchResult(empty, pq, {"empty": True})
+
+        live_terms = [t for t in pos_terms if t in stats]
+        idf_map = {t: self.idf(stats[t]["df"]) for t in live_terms}
+        pos_blocks = self.blocks(live_terms)
+        live_not = [t for t in set(pq.not_terms)]
+        not_blocks = self.blocks(live_not) if live_not else None
+
+        info: dict = {}
+        if block_max and order == "bm25":
+            pos_blocks, not_blocks, info = self._prune_blocks(
+                pos_blocks, not_blocks, pq, idf_map, k, docs_f, has_doc_filters
+            )
+
+        need_pos = bool(pq.phrases)
+        unpacked = self.unpack(pos_blocks, with_positions=need_pos)
+        if need_pos:
+            unpacked = unpacked.cache()
+        scored = self._score(
+            unpacked.select("term", "doc_id", "tf", "dl"), idf_map
+        )
+        cand = self._qualify(scored, pq).drop("_terms")
+
+        for ph in pq.phrases:
+            cand = cand.join(self._phrase_docs(ph, unpacked), "doc_id", "left_semi")
+
+        if not_blocks is not None:
+            not_docs = self.unpack(not_blocks).select("doc_id").distinct()
+            cand = cand.join(not_docs, "doc_id", "left_anti")
+
+        out = (
+            cand.join(docs_f.select("doc_id", *key_meta), "doc_id")
+            .select("doc_id", *key_meta, "score")
+            .orderBy(*order_cols)
+            .limit(k)
+        )
+        return SearchResult(out, pq, info)
+
+    def attach_text(self, result: DataFrame, source: DataFrame) -> DataFrame:
+        """Q9/Q13 analog: join scored keys back to the row store for full
+        columns (the index itself stores no document content, like
+        external-content FTS5)."""
+        return result.join(source, on=[c for c in self.key_cols], how="left")

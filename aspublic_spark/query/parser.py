@@ -1,0 +1,147 @@
+"""Google-style query string -> (AND terms, phrases, NOT terms).
+
+Reimplements the observable semantics of the reference's
+``searchBackend.translateSearchString`` (viewer.py:62-84), the only
+query language the reference exposes:
+
+- ``!word`` or ``-word``      -> NOT term
+- ``!"a b"`` or ``-"a b"``    -> negated phrase; the reference later
+  emits it UNQUOTED in the FTS expression (db_sqlite.py:125-126), i.e.
+  NOT applies to the phrase's individual words — we replicate that
+  quirk by splitting the negated phrase into NOT terms;
+- ``"a b"``                   -> phrase (position-adjacent, in order)
+- anything else whitespace-split -> AND terms.
+
+Extraction order matters (negated phrases before negated words before
+phrases) and is preserved. Terms are tokenized with the same FTS5
+tokenizer as the index, so query-side and index-side token streams
+can never diverge.
+
+``parse_websearch`` adds the Postgres backend's websearch_to_tsquery
+surface (db_postgres.py:114, viewer.py:108-112): implicit AND, quoted
+phrases, ``-`` negation, and infix ``OR``. OR alternatives relax the
+conjunction: a document qualifies if it matches every AND term/phrase
+and at least one term of each OR group; scoring is sum-of-matched-terms
+BM25 either way.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from aspublic_spark.functions.tokenizer import tokenize
+
+_NEG_PHRASE = re.compile(r'[!-]"([^"]*)"')
+_NEG_WORD = re.compile(r"[!-](\w+)", re.UNICODE)
+_PHRASE = re.compile(r'"([^"]*)"')
+
+
+@dataclass
+class ParsedQuery:
+    and_terms: list[str] = field(default_factory=list)
+    phrases: list[list[str]] = field(default_factory=list)
+    not_terms: list[str] = field(default_factory=list)
+    # list of OR groups; each group is a list of alternative terms of
+    # which at least one must match (websearch extension; empty for the
+    # sqlite-style parser)
+    or_groups: list[list[str]] = field(default_factory=list)
+
+    @property
+    def positive_terms(self) -> list[str]:
+        """All distinct scoring terms, in first-appearance order."""
+        seen: dict[str, None] = {}
+        for t in self.and_terms:
+            seen.setdefault(t)
+        for ph in self.phrases:
+            for t in ph:
+                seen.setdefault(t)
+        for g in self.or_groups:
+            for t in g:
+                seen.setdefault(t)
+        return list(seen)
+
+    def is_empty(self) -> bool:
+        return not (self.and_terms or self.phrases or self.or_groups)
+
+
+def _tok1(word: str) -> list[str]:
+    return tokenize(word)
+
+
+def parse_query(q: str) -> ParsedQuery:
+    """sqlite-backend semantics (viewer.py:62-84 behavior)."""
+    out = ParsedQuery()
+    rest = q or ""
+
+    def neg_phrase(m: re.Match) -> str:
+        out.not_terms.extend(tokenize(m.group(1)))
+        return " "
+
+    def neg_word(m: re.Match) -> str:
+        out.not_terms.extend(tokenize(m.group(1)))
+        return " "
+
+    def phrase(m: re.Match) -> str:
+        toks = tokenize(m.group(1))
+        if toks:
+            out.phrases.append(toks)
+        return " "
+
+    rest = _NEG_PHRASE.sub(neg_phrase, rest)
+    rest = _NEG_WORD.sub(neg_word, rest)
+    rest = _PHRASE.sub(phrase, rest)
+    for w in rest.split():
+        out.and_terms.extend(tokenize(w))
+    return out
+
+
+def parse_websearch(q: str) -> ParsedQuery:
+    """websearch_to_tsquery-style semantics with OR support."""
+    out = ParsedQuery()
+    # lex: quoted phrases, negations, OR, words
+    token_re = re.compile(r'-"([^"]*)"|"([^"]*)"|(\S+)')
+    items: list[tuple[str, object]] = []  # (kind, payload)
+    for m in token_re.finditer(q or ""):
+        if m.group(1) is not None:
+            toks = tokenize(m.group(1))
+            if toks:
+                items.append(("not_phrase", toks))
+        elif m.group(2) is not None:
+            toks = tokenize(m.group(2))
+            if toks:
+                items.append(("phrase", toks))
+        else:
+            w = m.group(3)
+            if w == "OR":
+                items.append(("or", None))
+            elif w.startswith("-") and len(w) > 1:
+                items.append(("not", tokenize(w[1:])))
+            else:
+                toks = tokenize(w)
+                if toks:
+                    items.append(("word", toks))
+
+    i = 0
+    while i < len(items):
+        kind, payload = items[i]
+        if kind == "not":
+            out.not_terms.extend(payload)
+        elif kind == "not_phrase":
+            out.not_terms.extend(payload)
+        elif kind == "phrase":
+            out.phrases.append(payload)
+        elif kind == "word":
+            # gather an OR chain: word OR word OR word
+            group = list(payload)
+            j = i
+            while j + 2 < len(items) and items[j + 1][0] == "or" and items[j + 2][0] == "word":
+                group.extend(items[j + 2][1])
+                j += 2
+            if j > i:
+                out.or_groups.append(group)
+                i = j
+            else:
+                out.and_terms.extend(payload)
+        i += 1
+    return out

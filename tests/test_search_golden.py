@@ -1,0 +1,156 @@
+"""End-to-end: build index over the 6-row fixture, run the reference's
+golden search cases (FIXTURES.md §2-3 <- tests/test_sqlite.py:63-77)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aspublic_spark.index.build import IndexBuilder
+from aspublic_spark.query.engine import SearchEngine
+from aspublic_spark.query.parser import ParsedQuery
+from aspublic_spark.tables import fixture_transcripts
+
+
+@pytest.fixture(scope="module")
+def engine(spark, workdir):
+    idx = os.path.join(workdir, "fixture_idx")
+    df = fixture_transcripts(spark)
+    b = IndexBuilder(
+        spark, idx, key_cols=["conv_id", "turn_idx"], text_col="text",
+        meta_cols=["role", "tool", "ts"], n_slices=2, block_size=4,
+    )
+    b.build(df)
+    return SearchEngine(spark, idx)
+
+
+def _turns(res):
+    return sorted(r["turn_idx"] for r in res.df.collect())
+
+
+def test_write_roundtrip_invariant(spark, engine):
+    """Per-turn text-equality invariant under stable (conv_id, turn_idx)
+    ordering (input_hint; reference tests/test_sqlite.py:42-58)."""
+    src = fixture_transcripts(spark).orderBy("conv_id", "turn_idx").collect()
+    docs = engine.docs().orderBy("conv_id", "turn_idx").collect()
+    assert len(src) == len(docs) == 6
+    for s, d in zip(src, docs):
+        assert (s["conv_id"], s["turn_idx"]) == (d["conv_id"], d["turn_idx"])
+        assert s["role"] == d["role"] and s["tool"] == d["tool"] and s["ts"] == d["ts"]
+
+
+def test_single_term(engine):
+    assert _turns(engine.search("example")) == [4, 5]
+
+
+def test_and(engine):
+    assert _turns(engine.search("keyword example")) == [5]
+
+
+def test_not(engine):
+    assert _turns(engine.search("example !keyword")) == [4]
+
+
+def test_phrase(engine):
+    # "sample media status" must NOT match the phrase "sample status"
+    assert _turns(engine.search('"sample status"')) == [0]
+
+
+def test_phrase_multiword_all(engine):
+    assert _turns(engine.search('"this is a sample"')) == [0, 1, 2, 3]
+
+
+def test_missing_term_empty(engine):
+    assert _turns(engine.search("nonexistentterm")) == []
+    assert _turns(engine.search("example nonexistentterm")) == []
+
+
+def test_not_with_missing_term_is_noop(engine):
+    assert _turns(engine.search("example !nonexistentterm")) == [4, 5]
+
+
+def test_role_filter(engine):
+    assert _turns(engine.search("sample", role="assistant")) == [1, 3]
+
+
+def test_tool_tristate(engine):
+    assert _turns(engine.search("status", tool_present=True)) == [2, 3]
+    assert _turns(engine.search("status", tool_present=False)) == [0, 4, 5]
+    assert _turns(engine.search("status")) == [0, 2, 3, 4, 5]
+
+
+def test_time_range_strict(engine):
+    from datetime import datetime, timezone
+
+    after = datetime.fromtimestamp(1700000002, tz=timezone.utc).replace(tzinfo=None)
+    assert _turns(engine.search("status", after=after)) == [3, 4, 5]
+    before = datetime.fromtimestamp(1700000004, tz=timezone.utc).replace(tzinfo=None)
+    assert _turns(engine.search("example", before=before)) == []
+
+
+def test_conv_prefix(engine):
+    assert _turns(engine.search("example", conv_prefix="c1")) == [4, 5]
+    assert _turns(engine.search("example", conv_prefix="zz")) == []
+
+
+def test_limit_and_recency_order(engine):
+    res = engine.search("status", order="recency", k=2)
+    rows = res.df.collect()
+    assert [r["turn_idx"] for r in rows] == [5, 4]  # most recent first
+
+
+def test_keyset_pagination(engine):
+    page1 = engine.search("status", order="recency", k=2).df.collect()
+    last_ts = page1[-1]["ts"]
+    page2 = engine.search("status", order="recency", k=2, before=last_ts).df.collect()
+    turns1 = {r["turn_idx"] for r in page1}
+    turns2 = {r["turn_idx"] for r in page2}
+    assert turns1 == {5, 4} and turns2 == {3, 2} and not (turns1 & turns2)
+
+
+def test_bm25_order_deterministic(engine):
+    res = engine.search("sample status").df.collect()
+    # turn 0 "This is a sample status." contains both terms
+    assert res[0]["turn_idx"] == 0
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_or_groups(engine):
+    from aspublic_spark.query.parser import parse_websearch
+
+    res = engine.search("keyword OR media", parser=parse_websearch)
+    assert _turns(res) == [2, 5]
+
+
+def test_empty_query_recency_browse(engine):
+    res = engine.search(ParsedQuery(), order="recency", k=3)
+    assert [r["turn_idx"] for r in res.df.collect()] == [5, 4, 3]
+
+
+def test_attach_text(spark, engine):
+    src = fixture_transcripts(spark)
+    res = engine.search("keyword")
+    out = engine.attach_text(res.df, src.select("conv_id", "turn_idx", "text")).collect()
+    assert len(out) == 1 and "keyword" in out[0]["text"]
+
+
+def test_block_max_matches_exhaustive(engine):
+    for q in ["status", "sample status", "example", "this is"]:
+        a = [(r["turn_idx"], round(r["score"], 9)) for r in engine.search(q, block_max=True).df.collect()]
+        b = [(r["turn_idx"], round(r["score"], 9)) for r in engine.search(q, block_max=False).df.collect()]
+        assert a == b, q
+
+
+def test_manifest_metrics(engine):
+    man = engine.spark  # noqa: F841  (engine built in fixture; check files)
+    mdir = os.path.join(engine.index_dir, "manifest")
+    names = os.listdir(mdir)
+    assert any(n.startswith("raw_") for n in names)
+    assert any(n.startswith("pack_") for n in names)
+    import json
+
+    packs = [json.load(open(os.path.join(mdir, n))) for n in names if n.startswith("pack_")]
+    assert all(p["status"] == "done" for p in packs)
+    assert sum(p["n_postings"] for p in packs) > 0
+    assert all("bytes_packed" in p and "app_id" in p for p in packs)
