@@ -51,7 +51,7 @@ from aspublic_spark.functions.tokenizer import tokens_udf
 from aspublic_spark.index import codec
 
 BLOCK_SCHEMA = (
-    "term string, salt int, block_id int, n int, min_doc long, max_doc long, "
+    "slice int, term string, salt int, block_id int, n int, min_doc long, max_doc long, "
     "doc_gaps binary, tfs binary, dls binary, positions binary, "
     "block_max_w double, max_tf int, min_dl int"
 )
@@ -91,7 +91,7 @@ def _pack_partition_factory(block_size: int, avgdl: float, store_positions: bool
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         out_rows = []
-        for (term, salt), g in pdf.groupby(["term", "salt"], sort=False):
+        for (slc, term, salt), g in pdf.groupby(["slice", "term", "salt"], sort=False):
             order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
             doc_ids = g["doc_id"].to_numpy()[order]
             tfs = g["tf"].to_numpy()[order]
@@ -112,6 +112,7 @@ def _pack_partition_factory(block_size: int, avgdl: float, store_positions: bool
                 w = bm25_weight_np(tfs_b, dls_b, avgdl)
                 out_rows.append(
                     {
+                        "slice": int(slc),
                         "term": term,
                         "salt": int(salt),
                         "block_id": b_i,
@@ -244,92 +245,98 @@ class IndexBuilder:
         return self.build(df, gen=gen, resume=resume)
 
     def _stage_raw(self, df: DataFrame, gen: int):
-        """One input scan -> docs + uncompressed postings partitioned by slice."""
+        """One input scan -> docs + uncompressed postings partitioned by slice.
+
+        Per-doc postings are grouped inside the tokenizer UDF (map-side
+        combine), so this stage has NO shuffle: the postings write is
+        partitionBy(slice) file routing, not an exchange. The only real
+        shuffle of the whole build is the pack stage's
+        repartition(term, salt)."""
         t0 = time.time()
         doc_id = self.doc_id_col()
-        base = (
-            df.select(
-                doc_id.alias("doc_id"),
-                *[F.col(c) for c in self.key_cols if c != "doc_id"],
-                *[F.col(c) for c in self.meta_cols],
-                tokens_udf(F.col(self.text_col)).alias("_tokens"),
-            )
-            .withColumn("doc_len", F.size("_tokens"))
-            .withColumn("slice", F.pmod(F.xxhash64(F.lit(7), F.col("doc_id")), F.lit(self.n_slices)).cast("int"))
-        )
-        docs = base.drop("_tokens")
+        slice_col = F.pmod(F.xxhash64(F.lit(7), F.col("doc_id")), F.lit(self.n_slices)).cast("int")
+        # docs table: no tokenization needed (doc lengths live inline in
+        # the postings; corpus stats derive from the dictionary)
+        docs = df.select(
+            doc_id.alias("doc_id"),
+            *[F.col(c) for c in self.key_cols if c != "doc_id"],
+            *[F.col(c) for c in self.meta_cols],
+        ).withColumn("slice", slice_col)
         docs.write.mode("overwrite" if gen == 0 else "append").parquet(self._p("docs"))
 
-        docs_written = self.spark.read.parquet(self._p("docs"))
-        n_docs_total = docs_written.count()
-
-        raw = (
-            base.select("slice", "doc_id", "doc_len", F.posexplode("_tokens").alias("pos", "term"))
-            .groupBy("slice", "term", "doc_id")
-            .agg(
-                F.count("*").cast("int").alias("tf"),
-                F.sort_array(F.collect_list("pos")).alias("positions"),
-                F.first("doc_len").alias("dl"),
-            )
+        # Tokenize ONCE; per-doc term grouping via JVM higher-order
+        # functions (whole-stage codegen, no Python beyond the Arrow
+        # tokenizer, no shuffle): for each distinct term, positions =
+        # indices where tokens[i] == term. The postings write is
+        # partitionBy(slice) file routing, not an exchange.
+        base = (
+            df.select(doc_id.alias("doc_id"), tokens_udf(F.col(self.text_col)).alias("_tokens"))
+            .withColumn("dl", F.size("_tokens"))
+            .withColumn("slice", slice_col)
+            .filter(F.col("dl") > 0)
         )
-        raw.write.mode("overwrite").partitionBy("slice").parquet(self._p("postings_raw", f"gen={gen}"))
-
-        # per-slice lineage+metrics over the written raw postings
-        raw_written = self.spark.read.parquet(self._p("postings_raw", f"gen={gen}"))
-        slice_stats = {
-            int(r["slice"]): r
-            for r in raw_written.groupBy("slice")
-            .agg(
-                F.countDistinct("term").alias("n_terms"),
-                F.count("*").alias("n_postings"),
-                F.sum("tf").alias("n_tokens"),
-            )
-            .collect()
-        }
-        secs = time.time() - t0
-        for s in range(self.n_slices):
-            st = slice_stats.get(s)
-            self._commit(
-                "raw",
-                gen,
-                s,
-                {
-                    "n_terms": int(st["n_terms"]) if st else 0,
-                    "n_postings": int(st["n_postings"]) if st else 0,
-                    "n_tokens": int(st["n_tokens"]) if st else 0,
-                    "seconds": secs / self.n_slices,
-                },
-            )
-        self._commit("raw", gen, None, {"n_docs_total": n_docs_total, "seconds": secs})
+        toks = F.col("_tokens")
+        posts = F.transform(
+            F.array_distinct(toks),
+            lambda t: F.struct(
+                t.alias("term"),
+                F.filter(
+                    F.sequence(F.lit(0), F.col("dl") - 1),
+                    lambda i: F.element_at(toks, i + 1) == t,
+                ).alias("positions"),
+            ),
+        )
+        raw = base.select("slice", "doc_id", "dl", F.explode(posts).alias("_p")).select(
+            "slice",
+            F.col("_p.term").alias("term"),
+            "doc_id",
+            F.size("_p.positions").cast("int").alias("tf"),
+            F.col("_p.positions").alias("positions"),
+            "dl",
+        )
+        raw.write.mode("overwrite").partitionBy("slice").parquet(
+            self._p("postings_raw", f"gen={gen}")
+        )
+        self._commit("raw", gen, None, {"seconds": time.time() - t0})
 
     def _stage_global(self, resume: bool = True):
         """(Re)compute corpus stats + dictionary over ALL generations."""
         self.refresh_global()
 
     def refresh_global(self):
-        t0 = time.time()
-        docs = self.spark.read.parquet(self._p("docs"))
-        st = docs.agg(
-            F.count("*").alias("n_docs"),
-            F.avg("doc_len").alias("avgdl"),
-            F.sum("doc_len").alias("total_tokens"),
-        ).collect()[0]
-        self.spark.createDataFrame(
-            [(int(st["n_docs"]), float(st["avgdl"] or 0.0), int(st["total_tokens"] or 0))],
-            "n_docs long, avgdl double, total_tokens long",
-        ).write.mode("overwrite").parquet(self._p("stats"))
+        """Dictionary + corpus stats over all generations' raw postings.
 
-        avgdl = float(st["avgdl"] or 1.0)
+        One shuffle (groupBy term) sized by the number of distinct
+        (term, doc) pairs; corpus totals then come from the (small)
+        dictionary itself. n_docs counts ALL docs including token-less
+        ones, so avgdl = total_tokens / n_docs matches the naive
+        definition exactly."""
+        t0 = time.time()
+        n_docs = self.spark.read.parquet(self._p("docs")).count()
         raw = self.spark.read.parquet(self._p("postings_raw"))
         dictionary = raw.groupBy("term").agg(
             F.count("*").alias("df"),
             F.sum("tf").alias("cf"),
             F.max("tf").alias("max_tf"),
             F.min("dl").alias("min_dl"),
-            F.max(bm25_weight_col(F.col("tf"), F.col("dl"), avgdl)).alias("max_w"),
         )
         dictionary.write.mode("overwrite").parquet(self._p("dictionary"))
-        self._commit("global", 0, None, {"n_docs": int(st["n_docs"]), "avgdl": avgdl, "seconds": time.time() - t0})
+        tot = (
+            self.spark.read.parquet(self._p("dictionary"))
+            .agg(F.sum("cf").alias("total_tokens"), F.sum("df").alias("n_postings"))
+            .collect()[0]
+        )
+        total_tokens = int(tot["total_tokens"] or 0)
+        avgdl = (total_tokens / n_docs) if n_docs else 0.0
+        self.spark.createDataFrame(
+            [(n_docs, float(avgdl), total_tokens)],
+            "n_docs long, avgdl double, total_tokens long",
+        ).write.mode("overwrite").parquet(self._p("stats"))
+        self._commit(
+            "global", 0, None,
+            {"n_docs": n_docs, "avgdl": avgdl, "n_postings": int(tot["n_postings"] or 0),
+             "seconds": time.time() - t0},
+        )
 
     def _stage_pack(self, gen: int, resume: bool = True):
         """Shuffle-merge raw postings by (term, salt) into packed blocks."""
@@ -344,26 +351,45 @@ class IndexBuilder:
             .filter(F.col("df") > self.salt_max_postings)
             .select("term", F.ceil(F.col("df") / self.salt_max_postings).cast("int").alias("n_salts"))
         )
-        for s in range(self.n_slices):
-            if resume and self._manifest_done("pack", gen, s):
-                continue
-            t0 = time.time()
-            raw = self.spark.read.parquet(self._p("postings_raw", f"gen={gen}")).filter(
-                F.col("slice") == s
-            )
-            raw = raw.join(F.broadcast(heavy_df), "term", "left").withColumn(
+        pending = [
+            s for s in range(self.n_slices)
+            if not (resume and self._manifest_done("pack", gen, s))
+        ]
+        if not pending:
+            return
+        t0 = time.time()
+        raw = self.spark.read.parquet(self._p("postings_raw", f"gen={gen}"))
+        if len(pending) < self.n_slices:
+            raw = raw.filter(F.col("slice").isin(pending))
+        raw = (
+            raw.join(F.broadcast(heavy_df), "term", "left")
+            .withColumn(
                 "salt",
-                F.pmod(F.xxhash64(F.lit(13), F.col("doc_id")), F.coalesce(F.col("n_salts"), F.lit(1))).cast("int"),
-            ).drop("n_salts")
-            n_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-            packed = raw.repartition(n_shuffle, "term", "salt").mapInPandas(
-                _pack_partition_factory(self.block_size, avgdl, self.store_positions),
-                BLOCK_SCHEMA,
+                F.pmod(
+                    F.xxhash64(F.lit(13), F.col("doc_id")),
+                    F.coalesce(F.col("n_salts"), F.lit(1)),
+                ).cast("int"),
             )
-            out = self._p("postings", f"gen={gen}", f"slice={s}")
-            packed.write.mode("overwrite").parquet(out)
-            w = self.spark.read.parquet(out)
-            m = w.agg(
+            .drop("n_salts")
+        )
+        n_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        packed = raw.repartition(n_shuffle, "slice", "term", "salt").mapInPandas(
+            _pack_partition_factory(self.block_size, avgdl, self.store_positions),
+            BLOCK_SCHEMA,
+        )
+        # dynamic partition overwrite: one job packs every pending slice,
+        # committed per-slice below (resume granularity stays per slice)
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        packed.write.mode("overwrite").partitionBy("slice").parquet(
+            self._p("postings", f"gen={gen}")
+        )
+        w = self.spark.read.parquet(self._p("postings", f"gen={gen}")).filter(
+            F.col("slice").isin(pending)
+        )
+        mrows = {
+            int(r["slice"]): r
+            for r in w.groupBy("slice")
+            .agg(
                 F.countDistinct("term").alias("n_terms"),
                 F.sum("n").alias("n_postings"),
                 (
@@ -373,17 +399,22 @@ class IndexBuilder:
                     + F.sum(F.octet_length("positions"))
                 ).alias("bytes_packed"),
                 F.count("*").alias("n_blocks"),
-            ).collect()[0]
+            )
+            .collect()
+        }
+        secs = time.time() - t0
+        for s in pending:
+            m = mrows.get(s)
             self._commit(
                 "pack",
                 gen,
                 s,
                 {
-                    "n_terms": int(m["n_terms"] or 0),
-                    "n_postings": int(m["n_postings"] or 0),
-                    "bytes_packed": int(m["bytes_packed"] or 0),
-                    "n_blocks": int(m["n_blocks"] or 0),
-                    "seconds": time.time() - t0,
+                    "n_terms": int(m["n_terms"]) if m else 0,
+                    "n_postings": int(m["n_postings"]) if m else 0,
+                    "bytes_packed": int(m["bytes_packed"]) if m else 0,
+                    "n_blocks": int(m["n_blocks"]) if m else 0,
+                    "seconds": secs / len(pending),
                 },
             )
 

@@ -1,0 +1,237 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Generalizes the reference's URL-keyed dedupe maps (collector.py:99,
+129-141 TTL map; recorder.py:15,58-70) into the content-dedup family a
+training-data pipeline needs at 100 TB:
+
+- exact: hash-groupBy on (normalized) content — one shuffle, AQE-skew
+  safe;
+- MinHash+LSH: shingle -> portable 32-bit hash -> H permutation mins in
+  ONE groupBy (H agg expressions, single shuffle) -> band buckets ->
+  bucket self-join for candidate pairs -> exact Jaccard verification;
+- SimHash: 64-bit tf-weighted sign fingerprint, Hamming<=r matching via
+  band equality + bit_count(xor) verification;
+- n-gram Jaccard: exact pair similarity on word n-gram sets.
+
+Everything is DataFrame ops (shuffles only where a groupBy/join is
+semantically required); MinHash permutation hashes use md5-derived
+32-bit values so the DuckDB oracle can reproduce signatures bit-exactly.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_P = (1 << 31) - 1
+
+
+def normalized_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per distinct (normalized) content."""
+    key = normalized_text(F.col(text_col))
+    w_min = (
+        df.groupBy(key.alias("_k"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(w_min, id_col, "left_semi")
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(keep_id, n_copies) for every content value occurring more than once."""
+    key = normalized_text(F.col(text_col))
+    return (
+        df.groupBy(key.alias("_k"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("keep_id", "n_copies")
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Array of word k-shingles (distinct), lowercase, whitespace words."""
+    words = F.split(normalized_text(text), " ")
+    n = F.size(words)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k), lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+def portable_hash32(col: Column) -> Column:
+    """First 8 hex chars of md5 as a bigint in [0, 2^32) — bit-identical
+    in Spark and DuckDB, which makes MinHash signatures oracle-checkable."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P)) for _ in range(n_hashes)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long>) — H permutation minima in ONE shuffle."""
+    params = minhash_params(n_hashes, seed)
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_sh")
+    ).withColumn("_h", portable_hash32(F.col("_sh")))
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    return sigs.select(id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", bands: int = 8) -> DataFrame:
+    """Band the signatures, bucket-join: pairs sharing >=1 identical band.
+
+    At scale the bucket self-join is the only quadratic risk; bucket
+    sizes are bounded by banding (r = H/bands rows per band), and the
+    join is an equi-join Catalyst executes as a shuffle hash join."""
+    n_hashes = len(sigs.select("sig").first()["sig"])
+    r = n_hashes // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)]))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bhash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact word-shingle Jaccard for given (id1, id2) pairs."""
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id1").withColumnRenamed("sh", "sh1"), "id1")
+        .join(sh.withColumnRenamed(id_col, "id2").withColumnRenamed("sh", "sh2"), "id2")
+        .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")).cast("double"))
+        .withColumn("uni", F.size(F.array_union("sh1", "sh2")).cast("double"))
+        .select("id1", "id2", F.round(F.col("inter") / F.col("uni"), 4).alias("jaccard"))
+    )
+    return j
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (deduped df, verified duplicate pairs).
+
+    A row is dropped when a verified-similar row with a smaller id
+    exists (single-hop; full transitive closure would need iterative
+    connected components — by design dedup here is local, like the
+    reference's first-seen-wins map)."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed)
+    cand = lsh_candidate_pairs(sigs, id_col, bands)
+    verified = ngram_jaccard(df, cand, text_col, id_col, shingle_k).filter(
+        F.col("jaccard") >= threshold
+    )
+    drop = verified.select(F.col("id2").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti"), verified
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: sign of tf-weighted sum per bit of token hashes.
+
+    Implemented as explode -> single groupBy with 64 conditional-sum
+    aggregates (one shuffle), then bit assembly JVM-side."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("_t"),
+    ).withColumn("_h", F.xxhash64("_t"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    g = tok.groupBy(id_col).agg(*aggs)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return g.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Candidate generation by 16-bit band equality (any doc pair within
+    Hamming distance 3 of 64 bits shares at least one of 4 bands), then
+    exact bit_count verification."""
+    bands = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bval"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

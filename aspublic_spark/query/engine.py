@@ -154,20 +154,25 @@ class SearchEngine:
         after=None,
         before=None,
         conv_prefix: str | None = None,
+        extra_filter=None,
     ) -> DataFrame:
         d = self.docs()
-        if role is not None:
+        if role is not None and "role" in d.columns:
             d = d.filter(F.col("role") == role)
-        if tool_present is True:
-            d = d.filter(F.col("tool").isNotNull())
-        elif tool_present is False:
-            d = d.filter(F.col("tool").isNull())
-        if after is not None:
-            d = d.filter(F.col("ts") > F.lit(after))  # strict, viewer semantics
-        if before is not None:
-            d = d.filter(F.col("ts") < F.lit(before))
+        if "tool" in d.columns:
+            if tool_present is True:
+                d = d.filter(F.col("tool").isNotNull())
+            elif tool_present is False:
+                d = d.filter(F.col("tool").isNull())
+        if "ts" in d.columns:
+            if after is not None:
+                d = d.filter(F.col("ts") > F.lit(after))  # strict, viewer semantics
+            if before is not None:
+                d = d.filter(F.col("ts") < F.lit(before))
         if conv_prefix is not None and "conv_id" in d.columns:
             d = d.filter(F.col("conv_id").startswith(conv_prefix))
+        if extra_filter is not None:
+            d = d.filter(extra_filter)  # arbitrary predicate on docs meta
         return d
 
     # -- phrase evaluation (Q4) ----------------------------------------
@@ -317,6 +322,7 @@ class SearchEngine:
         after=None,
         before=None,
         conv_prefix: str | None = None,
+        extra_filter=None,
         order: str = "bm25",
         block_max: bool = True,
         parser=parse_query,
@@ -327,9 +333,9 @@ class SearchEngine:
         k = max(1, min(int(k), 100))  # reference clamp, viewer.py:123
         pq = parser(q) if isinstance(q, str) else (q or ParsedQuery())
         has_doc_filters = any(
-            v is not None for v in (role, tool_present, after, before, conv_prefix)
+            v is not None for v in (role, tool_present, after, before, conv_prefix, extra_filter)
         )
-        docs_f = self.filtered_docs(role, tool_present, after, before, conv_prefix)
+        docs_f = self.filtered_docs(role, tool_present, after, before, conv_prefix, extra_filter)
         key_meta = [c for c in self.key_cols if c != "doc_id"] + self.meta_cols
 
         order_cols = (

@@ -26,6 +26,15 @@ def package_zip() -> str:
     return out
 
 
+def ensure_package(spark: SparkSession) -> None:
+    """Make the package importable on Python workers of an externally
+    created SparkSession (e.g. the correctness driver's)."""
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added
+
+
 def get_spark(
     app_name: str = "aspublic_spark",
     cpus: int | None = None,

@@ -1,0 +1,204 @@
+"""Dedup / similarity / textstats / filter operator tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from aspublic_spark.functions import textstats as TS
+from aspublic_spark.operators import dedup as D
+from aspublic_spark.operators import filters as FL
+from aspublic_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),  # near dup of 0
+        (3, "completely different content about spark indexes"),
+        (4, "the quick brown fox jumps over the lazy cat"),  # near dup of 0
+        (5, "Der schnelle braune Fuchs und der faule Hund ist nicht da"),
+        (6, "le renard brun est dans la forêt et il est rapide"),
+        (7, "numbers 123 and symbols !!! mixed in, quite odd"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(corpus):
+    out = D.exact_dedup(corpus)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 0 in ids and 1 not in ids and len(ids) == 7
+
+
+def test_duplicate_groups(corpus):
+    g = D.duplicate_groups(corpus).collect()
+    assert len(g) == 1 and g[0]["keep_id"] == 0 and g[0]["n_copies"] == 2
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    sh = df.select(D.word_shingles(F.col("text"), 3).alias("s")).first()["s"]
+    assert sorted(sh) == ["a b c", "b c d"]
+    df2 = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert df2.select(D.word_shingles(F.col("text"), 3).alias("s")).first()["s"] == ["a b"]
+
+
+def test_minhash_dedup_finds_near_dups(corpus):
+    deduped, pairs = D.minhash_dedup(
+        corpus, n_hashes=64, bands=16, shingle_k=2, threshold=0.5
+    )
+    p = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert (0, 1) in p  # exact dup has jaccard 1.0
+    assert any(a == 0 or b == 0 for a, b in p if (a, b) != (0, 1))  # a near dup found
+    kept = {r["doc_id"] for r in deduped.collect()}
+    assert 0 in kept and 1 not in kept
+    assert 3 in kept and 5 in kept and 6 in kept and 7 in kept
+
+
+def test_minhash_jaccard_estimate_close(spark):
+    # two docs with known shingle jaccard ~0.5 -> signature agreement close
+    a = "w%d " * 40 % tuple(range(40))
+    b = "w%d " * 40 % tuple(range(20, 60))
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    sigs = {r["doc_id"]: r["sig"] for r in D.minhash_signatures(df, n_hashes=128, shingle_k=1).collect()}
+    agree = sum(1 for x, y in zip(sigs[1], sigs[2]) if x == y) / 128
+    true_j = 20 / 60
+    assert abs(agree - true_j) < 0.15
+
+
+def test_simhash_near_pairs(corpus):
+    fps = D.simhash(corpus)
+    vals = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    assert vals[0] == vals[1]  # identical text -> identical fingerprint
+    pairs = D.simhash_near_pairs(fps, max_hamming=10).collect()
+    pset = {(r["id1"], r["id2"]) for r in pairs}
+    assert (0, 1) in pset
+    d03 = bin(vals[0] ^ vals[3]).count("1")
+    assert d03 > 10  # unrelated docs stay far
+
+
+def test_ngram_jaccard_exact(spark, corpus):
+    pairs = spark.createDataFrame([(0, 1), (0, 3)], "id1 long, id2 long")
+    j = {(r["id1"], r["id2"]): r["jaccard"] for r in D.ngram_jaccard(corpus, pairs, shingle_k=2).collect()}
+    assert j[(0, 1)] == 1.0
+    assert j[(0, 3)] == 0.0
+
+
+# ---------------- similarity ----------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    rows = emb.collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = mat[0]
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(-np.round(cos, 5), ids))[:10]
+    expect = [int(i) for _, i in order]
+    got = [r["vec_id"] for r in S.brute_force_topk(emb, list(map(float, q)), k=10).collect()]
+    assert got == expect
+
+
+def test_lsh_topk_recall(spark, emb):
+    q = list(map(float, emb.first()["embedding"]))
+    exact = {r["vec_id"] for r in S.brute_force_topk(emb, q, k=10).collect()}
+    approx = {r["vec_id"] for r in S.lsh_topk(emb, q, k=10, n_planes=8, n_tables=8, multiprobe=1).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"recall {recall}"
+    assert emb.first()["vec_id"] in approx  # the query vector itself must be found
+
+
+def test_knn_join_brute(spark, emb):
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = S.knn_join_brute(emb, queries, k=3)
+    rows = out.collect()
+    assert len(rows) == 6
+    for r in rows:
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["q_id"]  # self is nearest
+
+
+# ---------------- textstats ----------------
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("x1 y!z 42",)], "text string")
+    out = df.select(
+        TS.ws_token_count(F.col("text")).alias("ws"),
+        TS.bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).collect()
+    assert [r["ws"] for r in out] == [3, 0, 3]
+    # 'x1' -> x,1 ; 'y!z' -> y,!,z ; '42' -> 42  => 6 BPE-ish tokens
+    assert out[2]["bpe"] == 6
+
+
+def test_lang_id(corpus):
+    got = {r["doc_id"]: r["lang"] for r in corpus.select("doc_id", TS.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got[0] == "en" and got[5] == "de" and got[6] == "fr"
+
+
+def test_quality_score_range(corpus):
+    vals = [r["q"] for r in corpus.select(TS.quality_score(F.col("text")).alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")], "doc_id long, text string"
+    )
+    fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", TS.md5_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]  # normalization folds case+whitespace
+    rf = {r["doc_id"]: r["rf"] for r in df.select("doc_id", TS.rolling_fingerprint(F.col("text"), 2).alias("rf")).collect()}
+    assert rf[1] == rf[2]
+
+
+# ---------------- filters ----------------
+
+
+def test_policy_filters(spark):
+    df = spark.createDataFrame(
+        [
+            ("conv_a", "clean text"),
+            ("conv_b", "SPAM buy now"),
+            ("evil_c", "clean text"),
+            ("conv_d", "also fine"),
+        ],
+        "conv_id string, text string",
+    )
+    out = FL.apply_policies(
+        df,
+        "conv_id",
+        ["text"],
+        accept=[FL.FilterPolicy(prefixes=["conv_"])],
+        reject=[FL.FilterPolicy(patterns=["spam"])],
+    )
+    assert {r["conv_id"] for r in out.collect()} == {"conv_a", "conv_d"}
+
+
+def test_suffix_and_regex_exclusion(spark):
+    df = spark.createDataFrame(
+        [("a.example.com", "ok"), ("b.bad.net", "ok"), ("c.example.org", "drop me please")],
+        "domain string, text string",
+    )
+    out = FL.suffix_exclusion(df, "domain", ["bad.net"])
+    assert {r["domain"] for r in out.collect()} == {"a.example.com", "c.example.org"}
+    out2 = FL.regex_exclusion(df, "text", ["drop\\s+me"])
+    assert {r["domain"] for r in out2.collect()} == {"a.example.com", "b.bad.net"}
+
+
+def test_anti_join_and_first_seen(spark):
+    new = spark.createDataFrame([(1, "x", 10), (2, "y", 20), (2, "y2", 5)], "k long, v string, ts long")
+    existing = spark.createDataFrame([(1,)], "k long")
+    out = FL.anti_join_existing(new, existing, ["k"])
+    assert {r["k"] for r in out.collect()} == {2}
+    fs = FL.first_seen_dedup(new, ["k"], "ts").collect()
+    got = {r["k"]: r["v"] for r in fs}
+    assert got == {1: "x", 2: "y2"}  # earliest ts wins deterministically
