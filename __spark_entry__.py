@@ -252,6 +252,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_count_by_lang"] = token_count_by_lang
 
+    # -- dedup family ----------------------------------------------------
+    def minhash_signatures(spark, sf):
+        from aspublic_spark.operators.dedup import minhash_signatures as mh
+
+        d = docs(spark, sf).filter(F.col("doc_id") < 50)
+        sigs = mh(d, n_hashes=8, shingle_k=3, seed=42)
+        return sigs.select(
+            "doc_id", *[F.col("sig")[i].alias(f"h{i}") for i in range(8)]
+        )
+
+    q["minhash_signatures"] = minhash_signatures
+
+    def ngram_jaccard_pairs(spark, sf):
+        from aspublic_spark.operators.dedup import ngram_jaccard
+
+        d = docs(spark, sf).filter(F.col("text").rlike("(^| )dup( |$)"))
+        ids = d.select(F.col("doc_id").alias("id1"))
+        pairs = ids.crossJoin(d.select(F.col("doc_id").alias("id2"))).filter(
+            F.col("id1") < F.col("id2")
+        )
+        return ngram_jaccard(d, pairs, shingle_k=2).filter(F.col("jaccard") >= 0.2)
+
+    q["ngram_jaccard_pairs"] = ngram_jaccard_pairs
+
+    # -- similarity search ------------------------------------------------
+    def ann_cosine_topk(spark, sf):
+        from aspublic_spark.operators.similarity import brute_force_topk
+
+        emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+        return brute_force_topk(emb, qv, k=25)
+
+    q["ann_cosine_topk"] = ann_cosine_topk
+
+    # -- text analysis ----------------------------------------------------
+    def lang_id_counts(spark, sf):
+        from aspublic_spark.functions.textstats import lang_id
+
+        d = docs(spark, sf)
+        return d.groupBy(lang_id(F.col("text")).alias("pred_lang")).agg(
+            F.count("*").alias("n")
+        )
+
+    q["lang_id_counts"] = lang_id_counts
+
+    def quality_by_lang(spark, sf):
+        from aspublic_spark.functions.textstats import quality_score
+
+        d = docs(spark, sf)
+        return d.groupBy("lang").agg(
+            F.round(F.avg(quality_score(F.col("text"))), 4).alias("avg_quality")
+        )
+
+    q["quality_by_lang"] = quality_by_lang
+
+    def fingerprints(spark, sf):
+        from aspublic_spark.functions.textstats import md5_fingerprint
+
+        d = docs(spark, sf).filter(F.col("doc_id") < 100)
+        return d.select("doc_id", md5_fingerprint(F.col("text")).alias("fp"))
+
+    q["fingerprints"] = fingerprints
+
     return q
 
 
@@ -292,5 +355,115 @@ def oracle_sql() -> dict[str, str]:
         select lang, sum(len(string_split(text, ' '))) as total_tokens,
                count(*) as n_docs
         from documents group by lang
+    """
+
+    from aspublic_spark.operators.dedup import MERSENNE_P, minhash_params
+
+    params = minhash_params(8, seed=42)
+    mh_cols = ",\n           ".join(
+        f"min(({a} * h + {b}) % {MERSENNE_P}) as h{i}" for i, (a, b) in enumerate(params)
+    )
+    o["minhash_signatures"] = f"""
+        with words as (
+          select doc_id, string_split(text, ' ') as w
+          from documents where doc_id < 50
+        ),
+        sh as (
+          select distinct doc_id, array_to_string(w[i:i+2], ' ') as shingle
+          from words, lateral (
+            select unnest(generate_series(1, greatest(len(w) - 2, 1))) as i
+          )
+        ),
+        hashed as (
+          select doc_id,
+                 ('0x' || substr(md5(shingle), 1, 8))::bigint as h
+          from sh
+        )
+        select doc_id, {mh_cols}
+        from hashed group by doc_id
+    """
+
+    o["ngram_jaccard_pairs"] = """
+        with d as (
+          select doc_id, string_split(text, ' ') as w
+          from documents where regexp_matches(text, '(^| )dup( |$)')
+        ),
+        sh as (
+          select doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 1, 1)),
+                   i -> array_to_string(w[i:i+1], ' ')
+                 )) as shs
+          from d
+        )
+        select a.doc_id as id1, b.doc_id as id2,
+               round(len(list_intersect(a.shs, b.shs)) * 1.0
+                     / len(list_distinct(list_concat(a.shs, b.shs))), 4) as jaccard
+        from sh a join sh b on a.doc_id < b.doc_id
+        where round(len(list_intersect(a.shs, b.shs)) * 1.0
+                    / len(list_distinct(list_concat(a.shs, b.shs))), 4) >= 0.2
+    """
+
+    o["ann_cosine_topk"] = """
+        with q as (
+          select embedding as e from embeddings
+          where vec_id = (select min(vec_id) from embeddings)
+        )
+        select vec_id,
+               round(
+                 (select sum(x.v * y.v) from
+                    (select unnest(embedding)::double as v,
+                            generate_subscripts(embedding, 1) as i) x
+                    join
+                    (select unnest((select e from q))::double as v,
+                            generate_subscripts((select e from q), 1) as i) y
+                    using (i))
+                 / (sqrt((select sum((unnest.x)::double * (unnest.x)::double) from unnest(embedding) as unnest(x)))
+                    * sqrt((select sum((unnest.x)::double * (unnest.x)::double) from unnest((select e from q)) as unnest(x)))),
+                 5) as cosine
+        from embeddings
+        order by cosine desc, vec_id asc
+        limit 25
+    """
+
+    def _hits(markers: list[str]) -> str:
+        lst = ", ".join(f"'{m}'" for m in markers)
+        return f"len(list_intersect(list_distinct(string_split(text, ' ')), [{lst}]))"
+
+    from aspublic_spark.functions.textstats import LANG_MARKERS, STOPWORDS_EN
+
+    langs = list(LANG_MARKERS)
+    hit_cols = ", ".join(f"{_hits(LANG_MARKERS[lg])} as h_{lg}" for lg in langs)
+    g = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    case = "case when " + g + " = 0 then 'und' " + " ".join(
+        f"when h_{lg} = {g} then '{lg}'" for lg in langs
+    ) + " end"
+    o["lang_id_counts"] = f"""
+        with scored as (select doc_id, {hit_cols} from documents)
+        select {case} as pred_lang, count(*) as n
+        from scored group by 1
+    """
+
+    stop_hits = _hits(STOPWORDS_EN)
+    o["quality_by_lang"] = f"""
+        with per_doc as (
+          select lang,
+                 round(
+                   0.4 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                 + 0.2 * (case when length(text) * 1.0 / len(string_split(text, ' ')) between 3.0 and 10.0
+                          then 1.0 else 0.5 end)
+                 + 0.2 * (1.0 - least(
+                     len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / length(text) * 5.0, 1.0))
+                 + 0.2 * least({stop_hits} * 1.0 / len(string_split(text, ' ')) * 5.0, 1.0)
+                 , 4) as q
+          from documents
+        )
+        select lang, round(avg(q), 4) as avg_quality from per_doc group by lang
+    """
+
+    o["fingerprints"] = """
+        select doc_id,
+               substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) as fp
+        from documents where doc_id < 100
     """
     return o
