@@ -1,0 +1,123 @@
+"""Structured-Streaming ingest: the streaming analog of the reference's
+collector -> recorder -> DB pipeline (SURVEY §2.1 S1/S8, §2.5).
+
+Reference semantics mapped onto Spark streaming primitives:
+
+- websocket firehose + micro-batch buffer with 60s flush cadence
+  (collector.py:144-233, recorder.py:73-120)  ->  ``readStream`` +
+  ``trigger(processingTime=...)`` / ``availableNow`` + ``foreachBatch``;
+- in-memory dedupe map with 600s TTL (collector.py:129-141, :757-760)
+  ->  ``withWatermark(ts, '10 minutes')`` +
+  ``dropDuplicatesWithinWatermark`` (state GC'd by the watermark
+  exactly like the TTL eviction);
+- at-least-once push + idempotent `ON CONFLICT DO NOTHING` upsert
+  (collector.py:198-201 + db_sqlite.py:55-59)  ->  at-least-once
+  foreachBatch + anti-join-existing append (effectively-once);
+- FTS5 trigger-per-insert index maintenance (db_sqlite.py:28-41)  ->
+  per-batch incremental index generation (IndexBuilder.add_documents).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aspublic_spark.index.build import IndexBuilder
+from aspublic_spark.operators.filters import FilterPolicy, anti_join_existing, apply_policies
+from aspublic_spark.tables import TRANSCRIPTS_SCHEMA
+
+
+class StreamingIngest:
+    """Micro-batch transcript ingest with dedup, policy filters, and
+    incremental index maintenance."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        docs_dir: str,
+        watermark: str = "10 minutes",
+        accept: list[FilterPolicy] | None = None,
+        reject: list[FilterPolicy] | None = None,
+        index_kwargs: dict | None = None,
+    ):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.docs_dir = docs_dir
+        self.watermark = watermark
+        self.accept = accept
+        self.reject = reject
+        self.builder = IndexBuilder(spark, index_dir, **(index_kwargs or {}))
+        self._next_gen = self._detect_next_gen()
+
+    def _detect_next_gen(self) -> int:
+        praw = os.path.join(self.index_dir, "postings_raw")
+        if not os.path.isdir(praw):
+            return 0
+        gens = [
+            int(n.split("=")[1]) for n in os.listdir(praw) if n.startswith("gen=")
+        ]
+        return (max(gens) + 1) if gens else 0
+
+    # -- batch core (shared by the streaming sink and batch backfill) ----
+    def ingest_batch(self, batch_df: DataFrame, epoch_id: int | None = None) -> int:
+        df = batch_df
+        if self.accept or self.reject:
+            df = apply_policies(df, "conv_id", ["text"], self.accept, self.reject)
+        # idempotent upsert: drop keys already present (exactly-once effect
+        # under at-least-once delivery)
+        if os.path.isdir(self.docs_dir):
+            existing = self.spark.read.parquet(self.docs_dir).select("conv_id", "turn_idx")
+            df = anti_join_existing(df, existing, ["conv_id", "turn_idx"])
+        # Stage the filtered batch and re-read it to SEVER LINEAGE: the
+        # anti-join above references docs_dir, and appending to docs_dir
+        # below would otherwise poison any later re-evaluation of this
+        # plan (the new rows would anti-join against themselves).
+        gen = self._next_gen
+        staged = os.path.join(self.docs_dir + "_staging", f"gen_{gen}")
+        df.write.mode("overwrite").parquet(staged)
+        new = self.spark.read.parquet(staged)
+        n = new.count()
+        if n:
+            new.write.mode("append").parquet(self.docs_dir)
+            self.builder.add_documents(new, gen=gen)
+            self._next_gen += 1
+        return n
+
+    # -- streaming wiring --------------------------------------------------
+    def start(
+        self,
+        source_dir: str,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        processing_time: str = "60 seconds",
+    ):
+        """File-source stream (the sandbox stand-in for the websocket
+        firehose; swap for kafka/socket in production — same plan)."""
+        stream = (
+            self.spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+            .parquet(source_dir)
+            .withWatermark("ts", self.watermark)
+            .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+        )
+        writer = stream.writeStream.foreachBatch(
+            lambda bdf, eid: self.ingest_batch(bdf, eid)
+        ).option("checkpointLocation", checkpoint_dir)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+
+def observe_ingest(df: DataFrame, name: str = "ingest") -> DataFrame:
+    """listenerStats analog (ap_types.py:22-32): received / unique-ish
+    counters exposed through df.observe -> QueryProgress metrics."""
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("received"),
+        F.approx_count_distinct(F.concat_ws("#", "conv_id", "turn_idx")).alias("unique_approx"),
+        F.max("ts").alias("last_event_ts"),
+    )

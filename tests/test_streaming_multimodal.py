@@ -1,0 +1,88 @@
+"""Streaming ingest + multimodal plumbing tests."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aspublic_spark.operators import multimodal as MM
+from aspublic_spark.operators.filters import FilterPolicy
+from aspublic_spark.query.engine import SearchEngine
+from aspublic_spark.streaming.ingest import StreamingIngest, observe_ingest
+from aspublic_spark.tables import fixture_transcripts, synth_transcripts
+
+
+def test_streaming_ingest_end_to_end(spark, workdir):
+    src = os.path.join(workdir, "stream_src")
+    idx = os.path.join(workdir, "stream_idx")
+    docs = os.path.join(workdir, "stream_docs")
+    ckpt = os.path.join(workdir, "stream_ckpt")
+
+    fixture_transcripts(spark).write.mode("overwrite").parquet(src)
+    ing = StreamingIngest(
+        spark, idx, docs,
+        reject=[FilterPolicy(patterns=["bot status"])],
+        index_kwargs=dict(n_slices=2, block_size=8),
+    )
+    q = ing.start(src, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    stored = spark.read.parquet(docs)
+    assert stored.count() == 5  # 6 rows minus the rejected 'bot status' turn
+
+    eng = SearchEngine(spark, idx)
+    hits = sorted(r["turn_idx"] for r in eng.search("example").df.collect())
+    assert hits == [4, 5]
+    # rejected row is not indexed
+    assert eng.search("bot").df.count() == 0
+
+    # replaying the same source is a no-op (idempotent upsert)
+    n = ing.ingest_batch(fixture_transcripts(spark))
+    assert n == 0
+    assert spark.read.parquet(docs).count() == 5
+
+
+def test_streaming_incremental_generation(spark, workdir):
+    idx = os.path.join(workdir, "incr_idx")
+    docs = os.path.join(workdir, "incr_docs")
+    ing = StreamingIngest(spark, idx, docs, index_kwargs=dict(n_slices=2, block_size=8))
+    first = synth_transcripts(spark, 50, seed=1)
+    second = synth_transcripts(spark, 100, seed=1).filter(F.col("conv_id") >= "c000000006")
+    assert ing.ingest_batch(first) == 50
+    assert ing.ingest_batch(second) == 50  # 50 new, 0 overlap? no: 100 rows, 50 dupes
+    eng = SearchEngine(spark, idx)
+    assert eng.n_docs == 100
+    # search spans both generations
+    total = eng.search("the", k=100).df.count()
+    assert total > 0
+
+
+def test_observe_ingest(spark):
+    df = observe_ingest(fixture_transcripts(spark))
+    assert df.count() == 6
+
+
+def test_multimodal_features_and_plans(spark):
+    media = MM.synth_media(spark, 60, seed=42)
+    assert media.schema["payload"].dataType.typeName() == "binary"
+
+    feats = MM.extract_image_features(media, deterministic_fake=True).collect()
+    assert len(feats) > 0
+    for r in feats:
+        assert len(r["features"]) == MM.IMAGE_FEATURE_DIM
+    # determinism: same ids -> same features on recompute
+    feats2 = MM.extract_image_features(media, deterministic_fake=True).collect()
+    assert {r["media_id"]: r["features"] for r in feats} == {
+        r["media_id"]: r["features"] for r in feats2
+    }
+
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        MM.extract_image_features(media).collect()
+
+    frames = MM.frame_sample_plan(media, every_ms=5000)
+    row = frames.groupBy("media_id").count().first()
+    assert row["count"] >= 1
+
+    rp = MM.resize_plan(media, max_side=512).collect()
+    for r in rp:
+        assert max(r["target_w"], r["target_h"]) <= 512
