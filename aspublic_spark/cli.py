@@ -1,0 +1,147 @@
+"""spark-submit entry points: build / search / bench as cluster jobs.
+
+North-rule deployment shape::
+
+    python -m aspublic_spark.cli package          # writes aspublic_spark.zip
+    spark-submit --py-files aspublic_spark.zip \
+        cli.py build --input <parquet-or-iceberg> --index <dir> [--slices 64]
+    spark-submit --py-files aspublic_spark.zip \
+        cli.py search --index <dir> --q '"hash join" !slow' --k 10
+
+On a real cluster the SparkSession comes from spark-submit's conf
+(executors, memory, shuffle partitions); locally `get_spark` supplies a
+local[N] session so the same script runs in the sandbox.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+
+
+def _spark(args):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    from aspublic_spark.session import get_spark
+
+    return get_spark("aspublic_cli", cpus=args.cpus or None)
+
+
+def cmd_package(args) -> int:
+    from aspublic_spark.session import package_zip
+
+    out = shutil.copy(package_zip(), args.out)
+    print(out)
+    return 0
+
+
+def cmd_build(args) -> int:
+    from aspublic_spark.index.build import IndexBuilder
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    b = IndexBuilder(
+        spark,
+        args.index,
+        key_cols=args.key_cols.split(","),
+        text_col=args.text_col,
+        meta_cols=[c for c in args.meta_cols.split(",") if c],
+        n_slices=args.slices,
+        block_size=args.block_size,
+        salt_max_postings=args.salt_max,
+    )
+    t0 = time.time()
+    b.build(df, gen=args.gen, resume=not args.no_resume)
+    packs = [m for m in b.manifest() if m["stage"] == "pack"]
+    print(
+        json.dumps(
+            {
+                "seconds": round(time.time() - t0, 2),
+                "slices": len(packs),
+                "postings": sum(p.get("n_postings", 0) for p in packs),
+                "bytes_packed": sum(p.get("bytes_packed", 0) for p in packs),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_search(args) -> int:
+    from aspublic_spark.query.engine import SearchEngine
+    from aspublic_spark.query.parser import parse_query, parse_websearch
+
+    spark = _spark(args)
+    eng = SearchEngine(spark, args.index)
+    res = eng.search(
+        args.q,
+        k=args.k,
+        role=args.role,
+        conv_prefix=args.conv_prefix,
+        order=args.order,
+        parser=parse_websearch if args.websearch else parse_query,
+    )
+    t0 = time.time()
+    rows = res.df.collect()
+    dbtime_ms = (time.time() - t0) * 1000  # Q14: query timing metric
+    print(
+        json.dumps(
+            {
+                "results": [r.asDict(recursive=True) for r in rows],
+                "debug": {
+                    "dbtime_ms": round(dbtime_ms, 1),
+                    "parsed": {
+                        "and": res.parsed.and_terms,
+                        "phrases": res.parsed.phrases,
+                        "not": res.parsed.not_terms,
+                        "or": res.parsed.or_groups,
+                    },
+                    "pruning": res.pruning,
+                },
+            },
+            default=str,
+        )
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="aspublic_spark")
+    p.add_argument("--cpus", type=int, default=0)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pk = sub.add_parser("package")
+    pk.add_argument("--out", default="aspublic_spark.zip")
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--key-cols", default="conv_id,turn_idx")
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--meta-cols", default="role,tool,ts")
+    b.add_argument("--slices", type=int, default=8)
+    b.add_argument("--block-size", type=int, default=128)
+    b.add_argument("--salt-max", type=int, default=100_000)
+    b.add_argument("--gen", type=int, default=0)
+    b.add_argument("--no-resume", action="store_true")
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--q", required=True)
+    s.add_argument("--k", type=int, default=50)
+    s.add_argument("--role")
+    s.add_argument("--conv-prefix")
+    s.add_argument("--order", default="bm25", choices=["bm25", "recency"])
+    s.add_argument("--websearch", action="store_true")
+
+    args = p.parse_args(argv)
+    return {"package": cmd_package, "build": cmd_build, "search": cmd_search}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

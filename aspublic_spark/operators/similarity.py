@@ -17,6 +17,7 @@ rescoring) for the dedup family.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -150,6 +151,86 @@ def knn_join_brute(
     )
     w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+class IVFIndex:
+    """IVF (inverted-file) ANN index: k-means-ish coarse quantizer +
+    per-centroid posting lists of vector ids.
+
+    Build: deterministic hash-based seed selection, a few Lloyd
+    iterations where assignment is a vectorized pandas UDF over a
+    broadcast centroid matrix (one numpy matmul per Arrow batch) and
+    centroid update is an explode->groupBy(centroid, dim) average (one
+    shuffle of N*d scalar rows per iteration). Query: score the C
+    centroids driver-side, scan only the nprobe best centroid lists,
+    rescore exactly. Recall < 1 by construction; tests measure it."""
+
+    def __init__(self, centroids: np.ndarray, assigned: DataFrame, id_col: str, vec_col: str):
+        self.centroids = centroids
+        self.assigned = assigned  # emb columns + _centroid
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @staticmethod
+    def build(
+        emb: DataFrame,
+        n_centroids: int = 16,
+        iters: int = 3,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        seed: int = 42,
+    ) -> "IVFIndex":
+        spark = emb.sparkSession
+        n = emb.count()
+        # deterministic spread-out seed pick: first vector of each hash bucket
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_b").orderBy(id_col)
+        seeds = (
+            emb.withColumn("_b", F.pmod(F.xxhash64(F.lit(seed), id_col), F.lit(n_centroids)))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(vec_col)
+            .collect()
+        )
+        cents = np.array([r[vec_col] for r in seeds], dtype=np.float64)
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+        def assigner(cmat: np.ndarray):
+            bc = spark.sparkContext.broadcast(cmat)
+
+            @F.pandas_udf("int")
+            def assign(v: pd.Series) -> pd.Series:
+                m = np.array(v.tolist(), dtype=np.float64)
+                m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype(np.int32))
+
+            return assign
+
+        assigned = None
+        for _ in range(iters):
+            assigned = emb.withColumn("_centroid", assigner(cents)(F.col(vec_col)))
+            upd = (
+                assigned.select("_centroid", F.posexplode(vec_col).alias("_d", "_v"))
+                .groupBy("_centroid", "_d")
+                .agg(F.avg("_v").alias("m"))
+                .collect()
+            )
+            new = np.array(cents)
+            for r in upd:
+                new[r["_centroid"], r["_d"]] = r["m"]
+            norms = np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+            cents = new / norms
+        assigned = emb.withColumn("_centroid", assigner(cents)(F.col(vec_col)))
+        return IVFIndex(cents, assigned, id_col, vec_col)
+
+    def topk(self, query_vec: list[float], k: int = 10, nprobe: int = 4) -> DataFrame:
+        q = np.asarray(query_vec, dtype=np.float64)
+        q = q / np.linalg.norm(q)
+        order = np.argsort(-(self.centroids @ q))
+        probe = [int(c) for c in order[:nprobe]]
+        cand = self.assigned.filter(F.col("_centroid").isin(probe))
+        return brute_force_topk(cand, query_vec, k, self.id_col, self.vec_col)
 
 
 def embedding_near_dup_pairs(

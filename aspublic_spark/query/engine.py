@@ -99,9 +99,10 @@ class SearchResult:
 
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str, prune_min_postings: int = 50_000):
         self.spark = spark
         self.index_dir = index_dir
+        self.prune_min_postings = prune_min_postings
         with open(os.path.join(index_dir, "index_meta.json")) as f:
             meta = json.load(f)
         self.key_cols: list[str] = meta["key_cols"]
@@ -202,6 +203,7 @@ class SearchEngine:
         k: int,
         docs_filtered: DataFrame,
         has_doc_filters: bool,
+        stats: dict[str, dict],
     ):
         info = {"theta": 0.0, "range_pruned": False, "theta_pruned": False}
         terms = list(idf_map)
@@ -219,7 +221,6 @@ class SearchEngine:
         # ---- doc-range intersection pruning for AND/phrase queries ----
         and_like = list(pq.and_terms) + [t for ph in pq.phrases for t in ph]
         if and_like:
-            stats = self.term_stats(and_like)
             rarest = min(and_like, key=lambda t: stats.get(t, {}).get("df", 0))
             ivals = (
                 pos_blocks.filter(F.col("term") == rarest)
@@ -247,9 +248,10 @@ class SearchEngine:
         # invalidate theta). Structured doc filters are applied inside
         # the phase-1 candidate scoring, so they are safe.
         if not pq.phrases and not pq.not_terms and terms:
+            tstats = {t: stats[t] for t in terms if t in stats}
             total_ub = sum(
                 idf_map[t] * self._safe_ub_w(s["max_tf"], s["min_dl"])
-                for t, s in self.term_stats(terms).items()
+                for t, s in tstats.items()
             )
             from pyspark.sql import Window
 
@@ -272,7 +274,7 @@ class SearchEngine:
                 # other term's global bound can reach theta
                 gub = {
                     t: idf_map[t] * self._safe_ub_w(s["max_tf"], s["min_dl"])
-                    for t, s in self.term_stats(terms).items()
+                    for t, s in tstats.items()
                 }
                 other_expr = F.create_map(
                     *[x for t in terms for x in (F.lit(t), F.lit(total_ub - gub.get(t, 0.0)))]
@@ -379,9 +381,12 @@ class SearchEngine:
         not_blocks = self.blocks(live_not) if live_not else None
 
         info: dict = {}
-        if block_max and order == "bm25":
+        total_df = sum(stats[t]["df"] for t in live_terms)
+        # pruning pays for its extra jobs only when there is real volume
+        # to skip; below the threshold the exhaustive plan is faster
+        if block_max and order == "bm25" and total_df >= self.prune_min_postings:
             pos_blocks, not_blocks, info = self._prune_blocks(
-                pos_blocks, not_blocks, pq, idf_map, k, docs_f, has_doc_filters
+                pos_blocks, not_blocks, pq, idf_map, k, docs_f, has_doc_filters, stats
             )
 
         need_pos = bool(pq.phrases)

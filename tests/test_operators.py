@@ -202,3 +202,16 @@ def test_anti_join_and_first_seen(spark):
     fs = FL.first_seen_dedup(new, ["k"], "ts").collect()
     got = {r["k"]: r["v"] for r in fs}
     assert got == {1: "x", 2: "y2"}  # earliest ts wins deterministically
+
+
+def test_ivf_topk_recall(spark, emb):
+    q = list(map(float, emb.first()["embedding"]))
+    ivf = S.IVFIndex.build(emb, n_centroids=8, iters=2)
+    exact = {r["vec_id"] for r in S.brute_force_topk(emb, q, k=10).collect()}
+    # probing all centroids must recover the exact result
+    full = [r["vec_id"] for r in ivf.topk(q, k=10, nprobe=8).collect()]
+    assert set(full) == exact
+    # partial probe: decent recall, query's own vector always found
+    part = {r["vec_id"] for r in ivf.topk(q, k=10, nprobe=3).collect()}
+    assert len(part & exact) / 10 >= 0.3
+    assert emb.first()["vec_id"] in part

@@ -136,8 +136,11 @@ def test_attach_text(spark, engine):
 
 
 def test_block_max_matches_exhaustive(engine):
+    # force the pruning path on (prune_min_postings=0) and compare with
+    # the exhaustive plan
+    pruned = SearchEngine(engine.spark, engine.index_dir, prune_min_postings=0)
     for q in ["status", "sample status", "example", "this is"]:
-        a = [(r["turn_idx"], round(r["score"], 9)) for r in engine.search(q, block_max=True).df.collect()]
+        a = [(r["turn_idx"], round(r["score"], 9)) for r in pruned.search(q, block_max=True).df.collect()]
         b = [(r["turn_idx"], round(r["score"], 9)) for r in engine.search(q, block_max=False).df.collect()]
         assert a == b, q
 
