@@ -315,6 +315,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fingerprints"] = fingerprints
 
+    def window_counts(spark, sf):
+        # tumbling 6h windows: the batch shape of the streaming
+        # windowed-agg path (same plan under readStream)
+        return (
+            events(spark, sf)
+            .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+                "event_type",
+                "n",
+                "total",
+            )
+        )
+
+    q["window_counts"] = window_counts
+
     return q
 
 
@@ -465,5 +482,12 @@ def oracle_sql() -> dict[str, str]:
         select doc_id,
                substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) as fp
         from documents where doc_id < 100
+    """
+
+    o["window_counts"] = """
+        select strftime(time_bucket(interval '6 hours', ts),
+                        '%Y-%m-%d %H:%M:%S') as w_start,
+               event_type, count(*) as n, round(sum(value), 4) as total
+        from events group by 1, 2
     """
     return o

@@ -37,7 +37,6 @@ Scale design (the part that must survive 1000 executors / 100 TB):
 from __future__ import annotations
 
 import json
-import math
 import os
 import time
 
@@ -417,6 +416,44 @@ class IndexBuilder:
                     "seconds": secs / len(pending),
                 },
             )
+
+
+    def compact(self) -> dict:
+        """Merge all generations into a single gen=0 segment set.
+
+        The Lucene-merge analog for the incremental path: many small
+        per-batch generations make query-side scans open many files;
+        compaction rewrites the raw postings as one generation and
+        repacks. Runs as ordinary jobs on the raw postings (cheap
+        relative to a full rebuild: no re-tokenization)."""
+        import glob
+        import shutil
+
+        t0 = time.time()
+        praw = self._p("postings_raw")
+        gens = sorted(
+            int(n.split("=")[1]) for n in os.listdir(praw) if n.startswith("gen=")
+        )
+        if len(gens) <= 1:
+            return {"compacted": False, "gens": len(gens)}
+        raw = self.spark.read.parquet(praw).select(
+            "slice", "term", "doc_id", "tf", "positions", "dl"
+        )
+        tmp = self._p("postings_raw_compacting")
+        raw.write.mode("overwrite").partitionBy("slice").parquet(tmp)
+        for g in gens:
+            shutil.rmtree(os.path.join(praw, f"gen={g}"))
+        os.rename(tmp, os.path.join(praw, "gen=0"))
+        # drop stale pack outputs + manifests, then repack as one gen
+        shutil.rmtree(self._p("postings"), ignore_errors=True)
+        for m in glob.glob(self._p("manifest", "pack_g*.json")) + glob.glob(
+            self._p("manifest", "raw_g*.json")
+        ):
+            os.remove(m)
+        self._commit("raw", 0, None, {"seconds": 0.0, "compacted_from": gens})
+        self.refresh_global()
+        self._stage_pack(0, resume=False)
+        return {"compacted": True, "gens_merged": len(gens), "seconds": time.time() - t0}
 
 
 def build_index(spark: SparkSession, df: DataFrame, index_dir: str, **kwargs) -> IndexBuilder:

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from aspublic_spark import BM25_B, BM25_K1
 from aspublic_spark.index import codec
-from aspublic_spark.index.build import bm25_weight_col, idf_col
+from aspublic_spark.index.build import bm25_weight_col
 from aspublic_spark.query.parser import ParsedQuery, parse_query
 
 _UNPACK_SCHEMA = "term string, doc_id long, tf int, dl int"
@@ -244,10 +244,10 @@ class SearchEngine:
 
         # ---- threshold (theta) pruning --------------------------------
         # Valid only when no phrases (adjacency could invalidate partial
-        # candidates' qualification) and no NOT terms (exclusion could
-        # invalidate theta). Structured doc filters are applied inside
-        # the phase-1 candidate scoring, so they are safe.
-        if not pq.phrases and not pq.not_terms and terms:
+        # candidates' qualification). NOT terms and structured doc
+        # filters are applied inside the phase-1 candidate scoring, so
+        # theta stays a valid lower bound of the true k-th result.
+        if not pq.phrases and terms:
             tstats = {t: stats[t] for t in terms if t in stats}
             total_ub = sum(
                 idf_map[t] * self._safe_ub_w(s["max_tf"], s["min_dl"])
@@ -264,6 +264,9 @@ class SearchEngine:
             phase1 = self.unpack(top_blocks)
             scored1 = self._score(phase1, idf_map)
             qual1 = self._qualify(scored1, pq)
+            if not_blocks is not None:
+                nd = self.unpack(not_blocks).select("doc_id").distinct()
+                qual1 = qual1.join(nd, "doc_id", "left_anti")
             if has_doc_filters:
                 qual1 = qual1.join(docs_filtered.select("doc_id"), "doc_id", "left_semi")
             top = qual1.orderBy(F.col("score").desc()).limit(k).collect()

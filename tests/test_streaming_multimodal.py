@@ -53,8 +53,23 @@ def test_streaming_incremental_generation(spark, workdir):
     eng = SearchEngine(spark, idx)
     assert eng.n_docs == 100
     # search spans both generations
-    total = eng.search("the", k=100).df.count()
-    assert total > 0
+    before = [
+        (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+        for r in eng.search("the", k=100).df.collect()
+    ]
+    assert len(before) > 0
+
+    # compaction merges generations; results must be identical after
+    res = ing.builder.compact()
+    assert res["compacted"] and res["gens_merged"] == 2
+    eng2 = SearchEngine(spark, idx)
+    after = [
+        (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+        for r in eng2.search("the", k=100).df.collect()
+    ]
+    assert after == before
+    praw = os.path.join(idx, "postings_raw")
+    assert sorted(os.listdir(praw)) == ["gen=0"] or set(os.listdir(praw)) == {"gen=0", "_SUCCESS"}
 
 
 def test_observe_ingest(spark):
