@@ -52,6 +52,12 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus), 4)
+    # local-mode shuffle/spill dirs: prefer RAM-backed storage — the
+    # sandbox's /tmp disk sustains ~350MB/s, which caps parallel write
+    # scaling (a real cluster gets per-executor local SSDs instead)
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or (
+        "/dev/shm/spark_local" if os.path.isdir("/dev/shm") else None
+    )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -65,6 +71,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
