@@ -41,7 +41,6 @@ import os
 import time
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -76,62 +75,118 @@ def idf_col(df_col, n_docs: float):
     return F.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
 
 
-def _pack_partition_factory(block_size: int, avgdl: float, store_positions: bool):
-    """mapInPandas fn: pack one shuffle partition of raw postings into blocks.
+def _pack_partition_arrow_factory(block_size: int, avgdl: float, store_positions: bool):
+    """mapInArrow fn: pack one shuffle partition of raw postings into blocks.
 
-    The partition holds complete (term, salt) groups (guaranteed by the
-    upstream repartition on the same keys). Grouping + packing is
-    pandas/numpy; one Python call per (term, salt), vectorized inside.
+    The partition holds complete (slice, term, salt) groups (guaranteed
+    by the upstream repartition on the same keys). EVERYTHING is
+    columnar: Arrow list offsets stand in for per-row position objects
+    (no per-posting Python objects are ever created), the sort is one
+    np.lexsort, block boundaries are computed for the whole partition at
+    once, and codec.pack_all_blocks varint-encodes each field in a
+    single vectorized pass, slicing per-block payloads out of the big
+    stream. Python-side cost is O(blocks) byte-slices, not O(postings).
     """
+    import pyarrow as pa
 
     def pack(batches):
-        pdfs = list(batches)
-        if not pdfs:
+        batch_list = list(batches)
+        if not batch_list:
             return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        out_rows = []
-        for (slc, term, salt), g in pdf.groupby(["slice", "term", "salt"], sort=False):
-            order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
-            doc_ids = g["doc_id"].to_numpy()[order]
-            tfs = g["tf"].to_numpy()[order]
-            dls = g["dl"].to_numpy()[order]
-            poss = g["positions"].to_numpy()[order] if store_positions else None
-            n = doc_ids.size
-            for b_i, start in enumerate(range(0, n, block_size)):
-                end = min(start + block_size, n)
-                ids_b = doc_ids[start:end]
-                tfs_b = tfs[start:end]
-                dls_b = dls[start:end]
-                pos_b = (
-                    [np.asarray(p, dtype=np.uint64) for p in poss[start:end]]
-                    if store_positions
-                    else None
-                )
-                blk = codec.pack_block(ids_b, tfs_b, dls_b, pos_b)
-                w = bm25_weight_np(tfs_b, dls_b, avgdl)
-                out_rows.append(
-                    {
-                        "slice": int(slc),
-                        "term": term,
-                        "salt": int(salt),
-                        "block_id": b_i,
-                        "n": blk["n"],
-                        "min_doc": blk["min_doc"],
-                        "max_doc": blk["max_doc"],
-                        "doc_gaps": blk["doc_gaps"],
-                        "tfs": blk["tfs"],
-                        "dls": blk["dls"],
-                        "positions": blk["positions"],
-                        "block_max_w": float(w.max()),
-                        "max_tf": int(tfs_b.max()),
-                        "min_dl": int(dls_b.min()),
-                    }
-                )
-                if len(out_rows) >= 2048:
-                    yield pd.DataFrame(out_rows)
-                    out_rows = []
-        if out_rows:
-            yield pd.DataFrame(out_rows)
+        tbl = pa.Table.from_batches(batch_list).combine_chunks()
+        n = tbl.num_rows
+        if n == 0:
+            return
+        slice_np = tbl.column("slice").to_numpy(zero_copy_only=False).astype(np.int32)
+        salt_np = tbl.column("salt").to_numpy(zero_copy_only=False).astype(np.int32)
+        doc_np = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tf_np = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        dl_np = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
+        def _one_chunk(arr):
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if isinstance(arr, pa.ChunkedArray):  # older pyarrow returns ChunkedArray
+                arr = arr.chunk(0)
+            return arr
+
+        tdict = _one_chunk(tbl.column("term").dictionary_encode())
+        tcodes = tdict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tstrings = tdict.dictionary.to_pylist()
+
+        order = np.lexsort((doc_np, salt_np, tcodes, slice_np))
+        slice_s, salt_s, doc_s = slice_np[order], salt_np[order], doc_np[order]
+        tf_s, dl_s, tc_s = tf_np[order], dl_np[order], tcodes[order]
+
+        pos_flat = pos_lens = None
+        if store_positions:
+            plist = _one_chunk(tbl.column("positions"))
+            offs = np.asarray(plist.offsets)
+            vals = np.asarray(plist.values).astype(np.int64)
+            lens = (offs[1:] - offs[:-1]).astype(np.int64)
+            starts_sorted = offs[:-1][order].astype(np.int64)
+            pos_lens = lens[order]
+            total = int(pos_lens.sum())
+            excl = np.empty(pos_lens.size, dtype=np.int64)
+            excl[0] = 0
+            np.cumsum(pos_lens[:-1], out=excl[1:])
+            gather = (
+                np.repeat(starts_sorted, pos_lens)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(excl, pos_lens)
+            )
+            pos_flat = vals[gather]
+
+        # group boundaries (slice, term, salt) -> block boundaries
+        is_group_start = np.empty(n, dtype=bool)
+        is_group_start[0] = True
+        is_group_start[1:] = (
+            (slice_s[1:] != slice_s[:-1]) | (tc_s[1:] != tc_s[:-1]) | (salt_s[1:] != salt_s[:-1])
+        )
+        group_id = np.cumsum(is_group_start) - 1
+        group_start_row = np.zeros(n, dtype=np.int64)
+        gs = np.flatnonzero(is_group_start)
+        group_start_row = gs[group_id]
+        in_group_pos = np.arange(n, dtype=np.int64) - group_start_row
+        is_block_start = is_group_start | (in_group_pos % block_size == 0)
+        starts = np.flatnonzero(is_block_start)
+
+        blk = codec.pack_all_blocks(doc_s, tf_s, dl_s, starts, pos_flat, pos_lens)
+        w = bm25_weight_np(tf_s, dl_s, avgdl)
+        block_max_w = np.maximum.reduceat(w, starts)
+        # block_id = index of block within its group
+        blk_group = group_id[starts]
+        first_blk_of_group = np.zeros(len(starts), dtype=np.int64)
+        new_group = np.empty(len(starts), dtype=bool)
+        new_group[0] = True
+        new_group[1:] = blk_group[1:] != blk_group[:-1]
+        first_idx = np.flatnonzero(new_group)
+        first_blk_of_group = first_idx[np.cumsum(new_group) - 1]
+        block_ids = np.arange(len(starts), dtype=np.int64) - first_blk_of_group
+
+        terms_out = [tstrings[c] for c in tc_s[starts]]
+        out = pa.record_batch(
+            [
+                pa.array(slice_s[starts], type=pa.int32()),
+                pa.array(terms_out, type=pa.string()),
+                pa.array(salt_s[starts], type=pa.int32()),
+                pa.array(block_ids.astype(np.int32), type=pa.int32()),
+                pa.array(blk["n"], type=pa.int32()),
+                pa.array(blk["min_doc"], type=pa.int64()),
+                pa.array(blk["max_doc"], type=pa.int64()),
+                pa.array(blk["doc_gaps"], type=pa.binary()),
+                pa.array(blk["tfs"], type=pa.binary()),
+                pa.array(blk["dls"], type=pa.binary()),
+                pa.array(blk["positions"], type=pa.binary()),
+                pa.array(block_max_w, type=pa.float64()),
+                pa.array(blk["max_tf"].astype(np.int32), type=pa.int32()),
+                pa.array(blk["min_dl"].astype(np.int32), type=pa.int32()),
+            ],
+            names=[
+                "slice", "term", "salt", "block_id", "n", "min_doc", "max_doc",
+                "doc_gaps", "tfs", "dls", "positions", "block_max_w", "max_tf", "min_dl",
+            ],
+        )
+        yield out
 
     return pack
 
@@ -372,8 +427,8 @@ class IndexBuilder:
             .drop("n_salts")
         )
         n_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        packed = raw.repartition(n_shuffle, "slice", "term", "salt").mapInPandas(
-            _pack_partition_factory(self.block_size, avgdl, self.store_positions),
+        packed = raw.repartition(n_shuffle, "slice", "term", "salt").mapInArrow(
+            _pack_partition_arrow_factory(self.block_size, avgdl, self.store_positions),
             BLOCK_SCHEMA,
         )
         # dynamic partition overwrite: one job packs every pending slice,

@@ -39,12 +39,15 @@ _MAX_VARINT_LEN = 10
 _THRESH = np.array([1 << (7 * i) for i in range(1, _MAX_VARINT_LEN)], dtype=np.uint64)
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative ints (uint64 domain)."""
+def encode_varints_with_offsets(values: np.ndarray):
+    """LEB128-encode an array; also return the byte offset of each
+    element and its encoded length — callers slice the stream at
+    element boundaries to split one big vectorized encode into
+    per-block payloads."""
     v = np.ascontiguousarray(values, dtype=_U64)
     n = v.shape[0]
     if n == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     nbytes = np.ones(n, dtype=np.int64)
     for t in _THRESH:
         nbytes += v >= t
@@ -55,6 +58,12 @@ def encode_varints(values: np.ndarray) -> bytes:
         chunk = ((v[mask] >> _U64(7 * b)) & _U64(0x7F)).astype(np.uint8)
         cont = (nbytes[mask] > b + 1).astype(np.uint8) << 7
         out[offsets[mask] + b] = chunk | cont
+    return out, offsets, nbytes
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints (uint64 domain)."""
+    out, _, _ = encode_varints_with_offsets(values)
     return out.tobytes()
 
 
@@ -136,6 +145,94 @@ def decode_positions(buf: bytes, n_docs: int) -> list[np.ndarray]:
         i += 1
         out.append(np.cumsum(flat[i : i + n], dtype=_U64))
         i += n
+    return out
+
+
+def pack_all_blocks(
+    sorted_doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_starts: np.ndarray,
+    pos_flat: np.ndarray | None = None,
+    pos_lens: np.ndarray | None = None,
+) -> dict:
+    """Vectorized packing of MANY blocks at once.
+
+    Inputs are whole-partition arrays already sorted so that every block
+    is a contiguous row range; ``block_starts`` marks block boundaries
+    (group starts + intra-group block-size boundaries — blocks never
+    span (term, salt) groups). All varint encoding happens in ONE
+    vectorized pass per field; per-block payloads are byte-slices of the
+    big stream. This removes the per-block numpy-call overhead that
+    dominated the packing stage (200k blocks x ~10 tiny numpy ops).
+
+    Returns dict of per-block lists/arrays:
+    n, min_doc, max_doc, max_tf, min_dl, doc_gaps, tfs, dls, positions.
+    """
+    ids = np.ascontiguousarray(sorted_doc_ids, dtype=_I64)
+    n = ids.size
+    starts = np.ascontiguousarray(block_starts, dtype=np.int64)
+    ends = np.empty_like(starts)
+    ends[:-1] = starts[1:]
+    ends[-1] = n
+    lasts = ends - 1
+
+    # --- doc gaps: wraparound-safe u64 diffs, zigzag resets at block starts
+    u = ids.view(_U64)
+    enc = np.empty(n, dtype=_U64)
+    if n > 1:
+        enc[1:] = u[1:] - u[:-1]
+    enc[starts] = _zigzag(ids[starts])
+    gbuf, goff, glen = encode_varints_with_offsets(enc)
+    gbytes = gbuf.tobytes()
+
+    tbuf, toff, tlen = encode_varints_with_offsets(np.ascontiguousarray(tfs, dtype=_U64))
+    tbytes = tbuf.tobytes()
+    dbuf, doff, dlen = encode_varints_with_offsets(np.ascontiguousarray(dls, dtype=_U64))
+    dbytes = dbuf.tobytes()
+
+    out = {
+        "n": (ends - starts).astype(np.int32),
+        "min_doc": ids[starts],
+        "max_doc": ids[lasts],
+        "max_tf": np.maximum.reduceat(np.ascontiguousarray(tfs, dtype=np.int64), starts),
+        "min_dl": np.minimum.reduceat(np.ascontiguousarray(dls, dtype=np.int64), starts),
+        "doc_gaps": [gbytes[goff[s] : goff[e - 1] + glen[e - 1]] for s, e in zip(starts, ends)],
+        "tfs": [tbytes[toff[s] : toff[e - 1] + tlen[e - 1]] for s, e in zip(starts, ends)],
+        "dls": [dbytes[doff[s] : doff[e - 1] + dlen[e - 1]] for s, e in zip(starts, ends)],
+    }
+
+    if pos_flat is not None:
+        pos_lens = np.ascontiguousarray(pos_lens, dtype=np.int64)
+        pf = np.ascontiguousarray(pos_flat, dtype=_U64)
+        pstarts = np.empty(n, dtype=np.int64)
+        pstarts[0] = 0
+        np.cumsum(pos_lens[:-1], out=pstarts[1:])
+        d = np.empty(pf.size, dtype=_U64)
+        if pf.size > 1:
+            d[1:] = pf[1:] - pf[:-1]
+        if pf.size:
+            d[0] = pf[0]
+            d[pstarts[pos_lens > 0]] = pf[pstarts[pos_lens > 0]]  # absolute first per doc
+        total = n + pf.size
+        rec = np.empty(total, dtype=_U64)
+        rec_starts = np.empty(n, dtype=np.int64)
+        rec_starts[0] = 0
+        np.cumsum(pos_lens[:-1] + 1, out=rec_starts[1:])
+        rec[rec_starts] = pos_lens.astype(_U64)
+        mask = np.ones(total, dtype=bool)
+        mask[rec_starts] = False
+        rec[mask] = d
+        pbuf, poff, plen = encode_varints_with_offsets(rec)
+        pbytes = pbuf.tobytes()
+        # block span: len-marker of first doc .. last delta of last doc
+        last_elem = rec_starts[lasts] + pos_lens[lasts]
+        out["positions"] = [
+            pbytes[poff[rec_starts[s]] : poff[le] + plen[le]]
+            for s, le in zip(starts, last_elem)
+        ]
+    else:
+        out["positions"] = [b""] * len(starts)
     return out
 
 

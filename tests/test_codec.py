@@ -60,3 +60,33 @@ def test_compression_is_compact():
     ids = np.cumsum(np.random.RandomState(0).randint(1, 5, size=10_000)).astype(np.int64)
     buf = codec.delta_encode_docs(ids)
     assert len(buf) < 2 * ids.size
+
+
+def test_pack_all_blocks_matches_per_block():
+    rng = np.random.RandomState(3)
+    n = 500
+    ids = np.sort(rng.choice(np.arange(-10000, 10000), size=n, replace=False)).astype(np.int64)
+    tfs = rng.randint(1, 50, size=n).astype(np.uint64)
+    dls = rng.randint(1, 400, size=n).astype(np.uint64)
+    pos_lens = tfs.astype(np.int64)
+    pos_per_doc = [np.sort(rng.randint(0, 1000, size=int(t))).astype(np.uint64) for t in tfs]
+    pos_flat = np.concatenate(pos_per_doc)
+    bs = 64
+    starts = np.arange(0, n, bs)
+    allb = codec.pack_all_blocks(ids, tfs, dls, starts, pos_flat, pos_lens)
+    for i, s in enumerate(starts):
+        e = min(s + bs, n)
+        ref = codec.pack_block(ids[s:e], tfs[s:e], dls[s:e], pos_per_doc[s:e])
+        assert allb["n"][i] == ref["n"]
+        assert allb["min_doc"][i] == ref["min_doc"] and allb["max_doc"][i] == ref["max_doc"]
+        assert allb["doc_gaps"][i] == ref["doc_gaps"], i
+        assert allb["tfs"][i] == ref["tfs"]
+        assert allb["dls"][i] == ref["dls"]
+        assert allb["positions"][i] == ref["positions"], i
+        # and the unpack round-trip
+        out_ids, out_tfs, out_dls, out_pos = codec.unpack_block(
+            {k: allb[k][i] for k in ("doc_gaps", "tfs", "dls", "positions")},
+            with_positions=True,
+        )
+        assert out_ids.tolist() == ids[s:e].tolist()
+        assert [p.tolist() for p in out_pos] == [p.tolist() for p in pos_per_doc[s:e]]
