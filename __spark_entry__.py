@@ -332,6 +332,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["window_counts"] = window_counts
 
+    # -- non-SQL-expressible ops: no oracle entry -> the driver records a
+    # rows-only check (xxhash64-based hashing has no DuckDB equivalent)
+    def simhash_fingerprints(spark, sf):
+        from aspublic_spark.operators.dedup import simhash
+
+        return simhash(docs(spark, sf).filter(F.col("doc_id") < 200))
+
+    q["simhash_fingerprints"] = simhash_fingerprints
+
+    def lsh_ann_topk(spark, sf):
+        from aspublic_spark.operators.similarity import lsh_topk
+
+        emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+        return lsh_topk(emb, qv, k=10, n_planes=8, n_tables=8, multiprobe=1)
+
+    q["lsh_ann_topk"] = lsh_ann_topk
+
+    def minhash_lsh_dup_pairs(spark, sf):
+        from aspublic_spark.operators.dedup import minhash_dedup
+
+        d = docs(spark, sf)
+        _, pairs = minhash_dedup(d, n_hashes=32, bands=8, shingle_k=2, threshold=0.35)
+        return pairs
+
+    q["minhash_lsh_dup_pairs"] = minhash_lsh_dup_pairs
+
     return q
 
 
