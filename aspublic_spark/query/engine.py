@@ -290,15 +290,25 @@ class SearchEngine:
 
     # -- scoring + qualification ----------------------------------------
     def _score(self, unpacked: DataFrame, idf_map: dict[str, float]) -> DataFrame:
+        """Per-doc BM25. Contributions are summed in CANONICAL TERM ORDER
+        (array_sort before the fold), not with F.sum: float addition is
+        non-associative and a plain sum's order depends on partitioning,
+        which would make scores — and tie-breaks near the k-th rank —
+        run-dependent. This way scores are bit-identical across any
+        partitioning/cluster size (north_rule rank-identity)."""
         terms = list(idf_map)
         idf_expr = F.create_map(*[x for t in terms for x in (F.lit(t), F.lit(idf_map[t]))])
         w = idf_expr[F.col("term")] * bm25_weight_col(F.col("tf"), F.col("dl"), self.avgdl)
         return (
             unpacked.withColumn("_w", w)
             .groupBy("doc_id")
-            .agg(
-                F.sum("_w").alias("score"),
-                F.collect_set("term").alias("_terms"),
+            .agg(F.array_sort(F.collect_list(F.struct("term", "_w"))).alias("_tw"))
+            .select(
+                "doc_id",
+                F.aggregate(
+                    "_tw", F.lit(0.0), lambda acc, x: acc + x["_w"]
+                ).alias("score"),
+                F.transform("_tw", lambda x: x["term"]).alias("_terms"),
             )
         )
 
