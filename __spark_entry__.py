@@ -18,7 +18,10 @@ microseconds (bigint) to avoid tz/representation drift.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # repo-relative imports
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -99,10 +99,22 @@ class SearchResult:
 
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, index_dir: str, prune_min_postings: int = 50_000):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        prune_min_postings: int = 50_000,
+        cache_tables: bool = False,
+    ):
+        """``cache_tables=True`` pins docs + dictionary in executor memory
+        — the right call for a long-lived query server (the reference's
+        viewer process keeps its sqlite page cache warm the same way)."""
         self.spark = spark
         self.index_dir = index_dir
         self.prune_min_postings = prune_min_postings
+        self._cache = cache_tables
+        self._docs_df = None
+        self._dict_df = None
         with open(os.path.join(index_dir, "index_meta.json")) as f:
             meta = json.load(f)
         self.key_cols: list[str] = meta["key_cols"]
@@ -115,10 +127,16 @@ class SearchEngine:
 
     # -- raw table access ---------------------------------------------
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        if self._docs_df is None:
+            df = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+            self._docs_df = df.cache() if self._cache else df
+        return self._docs_df
 
     def dictionary(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "dictionary"))
+        if self._dict_df is None:
+            df = self.spark.read.parquet(os.path.join(self.index_dir, "dictionary"))
+            self._dict_df = df.cache() if self._cache else df
+        return self._dict_df
 
     def blocks(self, terms: list[str]) -> DataFrame:
         df = self.spark.read.parquet(os.path.join(self.index_dir, "postings"))

@@ -157,7 +157,7 @@ def main():
     build_secs = _build(spark, df, idx_dir)
     tps = n_turns / build_secs
 
-    eng = SearchEngine(spark, idx_dir)
+    eng = SearchEngine(spark, idx_dir, cache_tables=True)
     queries = {}
     for name, q, kw in QUERY_SET:
         t0 = time.time()
