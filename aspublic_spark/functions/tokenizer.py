@@ -105,47 +105,5 @@ def tokens_udf(s: pd.Series) -> pd.Series:
     return _tokenize_series(s.fillna(""))
 
 
-_DOC_POSTINGS_TYPE = T.StructType(
-    [
-        T.StructField("doc_len", T.IntegerType()),
-        T.StructField(
-            "posts",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("term", T.StringType()),
-                        T.StructField("tf", T.IntegerType()),
-                        T.StructField("positions", T.ArrayType(T.IntegerType())),
-                    ]
-                )
-            ),
-        ),
-    ]
-)
 
 
-@F.pandas_udf(_DOC_POSTINGS_TYPE)
-def doc_postings_udf(s: pd.Series) -> pd.DataFrame:
-    """text -> (doc_len, per-doc grouped postings [term, tf, positions]).
-
-    Doing the per-document term grouping INSIDE the Arrow batch is the
-    map-side combine of the index build: the raw-postings stage then
-    needs no groupBy shuffle at all (one token-occurrence-sized shuffle
-    saved — the largest data volume in the whole pipeline)."""
-
-    def f(text):
-        toks = tokenize(text)
-        d: dict[str, list[int]] = {}
-        for i, t in enumerate(toks):
-            d.setdefault(t, []).append(i)
-        return len(toks), [(t, len(p), p) for t, p in d.items()]
-
-    vals = s.fillna("").map(f)
-    return pd.DataFrame(
-        {"doc_len": vals.map(lambda x: x[0]), "posts": vals.map(lambda x: x[1])}
-    )
-
-
-def doc_len_udf():
-    """Column expression: token count of a text column (BM25 doc length)."""
-    return lambda col: F.size(tokens_udf(col))

@@ -69,12 +69,6 @@ def bm25_weight_col(tf_col, dl_col, avgdl: float):
     return tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
 
 
-def idf_col(df_col, n_docs: float):
-    """idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)  (FIXTURES.md §5)."""
-    d = df_col.cast("double")
-    return F.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
-
-
 def _pack_partition_arrow_factory(block_size: int, avgdl: float, store_positions: bool):
     """mapInArrow fn: pack one shuffle partition of raw postings into blocks.
 
@@ -316,7 +310,10 @@ class IndexBuilder:
             *[F.col(c) for c in self.key_cols if c != "doc_id"],
             *[F.col(c) for c in self.meta_cols],
         ).withColumn("slice", slice_col)
-        docs.write.mode("overwrite" if gen == 0 else "append").parquet(self._p("docs"))
+        # per-generation subdir + overwrite => a crashed-and-retried raw
+        # stage is idempotent (append would duplicate the docs rows and
+        # silently inflate N/avgdl)
+        docs.write.mode("overwrite").parquet(self._p("docs", f"gen={gen}"))
 
         # Tokenize ONCE; per-doc term grouping via JVM higher-order
         # functions (whole-stage codegen, no Python beyond the Arrow
@@ -432,11 +429,17 @@ class IndexBuilder:
             BLOCK_SCHEMA,
         )
         # dynamic partition overwrite: one job packs every pending slice,
-        # committed per-slice below (resume granularity stays per slice)
+        # committed per-slice below (resume granularity stays per slice);
+        # the session conf is restored — leaking 'dynamic' would silently
+        # change overwrite semantics of unrelated writes on this session
+        prev_mode = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        packed.write.mode("overwrite").partitionBy("slice").parquet(
-            self._p("postings", f"gen={gen}")
-        )
+        try:
+            packed.write.mode("overwrite").partitionBy("slice").parquet(
+                self._p("postings", f"gen={gen}")
+            )
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         w = self.spark.read.parquet(self._p("postings", f"gen={gen}")).filter(
             F.col("slice").isin(pending)
         )
@@ -473,41 +476,79 @@ class IndexBuilder:
             )
 
 
-    def compact(self) -> dict:
-        """Merge all generations into a single gen=0 segment set.
+    def _compact_marker(self) -> str:
+        return self._p("manifest", "compact_pending.json")
 
-        The Lucene-merge analog for the incremental path: many small
-        per-batch generations make query-side scans open many files;
-        compaction rewrites the raw postings as one generation and
-        repacks. Runs as ordinary jobs on the raw postings (cheap
-        relative to a full rebuild: no re-tokenization)."""
+    def _finish_pending_compaction(self):
+        """Crash recovery: complete (or roll back) an interrupted compact.
+
+        Source generations are only deleted AFTER the merged copy is
+        renamed into place, so no state between crash points loses data;
+        this replays the delete/cleanup half if the marker survives."""
         import glob
         import shutil
 
+        marker = self._compact_marker()
+        if not os.path.exists(marker):
+            return
+        with open(marker) as f:
+            pend = json.load(f)
+        praw = self._p("postings_raw")
+        tmp = self._p("postings_raw_compacting")
+        target_dir = os.path.join(praw, f"gen={pend['target']}")
+        if not os.path.isdir(target_dir):
+            if os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+                os.rename(tmp, target_dir)  # copy was complete: commit it
+            else:
+                # copy incomplete: roll back (sources are still intact)
+                shutil.rmtree(tmp, ignore_errors=True)
+                os.remove(marker)
+                return
+        for g in pend["sources"]:
+            shutil.rmtree(os.path.join(praw, f"gen={g}"), ignore_errors=True)
+            shutil.rmtree(self._p("postings", f"gen={g}"), ignore_errors=True)
+        for m in glob.glob(self._p("manifest", "pack_g*.json")) + glob.glob(
+            self._p("manifest", "raw_g*.json")
+        ):
+            os.remove(m)
+        self._commit("raw", pend["target"], None, {"seconds": 0.0, "compacted_from": pend["sources"]})
+        os.remove(marker)
+
+    def compact(self) -> dict:
+        """Merge all generations into a single segment set.
+
+        The Lucene-merge analog for the incremental path: many small
+        per-batch generations make query-side scans open many files;
+        compaction rewrites the raw postings as one NEW generation and
+        repacks. Crash-safe ordering: (1) write the merged copy to a
+        side directory, (2) persist a pending-marker, (3) rename the
+        copy into place, (4) delete sources, (5) clear marker — a crash
+        at any point either rolls back or is completed by
+        `_finish_pending_compaction` on the next call. Offline op: run
+        it when no queries are in flight."""
+        import shutil
+
         t0 = time.time()
+        self._finish_pending_compaction()
         praw = self._p("postings_raw")
         gens = sorted(
             int(n.split("=")[1]) for n in os.listdir(praw) if n.startswith("gen=")
         )
         if len(gens) <= 1:
             return {"compacted": False, "gens": len(gens)}
+        target = max(gens) + 1
         raw = self.spark.read.parquet(praw).select(
             "slice", "term", "doc_id", "tf", "positions", "dl"
         )
         tmp = self._p("postings_raw_compacting")
+        shutil.rmtree(tmp, ignore_errors=True)
         raw.write.mode("overwrite").partitionBy("slice").parquet(tmp)
-        for g in gens:
-            shutil.rmtree(os.path.join(praw, f"gen={g}"))
-        os.rename(tmp, os.path.join(praw, "gen=0"))
-        # drop stale pack outputs + manifests, then repack as one gen
-        shutil.rmtree(self._p("postings"), ignore_errors=True)
-        for m in glob.glob(self._p("manifest", "pack_g*.json")) + glob.glob(
-            self._p("manifest", "raw_g*.json")
-        ):
-            os.remove(m)
-        self._commit("raw", 0, None, {"seconds": 0.0, "compacted_from": gens})
+        with open(self._compact_marker() + ".tmp", "w") as f:
+            json.dump({"sources": gens, "target": target}, f)
+        os.replace(self._compact_marker() + ".tmp", self._compact_marker())
+        self._finish_pending_compaction()  # rename + deletes + cleanup
         self.refresh_global()
-        self._stage_pack(0, resume=False)
+        self._stage_pack(target, resume=False)
         return {"compacted": True, "gens_merged": len(gens), "seconds": time.time() - t0}
 
 

@@ -100,13 +100,19 @@ def minhash_signatures(
     return sigs.select(id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", bands: int = 8) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 8, n_hashes: int | None = None
+) -> DataFrame:
     """Band the signatures, bucket-join: pairs sharing >=1 identical band.
 
     At scale the bucket self-join is the only quadratic risk; bucket
     sizes are bounded by banding (r = H/bands rows per band), and the
     join is an equi-join Catalyst executes as a shuffle hash join."""
-    n_hashes = len(sigs.select("sig").first()["sig"])
+    if n_hashes is None:
+        first = sigs.select("sig").first()
+        if first is None:  # empty corpus -> no pairs
+            return sigs.sparkSession.createDataFrame([], "id1 long, id2 long")
+        n_hashes = len(first["sig"])
     r = n_hashes // bands
     banded = sigs.select(
         F.col(id_col),
@@ -169,7 +175,7 @@ def minhash_dedup(
     connected components — by design dedup here is local, like the
     reference's first-seen-wins map)."""
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed)
-    cand = lsh_candidate_pairs(sigs, id_col, bands)
+    cand = lsh_candidate_pairs(sigs, id_col, bands, n_hashes=n_hashes)
     verified = ngram_jaccard(df, cand, text_col, id_col, shingle_k).filter(
         F.col("jaccard") >= threshold
     )

@@ -379,11 +379,17 @@ class SearchEngine:
 
         if pq.is_empty():
             # pure structured query (reference requires q, but recency
-            # browsing is well-defined): top-k most recent
+            # browsing is well-defined): top-k most recent regardless of
+            # the requested order — BM25 over no terms is meaningless
+            browse_cols = (
+                [F.col("ts").desc()] + [F.col(c).asc() for c in self.key_cols]
+                if "ts" in docs_f.columns
+                else [F.col(c).asc() for c in self.key_cols]
+            )
             out = (
                 docs_f.withColumn("score", F.lit(0.0))
                 .select("doc_id", *key_meta, "score")
-                .orderBy(*order_cols)
+                .orderBy(*browse_cols)
                 .limit(k)
             )
             return SearchResult(out, pq, {})
@@ -421,9 +427,12 @@ class SearchEngine:
             )
 
         need_pos = bool(pq.phrases)
+        if need_pos and not self.store_positions:
+            raise ValueError(
+                "phrase queries need positions, but this index was built "
+                "with store_positions=False"
+            )
         unpacked = self.unpack(pos_blocks, with_positions=need_pos)
-        if need_pos:
-            unpacked = unpacked.cache()
         scored = self._score(
             unpacked.select("term", "doc_id", "tf", "dl"), idf_map
         )

@@ -129,18 +129,21 @@ def parse_websearch(q: str) -> ParsedQuery:
             out.not_terms.extend(payload)
         elif kind == "not_phrase":
             out.not_terms.extend(payload)
-        elif kind == "phrase":
-            out.phrases.append(payload)
-        elif kind == "word":
-            # gather an OR chain: word OR word OR word
+        elif kind in ("phrase", "word"):
+            # gather an OR chain; operands may be words or phrases. A
+            # phrase inside an OR group degrades to its terms (any-of
+            # qualification, adjacency not enforced) — documented
+            # approximation of websearch_to_tsquery's phrase-in-OR.
             group = list(payload)
             j = i
-            while j + 2 < len(items) and items[j + 1][0] == "or" and items[j + 2][0] == "word":
+            while j + 2 < len(items) and items[j + 1][0] == "or" and items[j + 2][0] in ("word", "phrase"):
                 group.extend(items[j + 2][1])
                 j += 2
             if j > i:
                 out.or_groups.append(group)
                 i = j
+            elif kind == "phrase":
+                out.phrases.append(payload)
             else:
                 out.and_terms.extend(payload)
         i += 1

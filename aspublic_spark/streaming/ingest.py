@@ -62,7 +62,42 @@ class StreamingIngest:
         return (max(gens) + 1) if gens else 0
 
     # -- batch core (shared by the streaming sink and batch backfill) ----
+    def _staging_dir(self, gen: int) -> str:
+        return os.path.join(self.docs_dir + "_staging", f"gen_{gen}")
+
+    def _finish_staged(self, gen: int) -> int:
+        """Append + index one staged generation; every step idempotent:
+        the docs append is guarded by a marker (Spark's output commit
+        makes the append itself all-or-nothing), and add_documents
+        resumes from its per-slice manifests."""
+        staged = self._staging_dir(gen)
+        new = self.spark.read.parquet(staged)
+        n = new.count()
+        if not n:
+            return 0
+        marker = os.path.join(staged, "_DOCS_APPENDED")
+        if not os.path.exists(marker):
+            new.write.mode("append").parquet(self.docs_dir)
+            open(marker, "w").close()
+        self.builder.add_documents(new, gen=gen)
+        return n
+
+    def recover(self):
+        """Finish any staged batches whose append/indexing was interrupted
+        (at-least-once delivery + this recovery = effectively-once)."""
+        root = self.docs_dir + "_staging"
+        if not os.path.isdir(root):
+            return
+        for name in sorted(os.listdir(root)):
+            if not name.startswith("gen_"):
+                continue
+            gen = int(name.split("_")[1])
+            if not self.builder._manifest_done("pack", gen, self.builder.n_slices - 1):
+                self._finish_staged(gen)
+            self._next_gen = max(self._next_gen, gen + 1)
+
     def ingest_batch(self, batch_df: DataFrame, epoch_id: int | None = None) -> int:
+        self.recover()
         df = batch_df
         if self.accept or self.reject:
             df = apply_policies(df, "conv_id", ["text"], self.accept, self.reject)
@@ -76,13 +111,9 @@ class StreamingIngest:
         # below would otherwise poison any later re-evaluation of this
         # plan (the new rows would anti-join against themselves).
         gen = self._next_gen
-        staged = os.path.join(self.docs_dir + "_staging", f"gen_{gen}")
-        df.write.mode("overwrite").parquet(staged)
-        new = self.spark.read.parquet(staged)
-        n = new.count()
+        df.write.mode("overwrite").parquet(self._staging_dir(gen))
+        n = self._finish_staged(gen)
         if n:
-            new.write.mode("append").parquet(self.docs_dir)
-            self.builder.add_documents(new, gen=gen)
             self._next_gen += 1
         return n
 

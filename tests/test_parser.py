@@ -58,3 +58,14 @@ def test_websearch_neg_and_phrase():
 def test_positive_terms_dedup_ordered():
     p = parse_query('a b "a c" b')
     assert p.positive_terms == ["a", "b", "c"]
+
+
+def test_websearch_or_with_phrase_operand():
+    # phrase in an OR chain degrades to its terms as group alternatives
+    # (any-of), and must NOT silently become a required conjunct
+    p = parse_websearch('cat OR "big dog"')
+    assert p.or_groups == [["cat", "big", "dog"]]
+    assert p.and_terms == [] and p.phrases == []
+    p2 = parse_websearch('"big dog" OR cat fish')
+    assert p2.or_groups == [["big", "dog", "cat"]]
+    assert p2.and_terms == ["fish"]

@@ -69,7 +69,55 @@ def test_streaming_incremental_generation(spark, workdir):
     ]
     assert after == before
     praw = os.path.join(idx, "postings_raw")
-    assert sorted(os.listdir(praw)) == ["gen=0"] or set(os.listdir(praw)) == {"gen=0", "_SUCCESS"}
+    gens = [n for n in os.listdir(praw) if n.startswith("gen=")]
+    assert len(gens) == 1  # single merged generation remains
+
+
+def test_streaming_crash_recovery(spark, workdir):
+    """Crash between docs-append and indexing must not lose the batch
+    (at-least-once redelivery anti-joins it away; recover() finishes it)."""
+    import shutil
+
+    idx = os.path.join(workdir, "rec_idx")
+    docs = os.path.join(workdir, "rec_docs")
+    ing = StreamingIngest(spark, idx, docs, index_kwargs=dict(n_slices=2, block_size=8))
+    assert ing.ingest_batch(fixture_transcripts(spark)) == 6
+
+    # simulate a crash that happened right after the docs append of a
+    # second batch: staged rows + marker exist, but no index generation
+    batch2 = synth_transcripts(spark, 10, seed=99)
+    staged = ing._staging_dir(1)
+    batch2.write.mode("overwrite").parquet(staged)
+    batch2.write.mode("append").parquet(docs)
+    open(os.path.join(staged, "_DOCS_APPENDED"), "w").close()
+
+    # redelivery of the same rows: anti-join removes them (n=0), but
+    # recover() must index the stranded staged generation first
+    n = ing.ingest_batch(batch2)
+    assert n == 0
+    eng = SearchEngine(spark, idx)
+    assert eng.n_docs == 16  # 6 + 10, all searchable
+
+    # and a damaged pack (deleted manifests/output) is re-done on recover
+    shutil.rmtree(os.path.join(idx, "postings", "gen=1"))
+    for s in range(2):
+        os.remove(os.path.join(idx, "manifest", f"pack_g1_s{s}.json"))
+    ing.recover()
+    assert SearchEngine(spark, idx).search("the", k=100).df.count() > 0
+
+
+def test_phrase_requires_positions(spark, workdir):
+    from aspublic_spark.index.build import IndexBuilder
+    import pytest as _pytest
+
+    idx = os.path.join(workdir, "nopos_idx")
+    IndexBuilder(spark, idx, n_slices=2, store_positions=False).build(
+        fixture_transcripts(spark)
+    )
+    eng = SearchEngine(spark, idx)
+    assert sorted(r["turn_idx"] for r in eng.search("example").df.collect()) == [4, 5]
+    with _pytest.raises(ValueError, match="store_positions"):
+        eng.search('"sample status"')
 
 
 def test_observe_ingest(spark):
