@@ -43,7 +43,8 @@ def _documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     if key in _ENGINES:
         return _ENGINES[key]
     ensure_package(spark)
-    idx = os.path.join("/tmp", "aspublic_idx_" + os.path.basename(key))
+    # version-tag the cache dir so on-disk layout changes invalidate it
+    idx = os.path.join("/tmp", "aspublic_idx_v2_" + os.path.basename(key))
     if not os.path.exists(os.path.join(idx, "index_meta.json")):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         IndexBuilder(
