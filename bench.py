@@ -210,6 +210,8 @@ def _write_baseline_md(result: dict):
             f"({sc[f'local[{n4}]']['seconds']:.1f} s)",
             f"- **scaling efficiency ({n} -> {n4} cores): {sc['efficiency_n_to_4n']}**",
             f"- all back-to-back pair efficiencies: {sc.get('all_pair_efficiencies')}",
+            "- a value > 1.0 means the N-core run of that pair was itself",
+            "  degraded by external load; true efficiency is min(value, ~1)",
             "",
             "The sandbox host is time-shared (identical runs vary ~2x minutes",
             "apart), so N and 4N are measured as adjacent pairs and the best",
