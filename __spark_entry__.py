@@ -37,24 +37,55 @@ SF0001 = "/root/testdata/sf0.001"
 _ENGINES: dict[str, SearchEngine] = {}
 
 
+def _fingerprint(sf_dir: str) -> str:
+    """Cache key: full path + size/mtime of the source parquet files, so a
+    regenerated corpus at the same path or two sf dirs sharing a basename
+    never reuse a stale index."""
+    import hashlib
+
+    h = hashlib.md5(os.path.normpath(sf_dir).encode())
+    src = os.path.join(sf_dir, "documents.parquet")
+    paths = [src]
+    if os.path.isdir(src):
+        paths = [os.path.join(src, n) for n in sorted(os.listdir(src))]
+    for p in paths:
+        try:
+            st = os.stat(p)
+            h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}".encode())
+        except OSError:
+            pass
+    return h.hexdigest()[:16]
+
+
 def _documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     """Build (once per sf_dir) and cache the inverted index over documents."""
     key = os.path.normpath(sf_dir)
     if key in _ENGINES:
         return _ENGINES[key]
     ensure_package(spark)
-    # version-tag the cache dir so on-disk layout changes invalidate it
-    idx = os.path.join("/tmp", "aspublic_idx_v2_" + os.path.basename(key))
+    # version-tag the cache dir so on-disk layout changes invalidate it;
+    # fingerprint the input so a regenerated corpus invalidates it too
+    idx = os.path.join("/tmp", "aspublic_idx_v3_" + _fingerprint(key))
     if not os.path.exists(os.path.join(idx, "index_meta.json")):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        # build into a unique temp dir, atomically rename into place:
+        # concurrent driver processes then never see a half-built index
+        tmp = idx + f".build.{os.getpid()}"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
         IndexBuilder(
             spark,
-            idx,
+            tmp,
             key_cols=["doc_id"],
             text_col="text",
             meta_cols=["lang", "source", "n_chars"],
             n_slices=4,
         ).build(docs)
+        try:
+            os.rename(tmp, idx)
+        except OSError:  # a concurrent process won the race: use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
     eng = SearchEngine(spark, idx)
     _ENGINES[key] = eng
     return eng
@@ -65,7 +96,12 @@ def _fts(spark, sf_dir, q, k=20, parser=None, **kw) -> DataFrame:
     kwargs = dict(kw)
     if parser is not None:
         kwargs["parser"] = parser
-    res = eng.search(q, k=k, **kwargs).df
+    # Over-fetch: the engine ranks by RAW score, the oracle by the
+    # 4dp-ROUNDED score with doc_id tie-break. Docs straddling the
+    # k-boundary with raw scores equal past the 4th decimal could
+    # otherwise land in different top-k sets on the two sides; the
+    # margin makes the post-rounding sort see every contender.
+    res = eng.search(q, k=min(k + 50, 100), **kwargs).df
     return (
         res.withColumn("score_r", F.round(F.col("score"), 4))
         .orderBy(F.col("score_r").desc(), F.col("doc_id").asc())
@@ -88,6 +124,7 @@ def _bm25_sql(
     and_terms: list[str] | None = None,
     or_groups: list[list[str]] | None = None,
     not_terms: list[str] | None = None,
+    not_groups: list[list[str]] | None = None,
     phrase: list[str] | None = None,
     doc_filter: str | None = None,
     k: int = 20,
@@ -112,6 +149,15 @@ def _bm25_sql(
         nl = ",".join(f"'{t}'" for t in sorted(set(not_terms)))
         not_sql = (
             f"and s.doc_id not in (select doc_id from tok where term in ({nl}))"
+        )
+    for g in not_groups or []:
+        gset = sorted(set(g))
+        gl = ",".join(f"'{t}'" for t in gset)
+        # conjunctive NOT group: exclude docs containing ALL group terms
+        # (sqlite-backend negated-phrase semantics, parser.py)
+        not_sql += (
+            f" and s.doc_id not in (select doc_id from tok where term in ({gl})"
+            f" group by doc_id having count(distinct term) = {len(gset)})"
         )
     phrase_sql = ""
     if phrase:
@@ -190,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf, "dup OR vector", k=20, parser=parse_websearch
     )
     q["fts_phrase"] = lambda spark, sf: _fts(spark, sf, '"hash join"', k=20)
+    q["fts_not_group"] = lambda spark, sf: _fts(spark, sf, 'table !"hash join"', k=20)
     q["fts_filtered"] = lambda spark, sf: _fts(
         spark, sf, "table", k=20, extra_filter=F.col("lang") == "en"
     )
@@ -377,6 +424,9 @@ def oracle_sql() -> dict[str, str]:
     o["fts_phrase"] = _bm25_sql(
         ["hash", "join"], and_terms=["hash", "join"], phrase=["hash", "join"]
     )
+    o["fts_not_group"] = _bm25_sql(
+        ["table"], and_terms=["table"], not_groups=[["hash", "join"]]
+    )
     o["fts_filtered"] = _bm25_sql(["table"], and_terms=["table"], doc_filter="d.lang = 'en'")
 
     o["topk_recency"] = """
@@ -400,7 +450,7 @@ def oracle_sql() -> dict[str, str]:
         from documents group by text having count(*) > 1
     """
     o["token_count_by_lang"] = """
-        select lang, sum(len(string_split(text, ' '))) as total_tokens,
+        select lang, sum(len(string_split(text, ' ')))::bigint as total_tokens,
                count(*) as n_docs
         from documents group by lang
     """

@@ -148,6 +148,46 @@ def decode_positions(buf: bytes, n_docs: int) -> list[np.ndarray]:
     return out
 
 
+def encode_grouped_records(flat_vals: np.ndarray, grp_lens: np.ndarray) -> list[bytes]:
+    """Per-group ``[varint(n), varint(first), varint(deltas)...]`` records.
+
+    ``flat_vals`` holds every group's values concatenated (ascending
+    within a group); ``grp_lens`` the group sizes. ONE vectorized varint
+    pass over the interleaved stream, then per-group byte slices. This
+    is the per-posting position payload of the raw postings format: the
+    pack stage concatenates these slices verbatim into block payloads,
+    so positions cross the pack shuffle already compressed and are
+    never re-encoded.
+    """
+    n_g = int(grp_lens.size)
+    if n_g == 0:
+        return []
+    grp_lens = np.ascontiguousarray(grp_lens, dtype=np.int64)
+    v = np.ascontiguousarray(flat_vals, dtype=_U64)
+    grp_starts = np.empty(n_g, dtype=np.int64)
+    grp_starts[0] = 0
+    np.cumsum(grp_lens[:-1], out=grp_starts[1:])
+    d = np.empty(v.size, dtype=_U64)
+    if v.size > 1:
+        d[1:] = v[1:] - v[:-1]
+    nz = grp_lens > 0
+    if v.size:
+        d[grp_starts[nz]] = v[grp_starts[nz]]  # absolute first per group
+    total = n_g + v.size
+    rec = np.empty(total, dtype=_U64)
+    rec_starts = np.empty(n_g, dtype=np.int64)
+    rec_starts[0] = 0
+    np.cumsum(grp_lens[:-1] + 1, out=rec_starts[1:])
+    rec[rec_starts] = grp_lens.astype(_U64)
+    mask = np.ones(total, dtype=bool)
+    mask[rec_starts] = False
+    rec[mask] = d
+    buf, off, ln = encode_varints_with_offsets(rec)
+    b = buf.tobytes()
+    last = rec_starts + grp_lens  # index of each record's final element
+    return [b[off[s] : off[le] + ln[le]] for s, le in zip(rec_starts, last)]
+
+
 def pack_all_blocks(
     sorted_doc_ids: np.ndarray,
     tfs: np.ndarray,

@@ -414,8 +414,24 @@ class SearchEngine:
         live_terms = [t for t in pos_terms if t in stats]
         idf_map = {t: self.idf(stats[t]["df"]) for t in live_terms}
         pos_blocks = self.blocks(live_terms)
-        live_not = [t for t in set(pq.not_terms)]
-        not_blocks = self.blocks(live_not) if live_not else None
+        # NOT side: single terms exclude on any match; conjunctive NOT
+        # groups (sqlite `!"a b"` -> NOT (a AND b)) exclude only docs
+        # containing ALL group terms; negated phrases (websearch
+        # `-"a b"`) exclude on adjacent occurrence. Groups/phrases with
+        # a term absent from the corpus can never match — dropped.
+        not_single = sorted(set(pq.not_terms))
+        ng_terms = {t for g in pq.not_groups for t in g} | {
+            t for ph in pq.not_phrases for t in ph
+        }
+        ng_stats = self.term_stats(sorted(ng_terms)) if ng_terms else {}
+        live_groups = [g for g in pq.not_groups if all(t in ng_stats for t in g)]
+        live_nphrases = [ph for ph in pq.not_phrases if all(t in ng_stats for t in ph)]
+        not_all_terms = sorted(
+            set(not_single)
+            | {t for g in live_groups for t in g}
+            | {t for ph in live_nphrases for t in ph}
+        )
+        not_blocks = self.blocks(not_all_terms) if not_all_terms else None
 
         info: dict = {}
         total_df = sum(stats[t]["df"] for t in live_terms)
@@ -427,7 +443,7 @@ class SearchEngine:
             )
 
         need_pos = bool(pq.phrases)
-        if need_pos and not self.store_positions:
+        if (need_pos or live_nphrases) and not self.store_positions:
             raise ValueError(
                 "phrase queries need positions, but this index was built "
                 "with store_positions=False"
@@ -442,8 +458,26 @@ class SearchEngine:
             cand = cand.join(self._phrase_docs(ph, unpacked), "doc_id", "left_semi")
 
         if not_blocks is not None:
-            not_docs = self.unpack(not_blocks).select("doc_id").distinct()
-            cand = cand.join(not_docs, "doc_id", "left_anti")
+            unp_not = self.unpack(not_blocks, with_positions=bool(live_nphrases))
+            if not_single:
+                nd = (
+                    unp_not.filter(F.col("term").isin(not_single))
+                    .select("doc_id")
+                    .distinct()
+                )
+                cand = cand.join(nd, "doc_id", "left_anti")
+            for g in live_groups:
+                gset = sorted(set(g))
+                gd = (
+                    unp_not.filter(F.col("term").isin(gset))
+                    .groupBy("doc_id")
+                    .agg(F.countDistinct("term").alias("_n"))
+                    .filter(F.col("_n") == len(gset))
+                    .select("doc_id")
+                )
+                cand = cand.join(gd, "doc_id", "left_anti")
+            for ph in live_nphrases:
+                cand = cand.join(self._phrase_docs(ph, unp_not), "doc_id", "left_anti")
 
         out = (
             cand.join(docs_f.select("doc_id", *key_meta), "doc_id")

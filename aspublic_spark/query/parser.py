@@ -6,9 +6,11 @@ query language the reference exposes:
 
 - ``!word`` or ``-word``      -> NOT term
 - ``!"a b"`` or ``-"a b"``    -> negated phrase; the reference later
-  emits it UNQUOTED in the FTS expression (db_sqlite.py:125-126), i.e.
-  NOT applies to the phrase's individual words — we replicate that
-  quirk by splitting the negated phrase into NOT terms;
+  emits it UNQUOTED in the FTS expression (db_sqlite.py:125-126), and
+  FTS5's implicit AND binds tighter than NOT, so the effective
+  semantics is ``NOT (a AND b)``: only documents containing BOTH words
+  are excluded (verified by live FTS5 probe). We model that as a
+  conjunctive NOT group (``not_groups``);
 - ``"a b"``                   -> phrase (position-adjacent, in order)
 - anything else whitespace-split -> AND terms.
 
@@ -42,6 +44,14 @@ class ParsedQuery:
     and_terms: list[str] = field(default_factory=list)
     phrases: list[list[str]] = field(default_factory=list)
     not_terms: list[str] = field(default_factory=list)
+    # conjunctive NOT groups: a document is excluded iff it contains ALL
+    # terms of the group (sqlite backend's negated-phrase semantics:
+    # `!"a b"` -> `NOT (a AND b)` because FTS5 implicit AND binds
+    # tighter than NOT, db_sqlite.py:125-126)
+    not_groups: list[list[str]] = field(default_factory=list)
+    # negated phrases with adjacency: excluded iff the exact phrase
+    # occurs (websearch_to_tsquery's `-"a b"` -> `!(a <-> b)`)
+    not_phrases: list[list[str]] = field(default_factory=list)
     # list of OR groups; each group is a list of alternative terms of
     # which at least one must match (websearch extension; empty for the
     # sqlite-style parser)
@@ -75,7 +85,11 @@ def parse_query(q: str) -> ParsedQuery:
     rest = q or ""
 
     def neg_phrase(m: re.Match) -> str:
-        out.not_terms.extend(tokenize(m.group(1)))
+        toks = tokenize(m.group(1))
+        if len(toks) == 1:
+            out.not_terms.extend(toks)
+        elif toks:
+            out.not_groups.append(toks)  # NOT (a AND b): FTS5 precedence
         return " "
 
     def neg_word(m: re.Match) -> str:
@@ -128,7 +142,10 @@ def parse_websearch(q: str) -> ParsedQuery:
         if kind == "not":
             out.not_terms.extend(payload)
         elif kind == "not_phrase":
-            out.not_terms.extend(payload)
+            if len(payload) == 1:
+                out.not_terms.extend(payload)
+            else:
+                out.not_phrases.append(payload)  # !(a <-> b), adjacency
         elif kind in ("phrase", "word"):
             # gather an OR chain; operands may be words or phrases. A
             # phrase inside an OR group degrades to its terms (any-of

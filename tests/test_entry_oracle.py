@@ -75,4 +75,5 @@ def test_query_matches_oracle(spark, duck, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0 and "doc_id" in df.columns and "score" in df.columns
+    # the driver gate requires a non-empty flagship result
+    assert len(rows) > 0 and "doc_id" in df.columns and "score" in df.columns

@@ -21,13 +21,19 @@ def test_phrase():
     assert p.phrases == [["sample", "status"]]
 
 
-def test_negated_phrase_becomes_not_words():
-    # the reference emits negated phrases unquoted -> NOT applies to the
-    # words individually (db_sqlite.py:125-126 quirk)
+def test_negated_phrase_becomes_conjunctive_not_group():
+    # the reference emits negated phrases unquoted (db_sqlite.py:125-126)
+    # and FTS5's implicit AND binds tighter than NOT, so the effective
+    # semantics is NOT (bad AND phrase): only docs with BOTH words are
+    # excluded -> a conjunctive NOT group, not independent NOT terms
     p = parse_query('term !"bad phrase"')
     assert p.and_terms == ["term"]
-    assert p.not_terms == ["bad", "phrase"]
+    assert p.not_terms == []
+    assert p.not_groups == [["bad", "phrase"]]
     assert p.phrases == []
+    # single-word negated "phrase" degenerates to a plain NOT term
+    p1 = parse_query('term !"bad"')
+    assert p1.not_terms == ["bad"] and p1.not_groups == []
 
 
 def test_tokenizer_applied_to_query():
@@ -53,6 +59,15 @@ def test_websearch_neg_and_phrase():
     assert p.not_terms == ["spam"]
     assert p.phrases == [["exact", "match"]]
     assert p.or_groups == [["ham", "eggs"]]
+
+
+def test_websearch_negated_phrase_keeps_adjacency():
+    # websearch_to_tsquery('-"a b"') -> !(a <-> b): exclusion requires
+    # the exact adjacent phrase, unlike the sqlite backend's NOT group
+    p = parse_websearch('keep -"bad phrase"')
+    assert p.and_terms == ["keep"]
+    assert p.not_phrases == [["bad", "phrase"]]
+    assert p.not_terms == [] and p.not_groups == []
 
 
 def test_positive_terms_dedup_ordered():

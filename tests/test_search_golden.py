@@ -51,6 +51,23 @@ def test_not(engine):
     assert _turns(engine.search("example !keyword")) == [4]
 
 
+def test_negated_phrase_conjunctive_group(engine):
+    # !"sample media" -> NOT (sample AND media): only turn 2 (has both)
+    # is excluded; turns with just "sample" survive (FTS5 precedence)
+    assert _turns(engine.search('status !"sample media"')) == [0, 3, 4, 5]
+    # control: with the old either-word semantics 0 and 3 would be gone
+
+
+def test_websearch_negated_phrase_adjacency(engine):
+    from aspublic_spark.query.parser import parse_websearch
+
+    # -"sample status" excludes only ADJACENT occurrences: turn 0
+    # ("a sample status") matches, turn 2 ("sample media status") and
+    # turn 3 ("sample bot status") do not
+    res = engine.search('status -"sample status"', parser=parse_websearch)
+    assert _turns(res) == [2, 3, 4, 5]
+
+
 def test_phrase(engine):
     # "sample media status" must NOT match the phrase "sample status"
     assert _turns(engine.search('"sample status"')) == [0]
