@@ -45,7 +45,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aspublic_spark import BM25_B, BM25_K1
-from aspublic_spark.functions.tokenizer import tokens_udf
 from aspublic_spark.index import codec
 
 BLOCK_SCHEMA = (
@@ -53,6 +52,83 @@ BLOCK_SCHEMA = (
     "doc_gaps binary, tfs binary, dls binary, positions binary, "
     "block_max_w double, max_tf int, min_dl int"
 )
+
+# raw postings: one row per (doc, term); positions already varint-encoded
+# ([n, first, deltas...] — codec.encode_grouped_records) so the pack
+# shuffle moves compressed bytes, not array<int>
+RAW_SCHEMA = "slice int, doc_id long, dl int, term string, tf int, positions binary"
+RAW_FORMAT = 2
+
+
+def _raw_postings_arrow_factory(store_positions: bool):
+    """mapInArrow fn: (slice, doc_id, text) batches -> raw posting rows.
+
+    Replaces the former JVM higher-order-function position extraction,
+    which rescanned the token array once per distinct term
+    (O(distinct_terms x doc_len) — quadratic on long documents). This
+    is linear in total token count and vectorized at BATCH level: one
+    pd.factorize over every token of the batch, one lexsort by
+    (doc, term_code, position), group boundaries by diff — the only
+    per-doc Python is the tokenizer itself. Positions leave here as
+    per-posting varint payloads; the pack stage concatenates the bytes
+    verbatim (identical block layout to the previous encoder).
+    """
+    import pyarrow as pa
+
+    from aspublic_spark.functions.tokenizer import tokenize
+
+    def emit(batches):
+        import pandas as pd
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            slice_np = batch.column("slice").to_numpy(zero_copy_only=False).astype(np.int32)
+            doc_np = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            toks_per_doc = [tokenize(t) for t in batch.column("text").to_pylist()]
+            lens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=n)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            flat = np.empty(total, dtype=object)
+            at = 0
+            for toks in toks_per_doc:
+                if toks:
+                    flat[at : at + len(toks)] = toks
+                    at += len(toks)
+            codes, uniques = pd.factorize(flat, sort=False)
+            uniques = np.asarray(uniques, dtype=object)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            doc_off = np.empty(n, dtype=np.int64)
+            doc_off[0] = 0
+            np.cumsum(lens[:-1], out=doc_off[1:])
+            pos_in_doc = np.arange(total, dtype=np.int64) - doc_off[doc_idx]
+            order = np.lexsort((pos_in_doc, codes, doc_idx))
+            di_s, co_s, po_s = doc_idx[order], codes[order], pos_in_doc[order]
+            gstart = np.empty(total, dtype=bool)
+            gstart[0] = True
+            gstart[1:] = (di_s[1:] != di_s[:-1]) | (co_s[1:] != co_s[:-1])
+            starts = np.flatnonzero(gstart)
+            g_lens = np.diff(np.append(starts, total))
+            g_di = di_s[starts]
+            if store_positions:
+                payloads = codec.encode_grouped_records(po_s, g_lens)
+            else:
+                payloads = [b""] * starts.size
+            yield pa.record_batch(
+                [
+                    pa.array(slice_np[g_di], type=pa.int32()),
+                    pa.array(doc_np[g_di], type=pa.int64()),
+                    pa.array(lens[g_di].astype(np.int32), type=pa.int32()),
+                    pa.array(uniques[co_s[starts]], type=pa.string()),
+                    pa.array(g_lens.astype(np.int32), type=pa.int32()),
+                    pa.array(payloads, type=pa.binary()),
+                ],
+                names=["slice", "doc_id", "dl", "term", "tf", "positions"],
+            )
+
+    return emit
 
 
 def bm25_weight_np(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
@@ -74,12 +150,12 @@ def _pack_partition_arrow_factory(block_size: int, avgdl: float, store_positions
 
     The partition holds complete (slice, term, salt) groups (guaranteed
     by the upstream repartition on the same keys). EVERYTHING is
-    columnar: Arrow list offsets stand in for per-row position objects
-    (no per-posting Python objects are ever created), the sort is one
-    np.lexsort, block boundaries are computed for the whole partition at
-    once, and codec.pack_all_blocks varint-encodes each field in a
-    single vectorized pass, slicing per-block payloads out of the big
-    stream. Python-side cost is O(blocks) byte-slices, not O(postings).
+    columnar: the sort is one np.lexsort, block boundaries are computed
+    for the whole partition at once, codec.pack_all_blocks varint-encodes
+    doc gaps/tfs/dls in one vectorized pass each, and position payloads
+    (already varint-encoded by the raw stage) are byte-gathered and
+    sliced per block without ever being decoded. Python-side cost is
+    O(blocks) byte-slices, not O(postings).
     """
     import pyarrow as pa
 
@@ -111,24 +187,40 @@ def _pack_partition_arrow_factory(block_size: int, avgdl: float, store_positions
         slice_s, salt_s, doc_s = slice_np[order], salt_np[order], doc_np[order]
         tf_s, dl_s, tc_s = tf_np[order], dl_np[order], tcodes[order]
 
-        pos_flat = pos_lens = None
+        # positions arrive as per-posting varint payloads (RAW_SCHEMA);
+        # a block's payload is the byte-concatenation of its rows' bytes
+        # in sorted order — gather the bytes, never decode/re-encode
+        pos_bytes_sorted = pos_cum = None
         if store_positions:
-            plist = _one_chunk(tbl.column("positions"))
-            offs = np.asarray(plist.offsets)
-            vals = np.asarray(plist.values).astype(np.int64)
-            lens = (offs[1:] - offs[:-1]).astype(np.int64)
-            starts_sorted = offs[:-1][order].astype(np.int64)
-            pos_lens = lens[order]
-            total = int(pos_lens.sum())
-            excl = np.empty(pos_lens.size, dtype=np.int64)
-            excl[0] = 0
-            np.cumsum(pos_lens[:-1], out=excl[1:])
-            gather = (
-                np.repeat(starts_sorted, pos_lens)
-                + np.arange(total, dtype=np.int64)
-                - np.repeat(excl, pos_lens)
+            parr = _one_chunk(tbl.column("positions"))
+            voff = (
+                np.frombuffer(parr.buffers()[1], dtype=np.int32)[
+                    parr.offset : parr.offset + len(parr) + 1
+                ].astype(np.int64)
             )
-            pos_flat = vals[gather]
+            dbuf = parr.buffers()[2]
+            vdata = (
+                np.frombuffer(dbuf, dtype=np.uint8)
+                if dbuf is not None
+                else np.empty(0, dtype=np.uint8)
+            )
+            plens = voff[1:] - voff[:-1]
+            starts_b = voff[:-1][order]
+            lens_b = plens[order]
+            totb = int(lens_b.sum())
+            if totb:
+                excl = np.empty(lens_b.size, dtype=np.int64)
+                excl[0] = 0
+                np.cumsum(lens_b[:-1], out=excl[1:])
+                gather = (
+                    np.repeat(starts_b, lens_b)
+                    + np.arange(totb, dtype=np.int64)
+                    - np.repeat(excl, lens_b)
+                )
+                pos_bytes_sorted = vdata[gather]
+            else:
+                pos_bytes_sorted = np.empty(0, dtype=np.uint8)
+            pos_cum = np.concatenate(([0], np.cumsum(lens_b)))
 
         # group boundaries (slice, term, salt) -> block boundaries
         is_group_start = np.empty(n, dtype=bool)
@@ -143,8 +235,16 @@ def _pack_partition_arrow_factory(block_size: int, avgdl: float, store_positions
         in_group_pos = np.arange(n, dtype=np.int64) - group_start_row
         is_block_start = is_group_start | (in_group_pos % block_size == 0)
         starts = np.flatnonzero(is_block_start)
+        ends = np.append(starts[1:], n)
 
-        blk = codec.pack_all_blocks(doc_s, tf_s, dl_s, starts, pos_flat, pos_lens)
+        blk = codec.pack_all_blocks(doc_s, tf_s, dl_s, starts)
+        if store_positions:
+            blk_positions = [
+                pos_bytes_sorted[pos_cum[s] : pos_cum[e]].tobytes()
+                for s, e in zip(starts, ends)
+            ]
+        else:
+            blk_positions = [b""] * len(starts)
         w = bm25_weight_np(tf_s, dl_s, avgdl)
         block_max_w = np.maximum.reduceat(w, starts)
         # block_id = index of block within its group
@@ -170,7 +270,7 @@ def _pack_partition_arrow_factory(block_size: int, avgdl: float, store_positions
                 pa.array(blk["doc_gaps"], type=pa.binary()),
                 pa.array(blk["tfs"], type=pa.binary()),
                 pa.array(blk["dls"], type=pa.binary()),
-                pa.array(blk["positions"], type=pa.binary()),
+                pa.array(blk_positions, type=pa.binary()),
                 pa.array(block_max_w, type=pa.float64()),
                 pa.array(blk["max_tf"].astype(np.int32), type=pa.int32()),
                 pa.array(blk["min_dl"].astype(np.int32), type=pa.int32()),
@@ -262,10 +362,20 @@ class IndexBuilder:
         """Full build of one generation; per-stage/per-slice resumable."""
         t0 = time.time()
         meta_path = self._p("index_meta.json")
-        if not os.path.exists(meta_path):
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                existing = json.load(f)
+            if existing.get("raw_format", 1) != RAW_FORMAT:
+                raise ValueError(
+                    f"index at {self.index_dir} uses raw postings format "
+                    f"{existing.get('raw_format', 1)}, this build writes "
+                    f"{RAW_FORMAT}; rebuild into a fresh directory"
+                )
+        else:
             with open(meta_path, "w") as f:
                 json.dump(
                     {
+                        "raw_format": RAW_FORMAT,
                         "key_cols": self.key_cols,
                         "meta_cols": self.meta_cols,
                         "text_col": self.text_col,
@@ -278,6 +388,8 @@ class IndexBuilder:
                 )
         if not (resume and self._manifest_done("raw", gen)):
             self._stage_raw(df, gen)
+        if not (resume and self._manifest_done("gendict", gen)):
+            self._stage_gen_dict(gen)
         self._stage_global(resume=resume)
         self._stage_pack(gen, resume=resume)
         return {"seconds": time.time() - t0, "manifest": self.manifest()}
@@ -293,12 +405,14 @@ class IndexBuilder:
         return self.build(df, gen=gen, resume=resume)
 
     def _stage_raw(self, df: DataFrame, gen: int):
-        """One input scan -> docs + uncompressed postings partitioned by slice.
+        """Input scan -> docs + raw postings partitioned by slice.
 
-        Per-doc postings are grouped inside the tokenizer UDF (map-side
-        combine), so this stage has NO shuffle: the postings write is
-        partitionBy(slice) file routing, not an exchange. The only real
-        shuffle of the whole build is the pack stage's
+        The postings pass is ONE mapInArrow over (slice, doc_id, text):
+        tokenize, group term->positions linearly (batch-level factorize
+        + lexsort, no per-doc Python beyond the tokenizer), and emit
+        positions already varint-encoded. NO shuffle: the postings
+        write is partitionBy(slice) file routing, not an exchange. The
+        only real shuffle of the whole build is the pack stage's
         repartition(term, salt)."""
         t0 = time.time()
         doc_id = self.doc_id_col()
@@ -315,77 +429,133 @@ class IndexBuilder:
         # silently inflate N/avgdl)
         docs.write.mode("overwrite").parquet(self._p("docs", f"gen={gen}"))
 
-        # Tokenize ONCE; per-doc term grouping via JVM higher-order
-        # functions (whole-stage codegen, no Python beyond the Arrow
-        # tokenizer, no shuffle): for each distinct term, positions =
-        # indices where tokens[i] == term. The postings write is
-        # partitionBy(slice) file routing, not an exchange.
-        base = (
-            df.select(doc_id.alias("doc_id"), tokens_udf(F.col(self.text_col)).alias("_tokens"))
-            .withColumn("dl", F.size("_tokens"))
+        raw = (
+            df.select(doc_id.alias("doc_id"), F.col(self.text_col).alias("text"))
             .withColumn("slice", slice_col)
-            .filter(F.col("dl") > 0)
-        )
-        toks = F.col("_tokens")
-        posts = F.transform(
-            F.array_distinct(toks),
-            lambda t: F.struct(
-                t.alias("term"),
-                F.filter(
-                    F.sequence(F.lit(0), F.col("dl") - 1),
-                    lambda i: F.element_at(toks, i + 1) == t,
-                ).alias("positions"),
-            ),
-        )
-        raw = base.select("slice", "doc_id", "dl", F.explode(posts).alias("_p")).select(
-            "slice",
-            F.col("_p.term").alias("term"),
-            "doc_id",
-            F.size("_p.positions").cast("int").alias("tf"),
-            F.col("_p.positions").alias("positions"),
-            "dl",
+            .select("slice", "doc_id", "text")
+            .mapInArrow(_raw_postings_arrow_factory(self.store_positions), RAW_SCHEMA)
         )
         raw.write.mode("overwrite").partitionBy("slice").parquet(
             self._p("postings_raw", f"gen={gen}")
         )
         self._commit("raw", gen, None, {"seconds": time.time() - t0})
 
-    def _stage_global(self, resume: bool = True):
-        """(Re)compute corpus stats + dictionary over ALL generations."""
-        self.refresh_global()
-
-    def refresh_global(self):
-        """Dictionary + corpus stats over all generations' raw postings.
-
-        One shuffle (groupBy term) sized by the number of distinct
-        (term, doc) pairs; corpus totals then come from the (small)
-        dictionary itself. n_docs counts ALL docs including token-less
-        ones, so avgdl = total_tokens / n_docs matches the naive
-        definition exactly."""
+    def _stage_gen_dict(self, gen: int):
+        """Per-generation dictionary: aggregate THIS generation's raw
+        postings only (term -> df, cf, max_tf, min_dl) plus per-gen
+        corpus counters. This is the piece that makes incremental ingest
+        O(batch), not O(corpus): every dictionary/stats quantity is
+        decomposable (df/cf/total additive, max_tf max, min_dl min), so
+        the global refresh merges these small per-gen tables instead of
+        re-shuffling every generation's postings per batch."""
         t0 = time.time()
-        n_docs = self.spark.read.parquet(self._p("docs")).count()
-        raw = self.spark.read.parquet(self._p("postings_raw"))
-        dictionary = raw.groupBy("term").agg(
+        raw = self.spark.read.parquet(self._p("postings_raw", f"gen={gen}"))
+        gdict = raw.groupBy("term").agg(
             F.count("*").alias("df"),
             F.sum("tf").alias("cf"),
             F.max("tf").alias("max_tf"),
             F.min("dl").alias("min_dl"),
         )
-        dictionary.write.mode("overwrite").parquet(self._p("dictionary"))
+        gdict.write.mode("overwrite").parquet(self._p("dictionary_gens", f"gen={gen}"))
         tot = (
-            self.spark.read.parquet(self._p("dictionary"))
+            self.spark.read.parquet(self._p("dictionary_gens", f"gen={gen}"))
             .agg(F.sum("cf").alias("total_tokens"), F.sum("df").alias("n_postings"))
             .collect()[0]
         )
-        total_tokens = int(tot["total_tokens"] or 0)
+        n_docs = self.spark.read.parquet(self._p("docs", f"gen={gen}")).count()
+        self._commit(
+            "gendict", gen, None,
+            {
+                "n_docs": n_docs,
+                "total_tokens": int(tot["total_tokens"] or 0),
+                "n_postings": int(tot["n_postings"] or 0),
+                "seconds": time.time() - t0,
+            },
+        )
+
+    def _write_stats(self, n_docs: int, avgdl: float, total_tokens: int):
+        """One tiny row — written driver-side with pyarrow (readable by
+        spark.read.parquet) instead of paying a Spark job per refresh."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import shutil
+
+        tbl = pa.table(
+            {
+                "n_docs": pa.array([n_docs], type=pa.int64()),
+                "avgdl": pa.array([float(avgdl)], type=pa.float64()),
+                "total_tokens": pa.array([total_tokens], type=pa.int64()),
+            }
+        )
+        new = self._p("stats.new")
+        shutil.rmtree(new, ignore_errors=True)
+        os.makedirs(new)
+        pq.write_table(tbl, os.path.join(new, "part-0.parquet"))
+        shutil.rmtree(self._p("stats"), ignore_errors=True)
+        os.rename(new, self._p("stats"))
+
+    def _gen_manifests(self, stage: str) -> dict[int, dict]:
+        out = {}
+        for rec in self.manifest():
+            if rec["stage"] == stage and rec.get("gen") is not None and rec["slice"] is None:
+                out[int(rec["gen"])] = rec
+        return out
+
+    def _stage_global(self, resume: bool = True):
+        """(Re)compute corpus stats + dictionary over ALL generations."""
+        self.refresh_global()
+
+    def refresh_global(self):
+        """Merge per-generation dictionaries + counters into the global
+        dictionary and stats.
+
+        Reads ONLY the small dictionary_gens tables (O(vocab) rows per
+        gen), never the raw postings — per-batch cost is independent of
+        corpus size. n_docs counts ALL docs including token-less ones
+        (summed from per-gen counters), so avgdl = total_tokens / n_docs
+        matches the naive definition exactly."""
+        t0 = time.time()
+        live_gens = sorted(
+            int(n.split("=")[1])
+            for n in os.listdir(self._p("dictionary_gens"))
+            if n.startswith("gen=")
+        )
+        per_gen = self._gen_manifests("gendict")
+        missing = [g for g in live_gens if g not in per_gen]
+        if missing:
+            raise RuntimeError(f"gendict manifest missing for generations {missing}")
+        if len(live_gens) == 1:
+            # single generation: the global dictionary IS the gen
+            # dictionary — swap it in file-level, no Spark job
+            import shutil
+
+            src = self._p("dictionary_gens", f"gen={live_gens[0]}")
+            new = self._p("dictionary.new")
+            shutil.rmtree(new, ignore_errors=True)
+            shutil.copytree(src, new)
+            shutil.rmtree(self._p("dictionary"), ignore_errors=True)
+            os.rename(new, self._p("dictionary"))
+        else:
+            merged = (
+                self.spark.read.parquet(self._p("dictionary_gens"))
+                .groupBy("term")
+                .agg(
+                    F.sum("df").alias("df"),
+                    F.sum("cf").alias("cf"),
+                    F.max("max_tf").alias("max_tf"),
+                    F.min("min_dl").alias("min_dl"),
+                )
+            )
+            merged.write.mode("overwrite").parquet(self._p("dictionary"))
+        n_docs = sum(per_gen[g]["n_docs"] for g in live_gens)
+        total_tokens = sum(per_gen[g]["total_tokens"] for g in live_gens)
+        n_postings = sum(per_gen[g]["n_postings"] for g in live_gens)
         avgdl = (total_tokens / n_docs) if n_docs else 0.0
-        self.spark.createDataFrame(
-            [(n_docs, float(avgdl), total_tokens)],
-            "n_docs long, avgdl double, total_tokens long",
-        ).write.mode("overwrite").parquet(self._p("stats"))
+        self._write_stats(n_docs, avgdl, total_tokens)
         self._commit(
             "global", 0, None,
-            {"n_docs": n_docs, "avgdl": avgdl, "n_postings": int(tot["n_postings"] or 0),
+            {"n_docs": n_docs, "avgdl": avgdl, "n_postings": n_postings,
              "seconds": time.time() - t0},
         )
 
@@ -482,9 +652,10 @@ class IndexBuilder:
     def _finish_pending_compaction(self):
         """Crash recovery: complete (or roll back) an interrupted compact.
 
-        Source generations are only deleted AFTER the merged copy is
-        renamed into place, so no state between crash points loses data;
-        this replays the delete/cleanup half if the marker survives."""
+        Source generations are only deleted AFTER the merged copies
+        (raw postings AND docs) are renamed into place, so no state
+        between crash points loses data; this replays the rename/
+        delete/cleanup half if the marker survives."""
         import glob
         import shutil
 
@@ -493,22 +664,36 @@ class IndexBuilder:
             return
         with open(marker) as f:
             pend = json.load(f)
-        praw = self._p("postings_raw")
-        tmp = self._p("postings_raw_compacting")
-        target_dir = os.path.join(praw, f"gen={pend['target']}")
-        if not os.path.isdir(target_dir):
-            if os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
-                os.rename(tmp, target_dir)  # copy was complete: commit it
-            else:
-                # copy incomplete: roll back (sources are still intact)
-                shutil.rmtree(tmp, ignore_errors=True)
-                os.remove(marker)
-                return
+        praw, pdocs = self._p("postings_raw"), self._p("docs")
+        tmp_raw = self._p("postings_raw_compacting")
+        tmp_docs = self._p("docs_compacting")
+        t_raw = os.path.join(praw, f"gen={pend['target']}")
+        t_docs = os.path.join(pdocs, f"gen={pend['target']}")
+        raw_ok = os.path.isdir(t_raw) or (
+            os.path.isdir(tmp_raw) and os.path.exists(os.path.join(tmp_raw, "_SUCCESS"))
+        )
+        docs_ok = os.path.isdir(t_docs) or (
+            os.path.isdir(tmp_docs) and os.path.exists(os.path.join(tmp_docs, "_SUCCESS"))
+        )
+        if not (raw_ok and docs_ok):
+            # copies incomplete: roll back (sources are still intact)
+            shutil.rmtree(tmp_raw, ignore_errors=True)
+            shutil.rmtree(tmp_docs, ignore_errors=True)
+            os.remove(marker)
+            return
+        if not os.path.isdir(t_raw):
+            os.rename(tmp_raw, t_raw)
+        if not os.path.isdir(t_docs):
+            os.rename(tmp_docs, t_docs)
         for g in pend["sources"]:
             shutil.rmtree(os.path.join(praw, f"gen={g}"), ignore_errors=True)
+            shutil.rmtree(os.path.join(pdocs, f"gen={g}"), ignore_errors=True)
             shutil.rmtree(self._p("postings", f"gen={g}"), ignore_errors=True)
-        for m in glob.glob(self._p("manifest", "pack_g*.json")) + glob.glob(
-            self._p("manifest", "raw_g*.json")
+            shutil.rmtree(self._p("dictionary_gens", f"gen={g}"), ignore_errors=True)
+        for m in (
+            glob.glob(self._p("manifest", "pack_g*.json"))
+            + glob.glob(self._p("manifest", "raw_g*.json"))
+            + glob.glob(self._p("manifest", "gendict_g*.json"))
         ):
             os.remove(m)
         self._commit("raw", pend["target"], None, {"seconds": 0.0, "compacted_from": pend["sources"]})
@@ -519,13 +704,13 @@ class IndexBuilder:
 
         The Lucene-merge analog for the incremental path: many small
         per-batch generations make query-side scans open many files;
-        compaction rewrites the raw postings as one NEW generation and
-        repacks. Crash-safe ordering: (1) write the merged copy to a
-        side directory, (2) persist a pending-marker, (3) rename the
-        copy into place, (4) delete sources, (5) clear marker — a crash
-        at any point either rolls back or is completed by
-        `_finish_pending_compaction` on the next call. Offline op: run
-        it when no queries are in flight."""
+        compaction rewrites the raw postings AND docs as one NEW
+        generation and repacks. Crash-safe ordering: (1) write merged
+        copies to side directories, (2) persist a pending-marker,
+        (3) rename the copies into place, (4) delete sources, (5) clear
+        marker — a crash at any point either rolls back or is completed
+        by `_finish_pending_compaction` on the next call. Offline op:
+        run it when no queries are in flight."""
         import shutil
 
         t0 = time.time()
@@ -535,18 +720,32 @@ class IndexBuilder:
             int(n.split("=")[1]) for n in os.listdir(praw) if n.startswith("gen=")
         )
         if len(gens) <= 1:
+            # a crash between marker-clear and the target's gendict/pack
+            # leaves one raw gen without derived state: finish it here
+            for g in gens:
+                if not self._manifest_done("gendict", g):
+                    self._stage_gen_dict(g)
+                    self.refresh_global()
+                self._stage_pack(g)
             return {"compacted": False, "gens": len(gens)}
         target = max(gens) + 1
         raw = self.spark.read.parquet(praw).select(
             "slice", "term", "doc_id", "tf", "positions", "dl"
         )
-        tmp = self._p("postings_raw_compacting")
-        shutil.rmtree(tmp, ignore_errors=True)
-        raw.write.mode("overwrite").partitionBy("slice").parquet(tmp)
+        tmp_raw = self._p("postings_raw_compacting")
+        shutil.rmtree(tmp_raw, ignore_errors=True)
+        raw.write.mode("overwrite").partitionBy("slice").parquet(tmp_raw)
+        # `gen` is a discovered partition column on the parent read —
+        # drop it so the merged copy has the per-gen file schema
+        docs = self.spark.read.parquet(self._p("docs")).drop("gen")
+        tmp_docs = self._p("docs_compacting")
+        shutil.rmtree(tmp_docs, ignore_errors=True)
+        docs.write.mode("overwrite").parquet(tmp_docs)
         with open(self._compact_marker() + ".tmp", "w") as f:
             json.dump({"sources": gens, "target": target}, f)
         os.replace(self._compact_marker() + ".tmp", self._compact_marker())
-        self._finish_pending_compaction()  # rename + deletes + cleanup
+        self._finish_pending_compaction()  # renames + deletes + cleanup
+        self._stage_gen_dict(target)
         self.refresh_global()
         self._stage_pack(target, resume=False)
         return {"compacted": True, "gens_merged": len(gens), "seconds": time.time() - t0}

@@ -90,3 +90,22 @@ def test_pack_all_blocks_matches_per_block():
         )
         assert out_ids.tolist() == ids[s:e].tolist()
         assert [p.tolist() for p in out_pos] == [p.tolist() for p in pos_per_doc[s:e]]
+
+
+def test_encode_grouped_records_matches_encode_positions():
+    # the raw stage's per-posting payloads, concatenated, must be
+    # byte-identical to the pack-side per-doc record stream
+    rng = np.random.default_rng(7)
+    groups = [np.sort(rng.choice(5000, size=rng.integers(1, 40), replace=False)) for _ in range(50)]
+    flat = np.concatenate(groups)
+    lens = np.array([g.size for g in groups], dtype=np.int64)
+    payloads = codec.encode_grouped_records(flat, lens)
+    assert len(payloads) == 50
+    assert b"".join(payloads) == codec.encode_positions([g.astype(np.uint64) for g in groups])
+    for p, g in zip(payloads, groups):
+        dec = codec.decode_positions(p, 1)[0]
+        assert dec.tolist() == g.tolist()
+
+
+def test_encode_grouped_records_empty():
+    assert codec.encode_grouped_records(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)) == []

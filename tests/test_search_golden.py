@@ -174,3 +174,34 @@ def test_manifest_metrics(engine):
     assert all(p["status"] == "done" for p in packs)
     assert sum(p["n_postings"] for p in packs) > 0
     assert all("bytes_packed" in p and "app_id" in p for p in packs)
+
+
+def test_long_document_linear_build(spark, workdir):
+    """5k-token document: the linear (factorize+lexsort) raw stage must
+    index it with exact positions — the former HOF path was
+    O(distinct_terms x doc_len) and would do ~25M comparisons here."""
+    import time
+
+    from pyspark.sql import functions as SF
+
+    long_text = " ".join(f"w{i % 997}" for i in range(5000)) + " needle alpha needle"
+    rows = [
+        ("c9", 0, "user", long_text, None, 1700000000),
+        ("c9", 1, "user", "alpha needle here", None, 1700000001),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, e long"
+    ).withColumn("ts", SF.timestamp_seconds("e")).drop("e")
+    idx = os.path.join(workdir, "longdoc_idx")
+    t0 = time.time()
+    IndexBuilder(
+        spark, idx, key_cols=["conv_id", "turn_idx"], text_col="text",
+        meta_cols=["role", "tool", "ts"], n_slices=2, block_size=64,
+    ).build(df)
+    build_secs = time.time() - t0
+    eng = SearchEngine(spark, idx)
+    # adjacency at the very end of the long doc
+    assert _turns(eng.search('"needle alpha"')) == [0]
+    assert _turns(eng.search('"alpha needle"')) == [0, 1]
+    assert _turns(eng.search("w996")) == [0]
+    assert build_secs < 120  # sanity ceiling, not a benchmark
