@@ -91,8 +91,42 @@ def _documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return eng
 
 
-def _fts(spark, sf_dir, q, k=20, parser=None, **kw) -> DataFrame:
-    eng = _documents_engine(spark, sf_dir)
+def _documents_engine_2f(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Two-field index over documents: text + a derived subject column
+    (source + lang), matching the reference's fts5(text, subject)
+    two-column index (common/db_sqlite.py:27-41)."""
+    key = os.path.normpath(sf_dir) + "#2f"
+    if key in _ENGINES:
+        return _ENGINES[key]
+    ensure_package(spark)
+    idx = os.path.join("/tmp", "aspublic_idx2f_v1_" + _fingerprint(os.path.normpath(sf_dir)))
+    if not os.path.exists(os.path.join(idx, "index_meta.json")):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
+            "subject", F.concat_ws(" ", "source", "lang")
+        )
+        tmp = idx + f".build.{os.getpid()}"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        IndexBuilder(
+            spark,
+            tmp,
+            key_cols=["doc_id"],
+            text_cols=["text", "subject"],
+            meta_cols=["lang", "source", "n_chars"],
+            n_slices=4,
+        ).build(docs)
+        try:
+            os.rename(tmp, idx)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    eng = SearchEngine(spark, idx)
+    _ENGINES[key] = eng
+    return eng
+
+
+def _fts(spark, sf_dir, q, k=20, parser=None, engine_fn=None, **kw) -> DataFrame:
+    eng = (engine_fn or _documents_engine)(spark, sf_dir)
     kwargs = dict(kw)
     if parser is not None:
         kwargs["parser"] = parser
@@ -215,6 +249,61 @@ limit {k}
 """
 
 
+def _bm25_two_field_sql(terms: list[str], k: int = 20) -> str:
+    """DuckDB SQL mirroring the two-field engine: per-field df/tf/dl/
+    avgdl (denominated over ALL docs), score = BM25_text + BM25_subject
+    (weights 1.0, the FTS5 default), AND qualification across fields."""
+    in_list = ",".join(f"'{t}'" for t in sorted(set(terms)))
+    n_terms = len(set(terms))
+    return f"""
+with docs2 as (
+  select doc_id, text, source || ' ' || lang as subject from documents
+),
+tok0 as (
+  select doc_id, unnest(string_split(text, ' ')) as term from docs2
+),
+tok1 as (
+  select doc_id, unnest(string_split(subject, ' ')) as term from docs2
+),
+dl0 as (select doc_id, count(*) as dl from tok0 group by doc_id),
+dl1 as (select doc_id, count(*) as dl from tok1 group by doc_id),
+st as (
+  select (select count(*) from docs2) as n,
+         (select sum(dl) from dl0) * 1.0 / (select count(*) from docs2) as avg0,
+         (select sum(dl) from dl1) * 1.0 / (select count(*) from docs2) as avg1
+),
+contrib as (
+  select t.doc_id, t.term,
+         ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1)
+           * t.tf * {BM25_K1 + 1.0}
+           / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avg0)) as w
+  from (select doc_id, term, count(*) as tf from tok0
+        where term in ({in_list}) group by doc_id, term) t
+  join (select term, count(distinct doc_id) as df from tok0
+        where term in ({in_list}) group by term) f using (term)
+  join dl0 l using (doc_id)
+  cross join st s
+  union all
+  select t.doc_id, t.term,
+         ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1)
+           * t.tf * {BM25_K1 + 1.0}
+           / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avg1)) as w
+  from (select doc_id, term, count(*) as tf from tok1
+        where term in ({in_list}) group by doc_id, term) t
+  join (select term, count(distinct doc_id) as df from tok1
+        where term in ({in_list}) group by term) f using (term)
+  join dl1 l using (doc_id)
+  cross join st s
+)
+select doc_id, round(sum(w), 4) as score
+from contrib
+group by doc_id
+having count(distinct term) = {n_terms}
+order by round(sum(w), 4) desc, doc_id asc
+limit {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries + oracles
 # ---------------------------------------------------------------------------
@@ -237,6 +326,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["fts_phrase"] = lambda spark, sf: _fts(spark, sf, '"hash join"', k=20)
     q["fts_not_group"] = lambda spark, sf: _fts(spark, sf, 'table !"hash join"', k=20)
+    # two-field index (text + derived subject): 'src3' only exists in
+    # the subject field, so the AND can only be satisfied cross-field
+    q["fts_two_field"] = lambda spark, sf: _fts(
+        spark, sf, "table src3", k=20, engine_fn=_documents_engine_2f
+    )
     q["fts_filtered"] = lambda spark, sf: _fts(
         spark, sf, "table", k=20, extra_filter=F.col("lang") == "en"
     )
@@ -427,6 +521,7 @@ def oracle_sql() -> dict[str, str]:
     o["fts_not_group"] = _bm25_sql(
         ["table"], and_terms=["table"], not_groups=[["hash", "join"]]
     )
+    o["fts_two_field"] = _bm25_two_field_sql(["table", "src3"], k=20)
     o["fts_filtered"] = _bm25_sql(["table"], and_terms=["table"], doc_filter="d.lang = 'en'")
 
     o["topk_recency"] = """

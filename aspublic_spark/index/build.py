@@ -48,20 +48,25 @@ from aspublic_spark import BM25_B, BM25_K1
 from aspublic_spark.index import codec
 
 BLOCK_SCHEMA = (
-    "slice int, term string, salt int, block_id int, n int, min_doc long, max_doc long, "
+    "slice int, term string, fld int, salt int, block_id int, n int, "
+    "min_doc long, max_doc long, "
     "doc_gaps binary, tfs binary, dls binary, positions binary, "
     "block_max_w double, max_tf int, min_dl int"
 )
 
-# raw postings: one row per (doc, term); positions already varint-encoded
-# ([n, first, deltas...] — codec.encode_grouped_records) so the pack
-# shuffle moves compressed bytes, not array<int>
-RAW_SCHEMA = "slice int, doc_id long, dl int, term string, tf int, positions binary"
-RAW_FORMAT = 2
+# raw postings: one row per (doc, field, term); positions already
+# varint-encoded ([n, first, deltas...] — codec.encode_grouped_records)
+# so the pack shuffle moves compressed bytes, not array<int>. `fld` is
+# the indexed-column ordinal (FTS5 indexes N columns per row,
+# `fts5(text, subject, ...)`, reference common/db_sqlite.py:27).
+RAW_SCHEMA = (
+    "slice int, doc_id long, fld int, dl int, term string, tf int, positions binary"
+)
+RAW_FORMAT = 3
 
 
-def _raw_postings_arrow_factory(store_positions: bool):
-    """mapInArrow fn: (slice, doc_id, text) batches -> raw posting rows.
+def _raw_postings_arrow_factory(store_positions: bool, n_fields: int = 1):
+    """mapInArrow fn: (slice, doc_id, f0[, f1...]) batches -> raw postings.
 
     Replaces the former JVM higher-order-function position extraction,
     which rescanned the token array once per distinct term
@@ -71,62 +76,72 @@ def _raw_postings_arrow_factory(store_positions: bool):
     (doc, term_code, position), group boundaries by diff — the only
     per-doc Python is the tokenizer itself. Positions leave here as
     per-posting varint payloads; the pack stage concatenates the bytes
-    verbatim (identical block layout to the previous encoder).
+    verbatim (identical block layout to the previous encoder). Each
+    indexed field is tokenized independently (per-field dl and
+    positions, exactly like FTS5 columns).
     """
     import pyarrow as pa
 
     from aspublic_spark.functions.tokenizer import tokenize
 
-    def emit(batches):
+    def one_field(slice_np, doc_np, texts, fld):
         import pandas as pd
 
+        n = len(texts)
+        toks_per_doc = [tokenize(t) for t in texts]
+        lens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=n)
+        total = int(lens.sum())
+        if total == 0:
+            return None
+        flat = np.empty(total, dtype=object)
+        at = 0
+        for toks in toks_per_doc:
+            if toks:
+                flat[at : at + len(toks)] = toks
+                at += len(toks)
+        codes, uniques = pd.factorize(flat, sort=False)
+        uniques = np.asarray(uniques, dtype=object)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        doc_off = np.empty(n, dtype=np.int64)
+        doc_off[0] = 0
+        np.cumsum(lens[:-1], out=doc_off[1:])
+        pos_in_doc = np.arange(total, dtype=np.int64) - doc_off[doc_idx]
+        order = np.lexsort((pos_in_doc, codes, doc_idx))
+        di_s, co_s, po_s = doc_idx[order], codes[order], pos_in_doc[order]
+        gstart = np.empty(total, dtype=bool)
+        gstart[0] = True
+        gstart[1:] = (di_s[1:] != di_s[:-1]) | (co_s[1:] != co_s[:-1])
+        starts = np.flatnonzero(gstart)
+        g_lens = np.diff(np.append(starts, total))
+        g_di = di_s[starts]
+        if store_positions:
+            payloads = codec.encode_grouped_records(po_s, g_lens)
+        else:
+            payloads = [b""] * starts.size
+        return pa.record_batch(
+            [
+                pa.array(slice_np[g_di], type=pa.int32()),
+                pa.array(doc_np[g_di], type=pa.int64()),
+                pa.array(np.full(starts.size, fld, dtype=np.int32), type=pa.int32()),
+                pa.array(lens[g_di].astype(np.int32), type=pa.int32()),
+                pa.array(uniques[co_s[starts]], type=pa.string()),
+                pa.array(g_lens.astype(np.int32), type=pa.int32()),
+                pa.array(payloads, type=pa.binary()),
+            ],
+            names=["slice", "doc_id", "fld", "dl", "term", "tf", "positions"],
+        )
+
+    def emit(batches):
         for batch in batches:
             n = batch.num_rows
             if n == 0:
                 continue
             slice_np = batch.column("slice").to_numpy(zero_copy_only=False).astype(np.int32)
             doc_np = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            toks_per_doc = [tokenize(t) for t in batch.column("text").to_pylist()]
-            lens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=n)
-            total = int(lens.sum())
-            if total == 0:
-                continue
-            flat = np.empty(total, dtype=object)
-            at = 0
-            for toks in toks_per_doc:
-                if toks:
-                    flat[at : at + len(toks)] = toks
-                    at += len(toks)
-            codes, uniques = pd.factorize(flat, sort=False)
-            uniques = np.asarray(uniques, dtype=object)
-            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-            doc_off = np.empty(n, dtype=np.int64)
-            doc_off[0] = 0
-            np.cumsum(lens[:-1], out=doc_off[1:])
-            pos_in_doc = np.arange(total, dtype=np.int64) - doc_off[doc_idx]
-            order = np.lexsort((pos_in_doc, codes, doc_idx))
-            di_s, co_s, po_s = doc_idx[order], codes[order], pos_in_doc[order]
-            gstart = np.empty(total, dtype=bool)
-            gstart[0] = True
-            gstart[1:] = (di_s[1:] != di_s[:-1]) | (co_s[1:] != co_s[:-1])
-            starts = np.flatnonzero(gstart)
-            g_lens = np.diff(np.append(starts, total))
-            g_di = di_s[starts]
-            if store_positions:
-                payloads = codec.encode_grouped_records(po_s, g_lens)
-            else:
-                payloads = [b""] * starts.size
-            yield pa.record_batch(
-                [
-                    pa.array(slice_np[g_di], type=pa.int32()),
-                    pa.array(doc_np[g_di], type=pa.int64()),
-                    pa.array(lens[g_di].astype(np.int32), type=pa.int32()),
-                    pa.array(uniques[co_s[starts]], type=pa.string()),
-                    pa.array(g_lens.astype(np.int32), type=pa.int32()),
-                    pa.array(payloads, type=pa.binary()),
-                ],
-                names=["slice", "doc_id", "dl", "term", "tf", "positions"],
-            )
+            for fld in range(n_fields):
+                out = one_field(slice_np, doc_np, batch.column(f"f{fld}").to_pylist(), fld)
+                if out is not None:
+                    yield out
 
     return emit
 
@@ -145,7 +160,9 @@ def bm25_weight_col(tf_col, dl_col, avgdl: float):
     return tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
 
 
-def _pack_partition_arrow_factory(block_size: int, avgdl: float, store_positions: bool):
+def _pack_partition_arrow_factory(
+    block_size: int, avgdl_by_fld: dict[int, float], store_positions: bool
+):
     """mapInArrow fn: pack one shuffle partition of raw postings into blocks.
 
     The partition holds complete (slice, term, salt) groups (guaranteed
@@ -169,6 +186,7 @@ def _pack_partition_arrow_factory(block_size: int, avgdl: float, store_positions
             return
         slice_np = tbl.column("slice").to_numpy(zero_copy_only=False).astype(np.int32)
         salt_np = tbl.column("salt").to_numpy(zero_copy_only=False).astype(np.int32)
+        fld_np = tbl.column("fld").to_numpy(zero_copy_only=False).astype(np.int32)
         doc_np = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         tf_np = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
         dl_np = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -183,9 +201,9 @@ def _pack_partition_arrow_factory(block_size: int, avgdl: float, store_positions
         tcodes = tdict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         tstrings = tdict.dictionary.to_pylist()
 
-        order = np.lexsort((doc_np, salt_np, tcodes, slice_np))
+        order = np.lexsort((doc_np, salt_np, fld_np, tcodes, slice_np))
         slice_s, salt_s, doc_s = slice_np[order], salt_np[order], doc_np[order]
-        tf_s, dl_s, tc_s = tf_np[order], dl_np[order], tcodes[order]
+        tf_s, dl_s, tc_s, fld_s = tf_np[order], dl_np[order], tcodes[order], fld_np[order]
 
         # positions arrive as per-posting varint payloads (RAW_SCHEMA);
         # a block's payload is the byte-concatenation of its rows' bytes
@@ -222,11 +240,14 @@ def _pack_partition_arrow_factory(block_size: int, avgdl: float, store_positions
                 pos_bytes_sorted = np.empty(0, dtype=np.uint8)
             pos_cum = np.concatenate(([0], np.cumsum(lens_b)))
 
-        # group boundaries (slice, term, salt) -> block boundaries
+        # group boundaries (slice, term, fld, salt) -> block boundaries
         is_group_start = np.empty(n, dtype=bool)
         is_group_start[0] = True
         is_group_start[1:] = (
-            (slice_s[1:] != slice_s[:-1]) | (tc_s[1:] != tc_s[:-1]) | (salt_s[1:] != salt_s[:-1])
+            (slice_s[1:] != slice_s[:-1])
+            | (tc_s[1:] != tc_s[:-1])
+            | (fld_s[1:] != fld_s[:-1])
+            | (salt_s[1:] != salt_s[:-1])
         )
         group_id = np.cumsum(is_group_start) - 1
         group_start_row = np.zeros(n, dtype=np.int64)
@@ -238,6 +259,13 @@ def _pack_partition_arrow_factory(block_size: int, avgdl: float, store_positions
         ends = np.append(starts[1:], n)
 
         blk = codec.pack_all_blocks(doc_s, tf_s, dl_s, starts)
+        # per-row avgdl by field (FTS5-style per-column length norms)
+        max_f = int(fld_s.max()) if n else 0
+        lut = np.ones(max_f + 1, dtype=np.float64)
+        for f, a in avgdl_by_fld.items():
+            if int(f) <= max_f:
+                lut[int(f)] = a or 1.0
+        avgdl_rows = lut[fld_s]
         if store_positions:
             blk_positions = [
                 pos_bytes_sorted[pos_cum[s] : pos_cum[e]].tobytes()
@@ -245,7 +273,7 @@ def _pack_partition_arrow_factory(block_size: int, avgdl: float, store_positions
             ]
         else:
             blk_positions = [b""] * len(starts)
-        w = bm25_weight_np(tf_s, dl_s, avgdl)
+        w = bm25_weight_np(tf_s, dl_s, avgdl_rows)
         block_max_w = np.maximum.reduceat(w, starts)
         # block_id = index of block within its group
         blk_group = group_id[starts]
@@ -262,6 +290,7 @@ def _pack_partition_arrow_factory(block_size: int, avgdl: float, store_positions
             [
                 pa.array(slice_s[starts], type=pa.int32()),
                 pa.array(terms_out, type=pa.string()),
+                pa.array(fld_s[starts], type=pa.int32()),
                 pa.array(salt_s[starts], type=pa.int32()),
                 pa.array(block_ids.astype(np.int32), type=pa.int32()),
                 pa.array(blk["n"], type=pa.int32()),
@@ -276,7 +305,7 @@ def _pack_partition_arrow_factory(block_size: int, avgdl: float, store_positions
                 pa.array(blk["min_dl"].astype(np.int32), type=pa.int32()),
             ],
             names=[
-                "slice", "term", "salt", "block_id", "n", "min_doc", "max_doc",
+                "slice", "term", "fld", "salt", "block_id", "n", "min_doc", "max_doc",
                 "doc_gaps", "tfs", "dls", "positions", "block_max_w", "max_tf", "min_dl",
             ],
         )
@@ -299,11 +328,17 @@ class IndexBuilder:
         n_slices: int = 8,
         store_positions: bool = True,
         salt_max_postings: int = 100_000,
+        text_cols: list[str] | None = None,
     ):
+        """``text_cols`` indexes multiple columns as FTS5 fields (the
+        reference indexes BOTH text and subject, db_sqlite.py:27-41);
+        field ordinal = list position. ``text_col`` remains the
+        single-field shorthand."""
         self.spark = spark
         self.index_dir = index_dir
         self.key_cols = list(key_cols)
-        self.text_col = text_col
+        self.text_cols = list(text_cols) if text_cols else [text_col]
+        self.text_col = self.text_cols[0]
         self.meta_cols = list(meta_cols)
         self.block_size = block_size
         self.n_slices = n_slices
@@ -341,7 +376,8 @@ class IndexBuilder:
         out = []
         mdir = self._p("manifest")
         for name in sorted(os.listdir(mdir)):
-            if name.endswith(".json"):
+            # *_pending.json are crash-recovery markers, not stage records
+            if name.endswith(".json") and not name.endswith("_pending.json"):
                 with open(os.path.join(mdir, name)) as f:
                     out.append(json.load(f))
         return out
@@ -379,6 +415,7 @@ class IndexBuilder:
                         "key_cols": self.key_cols,
                         "meta_cols": self.meta_cols,
                         "text_col": self.text_col,
+                        "text_cols": self.text_cols,
                         "block_size": self.block_size,
                         "n_slices": self.n_slices,
                         "store_positions": self.store_positions,
@@ -430,10 +467,16 @@ class IndexBuilder:
         docs.write.mode("overwrite").parquet(self._p("docs", f"gen={gen}"))
 
         raw = (
-            df.select(doc_id.alias("doc_id"), F.col(self.text_col).alias("text"))
+            df.select(
+                doc_id.alias("doc_id"),
+                *[F.col(c).alias(f"f{i}") for i, c in enumerate(self.text_cols)],
+            )
             .withColumn("slice", slice_col)
-            .select("slice", "doc_id", "text")
-            .mapInArrow(_raw_postings_arrow_factory(self.store_positions), RAW_SCHEMA)
+            .select("slice", "doc_id", *[f"f{i}" for i in range(len(self.text_cols))])
+            .mapInArrow(
+                _raw_postings_arrow_factory(self.store_positions, len(self.text_cols)),
+                RAW_SCHEMA,
+            )
         )
         raw.write.mode("overwrite").partitionBy("slice").parquet(
             self._p("postings_raw", f"gen={gen}")
@@ -450,42 +493,59 @@ class IndexBuilder:
         re-shuffling every generation's postings per batch."""
         t0 = time.time()
         raw = self.spark.read.parquet(self._p("postings_raw", f"gen={gen}"))
-        gdict = raw.groupBy("term").agg(
+        gdict = raw.groupBy("term", "fld").agg(
             F.count("*").alias("df"),
             F.sum("tf").alias("cf"),
             F.max("tf").alias("max_tf"),
             F.min("dl").alias("min_dl"),
         )
         gdict.write.mode("overwrite").parquet(self._p("dictionary_gens", f"gen={gen}"))
-        tot = (
+        tot_rows = (
             self.spark.read.parquet(self._p("dictionary_gens", f"gen={gen}"))
+            .groupBy("fld")
             .agg(F.sum("cf").alias("total_tokens"), F.sum("df").alias("n_postings"))
-            .collect()[0]
+            .collect()
         )
+        by_fld = {
+            str(int(r["fld"])): int(r["total_tokens"] or 0) for r in tot_rows
+        }
         n_docs = self.spark.read.parquet(self._p("docs", f"gen={gen}")).count()
         self._commit(
             "gendict", gen, None,
             {
                 "n_docs": n_docs,
-                "total_tokens": int(tot["total_tokens"] or 0),
-                "n_postings": int(tot["n_postings"] or 0),
+                "total_tokens_by_fld": by_fld,
+                "total_tokens": sum(by_fld.values()),
+                "n_postings": sum(int(r["n_postings"] or 0) for r in tot_rows),
                 "seconds": time.time() - t0,
             },
         )
 
-    def _write_stats(self, n_docs: int, avgdl: float, total_tokens: int):
-        """One tiny row — written driver-side with pyarrow (readable by
-        spark.read.parquet) instead of paying a Spark job per refresh."""
+    def _write_stats(self, n_docs: int, tok_by_fld: dict[int, int]):
+        """One tiny row per field — written driver-side with pyarrow
+        (readable by spark.read.parquet) instead of paying a Spark job
+        per refresh. avgdl is per FIELD (FTS5 computes per-column
+        average lengths the same way), denominated over ALL docs."""
+        import shutil
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        import shutil
-
+        flds = sorted(tok_by_fld) or [0]
         tbl = pa.table(
             {
-                "n_docs": pa.array([n_docs], type=pa.int64()),
-                "avgdl": pa.array([float(avgdl)], type=pa.float64()),
-                "total_tokens": pa.array([total_tokens], type=pa.int64()),
+                "fld": pa.array(flds, type=pa.int32()),
+                "n_docs": pa.array([n_docs] * len(flds), type=pa.int64()),
+                "avgdl": pa.array(
+                    [
+                        (tok_by_fld.get(f, 0) / n_docs) if n_docs else 0.0
+                        for f in flds
+                    ],
+                    type=pa.float64(),
+                ),
+                "total_tokens": pa.array(
+                    [tok_by_fld.get(f, 0) for f in flds], type=pa.int64()
+                ),
             }
         )
         new = self._p("stats.new")
@@ -516,15 +576,29 @@ class IndexBuilder:
         (summed from per-gen counters), so avgdl = total_tokens / n_docs
         matches the naive definition exactly."""
         t0 = time.time()
+        gd_root = self._p("dictionary_gens")
         live_gens = sorted(
             int(n.split("=")[1])
-            for n in os.listdir(self._p("dictionary_gens"))
+            for n in (os.listdir(gd_root) if os.path.isdir(gd_root) else [])
             if n.startswith("gen=")
         )
         per_gen = self._gen_manifests("gendict")
         missing = [g for g in live_gens if g not in per_gen]
         if missing:
             raise RuntimeError(f"gendict manifest missing for generations {missing}")
+        if not live_gens:
+            # fully pruned corpus: empty dictionary, zeroed stats
+            empty = self.spark.createDataFrame(
+                [], "term string, fld int, df long, cf long, max_tf int, min_dl int"
+            )
+            empty.write.mode("overwrite").parquet(self._p("dictionary"))
+            self._write_stats(0, {})
+            self._commit(
+                "global", 0, None,
+                {"n_docs": 0, "avgdl": 0.0, "total_tokens": 0, "n_postings": 0,
+                 "seconds": time.time() - t0},
+            )
+            return
         if len(live_gens) == 1:
             # single generation: the global dictionary IS the gen
             # dictionary — swap it in file-level, no Spark job
@@ -539,7 +613,7 @@ class IndexBuilder:
         else:
             merged = (
                 self.spark.read.parquet(self._p("dictionary_gens"))
-                .groupBy("term")
+                .groupBy("term", "fld")
                 .agg(
                     F.sum("df").alias("df"),
                     F.sum("cf").alias("cf"),
@@ -549,28 +623,35 @@ class IndexBuilder:
             )
             merged.write.mode("overwrite").parquet(self._p("dictionary"))
         n_docs = sum(per_gen[g]["n_docs"] for g in live_gens)
-        total_tokens = sum(per_gen[g]["total_tokens"] for g in live_gens)
         n_postings = sum(per_gen[g]["n_postings"] for g in live_gens)
-        avgdl = (total_tokens / n_docs) if n_docs else 0.0
-        self._write_stats(n_docs, avgdl, total_tokens)
+        tok_by_fld: dict[int, int] = {}
+        for g in live_gens:
+            for f, v in per_gen[g]["total_tokens_by_fld"].items():
+                tok_by_fld[int(f)] = tok_by_fld.get(int(f), 0) + v
+        total_tokens = sum(tok_by_fld.values())
+        self._write_stats(n_docs, tok_by_fld)
+        avgdl0 = (tok_by_fld.get(0, 0) / n_docs) if n_docs else 0.0
         self._commit(
             "global", 0, None,
-            {"n_docs": n_docs, "avgdl": avgdl, "n_postings": n_postings,
-             "seconds": time.time() - t0},
+            {"n_docs": n_docs, "avgdl": avgdl0, "total_tokens": total_tokens,
+             "n_postings": n_postings, "seconds": time.time() - t0},
         )
 
     def _stage_pack(self, gen: int, resume: bool = True):
-        """Shuffle-merge raw postings by (term, salt) into packed blocks."""
-        stats = self.spark.read.parquet(self._p("stats")).collect()[0]
-        avgdl = float(stats["avgdl"] or 1.0)
-        # heavy-hitter salting plan from the dictionary (driver-side: only
-        # terms with df > salt_max — a handful even on Zipfian corpora)
-        # Heavy-hitter salting plan: a tiny (term -> n_salts) table,
-        # broadcast-joined so the salt assignment stays JVM-side.
+        """Shuffle-merge raw postings by (term, fld, salt) into packed blocks."""
+        stats_rows = self.spark.read.parquet(self._p("stats")).collect()
+        avgdl_by_fld = {int(r["fld"]): float(r["avgdl"] or 1.0) for r in stats_rows}
+        # Heavy-hitter salting plan: a tiny (term, fld -> n_salts) table,
+        # broadcast-joined so the salt assignment stays JVM-side (only
+        # terms with df > salt_max — a handful even on Zipfian corpora).
         heavy_df = (
             self.spark.read.parquet(self._p("dictionary"))
             .filter(F.col("df") > self.salt_max_postings)
-            .select("term", F.ceil(F.col("df") / self.salt_max_postings).cast("int").alias("n_salts"))
+            .select(
+                "term",
+                "fld",
+                F.ceil(F.col("df") / self.salt_max_postings).cast("int").alias("n_salts"),
+            )
         )
         pending = [
             s for s in range(self.n_slices)
@@ -583,7 +664,7 @@ class IndexBuilder:
         if len(pending) < self.n_slices:
             raw = raw.filter(F.col("slice").isin(pending))
         raw = (
-            raw.join(F.broadcast(heavy_df), "term", "left")
+            raw.join(F.broadcast(heavy_df), ["term", "fld"], "left")
             .withColumn(
                 "salt",
                 F.pmod(
@@ -594,8 +675,8 @@ class IndexBuilder:
             .drop("n_salts")
         )
         n_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        packed = raw.repartition(n_shuffle, "slice", "term", "salt").mapInArrow(
-            _pack_partition_arrow_factory(self.block_size, avgdl, self.store_positions),
+        packed = raw.repartition(n_shuffle, "slice", "term", "fld", "salt").mapInArrow(
+            _pack_partition_arrow_factory(self.block_size, avgdl_by_fld, self.store_positions),
             BLOCK_SCHEMA,
         )
         # dynamic partition overwrite: one job packs every pending slice,
@@ -648,6 +729,115 @@ class IndexBuilder:
 
     def _compact_marker(self) -> str:
         return self._p("manifest", "compact_pending.json")
+
+    # -- retention prune (S9: index segments dropped by time) ----------
+    def _prune_marker(self) -> str:
+        return self._p("manifest", "prune_pending.json")
+
+    def _apply_pending_prune(self):
+        """Roll a persisted prune decision forward (idempotent): drop
+        whole generations, swap in pre-written filtered copies for
+        boundary generations, rebuild their derived state, refresh."""
+        import glob
+        import shutil
+
+        marker = self._prune_marker()
+        if not os.path.exists(marker):
+            return
+        with open(marker) as f:
+            pend = json.load(f)
+        for g in pend["drop"]:
+            for d in ("docs", "postings_raw", "postings", "dictionary_gens"):
+                shutil.rmtree(self._p(d, f"gen={g}"), ignore_errors=True)
+            for pat in (f"raw_g{g}.json", f"gendict_g{g}.json", f"pack_g{g}_s*.json"):
+                for m in glob.glob(self._p("manifest", pat)):
+                    os.remove(m)
+        for g in pend["rewrite"]:
+            for sub in ("docs", "postings_raw"):
+                tmp = self._p(f"{sub}_pruning", f"gen={g}")
+                target = self._p(sub, f"gen={g}")
+                if os.path.isdir(tmp):
+                    shutil.rmtree(target, ignore_errors=True)
+                    os.rename(tmp, target)
+            shutil.rmtree(self._p("postings", f"gen={g}"), ignore_errors=True)
+            for pat in (f"gendict_g{g}.json", f"pack_g{g}_s*.json"):
+                for m in glob.glob(self._p("manifest", pat)):
+                    os.remove(m)
+        for g in pend["rewrite"]:
+            self._stage_gen_dict(g)
+        self.refresh_global()
+        for g in pend["rewrite"]:
+            self._stage_pack(g, resume=False)
+        if pend["drop"] and not pend["rewrite"]:
+            self.refresh_global()
+        shutil.rmtree(self._p("docs_pruning"), ignore_errors=True)
+        shutil.rmtree(self._p("postings_raw_pruning"), ignore_errors=True)
+        os.remove(marker)
+
+    def prune_index(self, cutoff_ts, ts_col: str = "ts") -> dict:
+        """Drop index segments older than ``cutoff_ts`` (docs with
+        ts < cutoff stop matching and stats/dictionary shrink
+        accordingly) — the index-side analog of the reference's hourly
+        `DELETE FROM statuses WHERE created < cutoff` (db_sqlite.py:
+        46-52), where the FTS5 delete-triggers prune postings in step.
+
+        Whole generations past the cutoff are dropped O(1) (directory
+        removal — the Iceberg `days(ts)` partition-drop analog);
+        boundary generations are rewritten: filtered docs + raw
+        postings, regenerated per-gen dictionary, repacked. Crash-safe:
+        filtered copies are fully written before a marker commits the
+        decision; `_apply_pending_prune` rolls forward on any rerun.
+        Offline op, like compact()."""
+        import shutil
+
+        t0 = time.time()
+        self._apply_pending_prune()
+        if ts_col not in self.meta_cols:
+            raise ValueError(f"retention prune needs '{ts_col}' in meta_cols")
+        gens = sorted(
+            int(n.split("=")[1])
+            for n in os.listdir(self._p("docs"))
+            if n.startswith("gen=")
+        )
+        drop, rewrite = [], []
+        for g in gens:
+            docs_g = self.spark.read.parquet(self._p("docs", f"gen={g}"))
+            mm = docs_g.agg(
+                F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+            ).collect()[0]
+            if mm["hi"] is None or mm["hi"] < cutoff_ts:
+                drop.append(g)
+            elif mm["lo"] >= cutoff_ts:
+                continue
+            else:
+                rewrite.append(g)
+        if not drop and not rewrite:
+            return {"pruned": False, "dropped": [], "rewritten": []}
+        shutil.rmtree(self._p("docs_pruning"), ignore_errors=True)
+        shutil.rmtree(self._p("postings_raw_pruning"), ignore_errors=True)
+        for g in rewrite:
+            docs_g = self.spark.read.parquet(self._p("docs", f"gen={g}"))
+            kept = docs_g.filter(F.col(ts_col) >= F.lit(cutoff_ts))
+            kept.write.mode("overwrite").parquet(self._p("docs_pruning", f"gen={g}"))
+            raw_g = self.spark.read.parquet(self._p("postings_raw", f"gen={g}"))
+            kept_ids = self.spark.read.parquet(
+                self._p("docs_pruning", f"gen={g}")
+            ).select("doc_id")
+            raw_g.join(kept_ids, "doc_id", "left_semi").select(
+                "slice", "doc_id", "fld", "dl", "term", "tf", "positions"
+            ).write.mode("overwrite").partitionBy("slice").parquet(
+                self._p("postings_raw_pruning", f"gen={g}")
+            )
+        with open(self._prune_marker() + ".tmp", "w") as f:
+            json.dump({"drop": drop, "rewrite": rewrite}, f)
+        os.replace(self._prune_marker() + ".tmp", self._prune_marker())
+        self._apply_pending_prune()
+        return {
+            "pruned": True,
+            "dropped": drop,
+            "rewritten": rewrite,
+            "seconds": time.time() - t0,
+        }
 
     def _finish_pending_compaction(self):
         """Crash recovery: complete (or roll back) an interrupted compact.
@@ -730,7 +920,7 @@ class IndexBuilder:
             return {"compacted": False, "gens": len(gens)}
         target = max(gens) + 1
         raw = self.spark.read.parquet(praw).select(
-            "slice", "term", "doc_id", "tf", "positions", "dl"
+            "slice", "term", "fld", "doc_id", "tf", "positions", "dl"
         )
         tmp_raw = self._p("postings_raw_compacting")
         shutil.rmtree(tmp_raw, ignore_errors=True)

@@ -48,13 +48,22 @@ from aspublic_spark.index import codec
 from aspublic_spark.index.build import bm25_weight_col
 from aspublic_spark.query.parser import ParsedQuery, parse_query
 
-_UNPACK_SCHEMA = "term string, doc_id long, tf int, dl int"
+_UNPACK_SCHEMA = "term string, fld int, doc_id long, tf int, dl int"
 _UNPACK_POS_SCHEMA = _UNPACK_SCHEMA + ", positions array<int>"
 
 _BLOCK_META_COLS = [
-    "term", "salt", "block_id", "n", "min_doc", "max_doc",
+    "term", "fld", "salt", "block_id", "n", "min_doc", "max_doc",
     "block_max_w", "max_tf", "min_dl",
 ]
+
+# scoring-map keys are "term\x00fld" strings (NUL never survives the
+# FTS5 tokenizer, so the concatenation is unambiguous)
+def _tf_key(term: str, fld: int) -> str:
+    return f"{term}\x00{fld}"
+
+
+def _tf_key_col():
+    return F.concat_ws("\x00", F.col("term"), F.col("fld").cast("string"))
 
 
 def _unpack_factory(with_positions: bool):
@@ -62,7 +71,7 @@ def _unpack_factory(with_positions: bool):
         for pdf in batches:
             if pdf.empty:
                 continue
-            terms, docs, tfs, dls, poss = [], [], [], [], []
+            terms, flds, docs, tfs, dls, poss = [], [], [], [], [], []
             for row in pdf.itertuples(index=False):
                 r = row._asdict()
                 if with_positions:
@@ -71,6 +80,7 @@ def _unpack_factory(with_positions: bool):
                 else:
                     ids, tf, dl = codec.unpack_block(r)
                 terms.append(np.repeat(r["term"], ids.size))
+                flds.append(np.full(ids.size, r["fld"], dtype=np.int32))
                 docs.append(ids)
                 tfs.append(tf.astype(np.int64))
                 dls.append(dl.astype(np.int64))
@@ -79,6 +89,7 @@ def _unpack_factory(with_positions: bool):
             out = pd.DataFrame(
                 {
                     "term": np.concatenate(terms),
+                    "fld": np.concatenate(flds),
                     "doc_id": np.concatenate(docs),
                     "tf": np.concatenate(tfs).astype(np.int32),
                     "dl": np.concatenate(dls).astype(np.int32),
@@ -121,9 +132,16 @@ class SearchEngine:
         self.meta_cols: list[str] = meta["meta_cols"]
         self.store_positions: bool = meta["store_positions"]
         self.block_size: int = meta.get("block_size", 128)
-        st = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
-        self.n_docs = int(st["n_docs"])
-        self.avgdl = float(st["avgdl"] or 1.0)
+        self.text_cols: list[str] = meta.get("text_cols", [meta.get("text_col", "text")])
+        self.n_fields = len(self.text_cols)
+        st_rows = spark.read.parquet(os.path.join(index_dir, "stats")).collect()
+        self.n_docs = int(st_rows[0]["n_docs"])
+        # per-field average length (FTS5 per-column norms); fields with
+        # no postings anywhere fall back to 1.0
+        self.avgdl_by_fld = {
+            int(r["fld"]): float(r["avgdl"] or 1.0) for r in st_rows
+        }
+        self.avgdl = self.avgdl_by_fld.get(0, 1.0)
 
     # -- raw table access ---------------------------------------------
     def docs(self) -> DataFrame:
@@ -142,27 +160,36 @@ class SearchEngine:
         df = self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
         return df.filter(F.col("term").isin(list(terms)))  # pushed to scan
 
-    def term_stats(self, terms: list[str]) -> dict[str, dict]:
+    def term_stats(self, terms: list[str]) -> dict[str, dict[int, dict]]:
+        """{term: {fld: dictionary row}} — a term exists if it appears
+        in ANY indexed field."""
         if not terms:
             return {}
         rows = self.dictionary().filter(F.col("term").isin(list(terms))).collect()
-        return {r["term"]: r.asDict() for r in rows}
+        out: dict[str, dict[int, dict]] = {}
+        for r in rows:
+            out.setdefault(r["term"], {})[int(r["fld"])] = r.asDict()
+        return out
 
     def idf(self, df_t: int) -> float:
         return math.log((self.n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
 
-    def _safe_ub_w(self, max_tf: float, min_dl: float) -> float:
+    def _safe_ub_w(self, max_tf: float, min_dl: float, avgdl: float | None = None) -> float:
         """Upper bound of the BM25 weight for any posting with tf<=max_tf,
-        dl>=min_dl under the CURRENT avgdl (monotonic in tf up, dl down) —
-        valid across generations even when avgdl drifted since pack."""
+        dl>=min_dl under the CURRENT per-field avgdl (monotonic in tf up,
+        dl down) — valid across generations even when avgdl drifted
+        since pack."""
+        a = self.avgdl if avgdl is None else avgdl
         return (
             max_tf * (BM25_K1 + 1.0)
-            / (max_tf + BM25_K1 * (1.0 - BM25_B + BM25_B * min_dl / self.avgdl))
+            / (max_tf + BM25_K1 * (1.0 - BM25_B + BM25_B * min_dl / a))
         )
 
     def unpack(self, blocks: DataFrame, with_positions: bool = False) -> DataFrame:
         schema = _UNPACK_POS_SCHEMA if with_positions else _UNPACK_SCHEMA
-        cols = ["term", "doc_gaps", "tfs", "dls"] + (["positions"] if with_positions else [])
+        cols = ["term", "fld", "doc_gaps", "tfs", "dls"] + (
+            ["positions"] if with_positions else []
+        )
         return blocks.select(*cols).mapInPandas(_unpack_factory(with_positions), schema)
 
     # -- structured predicates (Q6-Q8) ---------------------------------
@@ -196,18 +223,31 @@ class SearchEngine:
 
     # -- phrase evaluation (Q4) ----------------------------------------
     def _phrase_docs(self, phrase: list[str], unp_pos: DataFrame) -> DataFrame:
+        """Docs where the phrase occurs adjacently within a SINGLE field
+        (FTS5 phrases never span columns). Position candidates are
+        anchored on the rarest phrase term — its explode produces the
+        smallest intermediate — with offsets checked relative to it."""
+        stats = self.term_stats(list(set(phrase)))
+        df_of = lambda t: sum(s["df"] for s in stats.get(t, {}).values())  # noqa: E731
+        anchor = min(range(len(phrase)), key=lambda i: df_of(phrase[i]))
         cur = (
-            unp_pos.filter(F.col("term") == phrase[0])
-            .select("doc_id", F.explode("positions").alias("p"))
+            unp_pos.filter(F.col("term") == phrase[anchor])
+            .select("fld", "doc_id", F.explode("positions").alias("_pa"))
+            .select("fld", "doc_id", (F.col("_pa") - anchor).alias("p0"))
+            .filter(F.col("p0") >= 0)
         )
-        for i, t in enumerate(phrase[1:], start=1):
+        for i, t in enumerate(phrase):
+            if i == anchor:
+                continue
             nxt = unp_pos.filter(F.col("term") == t).select(
-                F.col("doc_id").alias("_d"), F.col("positions").alias(f"_pos{i}")
+                F.col("fld").alias("_f"),
+                F.col("doc_id").alias("_d"),
+                F.col("positions").alias(f"_pos{i}"),
             )
             cur = (
-                cur.join(nxt, cur.doc_id == nxt._d)
-                .filter(F.array_contains(F.col(f"_pos{i}"), F.col("p") + i))
-                .select("doc_id", "p")
+                cur.join(nxt, (cur.doc_id == nxt._d) & (cur.fld == nxt._f))
+                .filter(F.array_contains(F.col(f"_pos{i}"), F.col("p0") + i))
+                .select("fld", "doc_id", "p0")
             )
         return cur.select("doc_id").distinct()
 
@@ -217,29 +257,48 @@ class SearchEngine:
         pos_blocks: DataFrame,
         not_blocks: DataFrame | None,
         pq: ParsedQuery,
-        idf_map: dict[str, float],
+        scaled_map: dict[tuple[str, int], float],
         k: int,
         docs_filtered: DataFrame,
         has_doc_filters: bool,
-        stats: dict[str, dict],
+        stats: dict[str, dict[int, dict]],
     ):
         info = {"theta": 0.0, "range_pruned": False, "theta_pruned": False}
-        terms = list(idf_map)
-        # per-block score upper bound (safe under avgdl drift)
+        # per-block score upper bound (safe under avgdl drift); avgdl is
+        # the block's FIELD's current value
+        avgdl_expr = F.create_map(
+            *[x for f, a in self.avgdl_by_fld.items() for x in (F.lit(f), F.lit(a))]
+        )
         ub_w = (
             F.col("max_tf").cast("double") * (BM25_K1 + 1.0)
             / (
                 F.col("max_tf").cast("double")
-                + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("min_dl").cast("double") / self.avgdl)
+                + BM25_K1
+                * (
+                    1.0
+                    - BM25_B
+                    + BM25_B * F.col("min_dl").cast("double") / avgdl_expr[F.col("fld")]
+                )
             )
         )
-        idf_expr = F.create_map(*[x for t in terms for x in (F.lit(t), F.lit(idf_map[t]))])
-        pos_blocks = pos_blocks.withColumn("_ub", idf_expr[F.col("term")] * ub_w)
+        scaled_expr = F.create_map(
+            *[
+                x
+                for (t, f), v in scaled_map.items()
+                for x in (F.lit(_tf_key(t, f)), F.lit(v))
+            ]
+        )
+        pos_blocks = pos_blocks.withColumn("_ub", scaled_expr[_tf_key_col()] * ub_w)
 
         # ---- doc-range intersection pruning for AND/phrase queries ----
+        # (a doc satisfies term t if it matches in ANY field, so the
+        # rarest term's intervals span its blocks across all fields)
         and_like = list(pq.and_terms) + [t for ph in pq.phrases for t in ph]
         if and_like:
-            rarest = min(and_like, key=lambda t: stats.get(t, {}).get("df", 0))
+            df_of = lambda t: sum(  # noqa: E731
+                s["df"] for s in stats.get(t, {}).values()
+            )
+            rarest = min(and_like, key=df_of)
             ivals = (
                 pos_blocks.filter(F.col("term") == rarest)
                 .select("min_doc", "max_doc")
@@ -265,22 +324,30 @@ class SearchEngine:
         # candidates' qualification). NOT terms and structured doc
         # filters are applied inside the phase-1 candidate scoring, so
         # theta stays a valid lower bound of the true k-th result.
-        if not pq.phrases and terms:
-            tstats = {t: stats[t] for t in terms if t in stats}
-            total_ub = sum(
-                idf_map[t] * self._safe_ub_w(s["max_tf"], s["min_dl"])
-                for t, s in tstats.items()
-            )
+        if not pq.phrases and scaled_map:
+            gub = {
+                (t, f): v
+                * self._safe_ub_w(
+                    stats[t][f]["max_tf"],
+                    stats[t][f]["min_dl"],
+                    self.avgdl_by_fld.get(f, 1.0),
+                )
+                for (t, f), v in scaled_map.items()
+                if t in stats and f in stats[t]
+            }
+            total_ub = sum(gub.values())
             from pyspark.sql import Window
 
-            w = Window.partitionBy("term").orderBy(F.col("_ub").desc(), "salt", "block_id")
+            w = Window.partitionBy("term", "fld").orderBy(
+                F.col("_ub").desc(), "salt", "block_id"
+            )
             top_blocks = (
                 pos_blocks.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") <= max(1, math.ceil(2 * k / self.block_size)))
                 .drop("_rn")
             )
             phase1 = self.unpack(top_blocks)
-            scored1 = self._score(phase1, idf_map)
+            scored1 = self._score(phase1, scaled_map)
             qual1 = self._qualify(scored1, pq)
             if not_blocks is not None:
                 nd = self.unpack(not_blocks).select("doc_id").distinct()
@@ -291,36 +358,58 @@ class SearchEngine:
             if len(top) >= k:
                 theta = float(top[-1]["score"])
                 info["theta"] = theta
-                # a block of term t survives iff its own bound plus every
-                # other term's global bound can reach theta
-                gub = {
-                    t: idf_map[t] * self._safe_ub_w(s["max_tf"], s["min_dl"])
-                    for t, s in tstats.items()
-                }
+                # a block of (term t, field f) survives iff its own bound
+                # plus every OTHER (term, field)'s global bound can reach
+                # theta (a doc may legitimately score t in both fields)
                 other_expr = F.create_map(
-                    *[x for t in terms for x in (F.lit(t), F.lit(total_ub - gub.get(t, 0.0)))]
+                    *[
+                        x
+                        for (t, f) in scaled_map
+                        for x in (
+                            F.lit(_tf_key(t, f)),
+                            F.lit(total_ub - gub.get((t, f), 0.0)),
+                        )
+                    ]
                 )
                 pos_blocks = pos_blocks.filter(
-                    F.col("_ub") + other_expr[F.col("term")] >= theta
+                    F.col("_ub") + other_expr[_tf_key_col()] >= theta
                 )
                 info["theta_pruned"] = True
         return pos_blocks.drop("_ub"), not_blocks, info
 
     # -- scoring + qualification ----------------------------------------
-    def _score(self, unpacked: DataFrame, idf_map: dict[str, float]) -> DataFrame:
-        """Per-doc BM25. Contributions are summed in CANONICAL TERM ORDER
+    def _score(self, unpacked: DataFrame, scaled_map: dict[tuple[str, int], float]) -> DataFrame:
+        """Per-doc BM25 summed over (term, field) contributions; the
+        map value for (t, f) is field_weight_f * idf(t, f), so the total
+        is sum_f w_f * BM25_f — FTS5's multi-column bm25(fts, w1, w2).
+
+        Contributions are summed in CANONICAL (term, fld) ORDER
         (array_sort before the fold), not with F.sum: float addition is
         non-associative and a plain sum's order depends on partitioning,
         which would make scores — and tie-breaks near the k-th rank —
         run-dependent. This way scores are bit-identical across any
         partitioning/cluster size (north_rule rank-identity)."""
-        terms = list(idf_map)
-        idf_expr = F.create_map(*[x for t in terms for x in (F.lit(t), F.lit(idf_map[t]))])
-        w = idf_expr[F.col("term")] * bm25_weight_col(F.col("tf"), F.col("dl"), self.avgdl)
+        scaled_expr = F.create_map(
+            *[
+                x
+                for (t, f), v in scaled_map.items()
+                for x in (F.lit(_tf_key(t, f)), F.lit(v))
+            ]
+        )
+        avgdl_expr = F.create_map(
+            *[
+                x
+                for f, a in self.avgdl_by_fld.items()
+                for x in (F.lit(f), F.lit(a))
+            ]
+        )
+        w = scaled_expr[_tf_key_col()] * bm25_weight_col(
+            F.col("tf"), F.col("dl"), avgdl_expr[F.col("fld")]
+        )
         return (
             unpacked.withColumn("_w", w)
             .groupBy("doc_id")
-            .agg(F.array_sort(F.collect_list(F.struct("term", "_w"))).alias("_tw"))
+            .agg(F.array_sort(F.collect_list(F.struct("term", "fld", "_w"))).alias("_tw"))
             .select(
                 "doc_id",
                 F.aggregate(
@@ -359,10 +448,16 @@ class SearchEngine:
         order: str = "bm25",
         block_max: bool = True,
         parser=parse_query,
+        field_weights: list[float] | None = None,
     ) -> SearchResult:
         """Run one search; returns a DataFrame of at most k rows with
         columns [key_cols..., meta_cols..., score] ordered by the
-        requested criterion with deterministic tie-breaks."""
+        requested criterion with deterministic tie-breaks.
+
+        ``field_weights``: per-indexed-column BM25 weights, the analog
+        of FTS5's ``bm25(fts, w1, w2, ...)`` (reference indexes text +
+        subject, db_sqlite.py:27). Defaults to 1.0 per field (FTS5
+        default); total score = sum_f w_f * BM25_f."""
         k = max(1, min(int(k), 100))  # reference clamp, viewer.py:123
         pq = parser(q) if isinstance(q, str) else (q or ParsedQuery())
         has_doc_filters = any(
@@ -412,7 +507,15 @@ class SearchEngine:
                 return SearchResult(empty, pq, {"empty": True})
 
         live_terms = [t for t in pos_terms if t in stats]
-        idf_map = {t: self.idf(stats[t]["df"]) for t in live_terms}
+        fw = list(field_weights) if field_weights is not None else []
+        fw += [1.0] * (self.n_fields - len(fw))
+        # (term, fld) -> field_weight * idf(term in that field); df is
+        # per-field, like per-column FTS5 statistics
+        scaled_map = {
+            (t, f): fw[f] * self.idf(s["df"])
+            for t in live_terms
+            for f, s in stats[t].items()
+        }
         pos_blocks = self.blocks(live_terms)
         # NOT side: single terms exclude on any match; conjunctive NOT
         # groups (sqlite `!"a b"` -> NOT (a AND b)) exclude only docs
@@ -434,12 +537,12 @@ class SearchEngine:
         not_blocks = self.blocks(not_all_terms) if not_all_terms else None
 
         info: dict = {}
-        total_df = sum(stats[t]["df"] for t in live_terms)
+        total_df = sum(s["df"] for t in live_terms for s in stats[t].values())
         # pruning pays for its extra jobs only when there is real volume
         # to skip; below the threshold the exhaustive plan is faster
         if block_max and order == "bm25" and total_df >= self.prune_min_postings:
             pos_blocks, not_blocks, info = self._prune_blocks(
-                pos_blocks, not_blocks, pq, idf_map, k, docs_f, has_doc_filters, stats
+                pos_blocks, not_blocks, pq, scaled_map, k, docs_f, has_doc_filters, stats
             )
 
         need_pos = bool(pq.phrases)
@@ -450,7 +553,7 @@ class SearchEngine:
             )
         unpacked = self.unpack(pos_blocks, with_positions=need_pos)
         scored = self._score(
-            unpacked.select("term", "doc_id", "tf", "dl"), idf_map
+            unpacked.select("term", "fld", "doc_id", "tf", "dl"), scaled_map
         )
         cand = self._qualify(scored, pq).drop("_terms")
 

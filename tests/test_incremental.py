@@ -82,3 +82,58 @@ def test_refresh_global_never_reads_raw_postings(spark, workdir):
     b.refresh_global()
     assert _dict_rows(spark, idx) == before_d
     assert _stats_row(spark, idx) == before_s
+
+
+def _mk_rows(spark, cid, n, epoch0, words):
+    rows = [
+        (f"{cid}", i, "user", f"{words} tok{i % 3}", None, epoch0 + i)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, e long"
+    ).withColumn("ts", F.timestamp_seconds("e")).drop("e")
+
+
+def test_index_retention_prune(spark, workdir):
+    """S9 index-segment retention: whole old generations are dropped,
+    the boundary generation is rewritten, and the pruned index is
+    IDENTICAL (dictionary, stats, search results) to a fresh build over
+    only the surviving rows."""
+    from datetime import datetime, timezone
+
+    idx = os.path.join(workdir, "prune_idx")
+    b = _builder(spark, idx)
+    g0 = _mk_rows(spark, "cOLD", 12, 1_000_000, "ancient alpha words")
+    g1 = _mk_rows(spark, "cMID", 12, 2_000_000 - 6, "boundary bravo words")  # straddles
+    g2 = _mk_rows(spark, "cNEW", 12, 3_000_000, "recent charlie words")
+    b.build(g0, gen=0)
+    b.add_documents(g1, gen=1)
+    b.add_documents(g2, gen=2)
+
+    cutoff = datetime.fromtimestamp(2_000_000, tz=timezone.utc).replace(tzinfo=None)
+    res = b.prune_index(cutoff)
+    assert res["pruned"] and res["dropped"] == [0] and res["rewritten"] == [1]
+
+    union = g0.unionByName(g1).unionByName(g2).filter(F.col("ts") >= F.lit(cutoff))
+    fresh_idx = os.path.join(workdir, "prune_fresh_idx")
+    _builder(spark, fresh_idx).build(union)
+
+    assert _stats_row(spark, idx) == _stats_row(spark, fresh_idx)
+    assert _dict_rows(spark, idx) == _dict_rows(spark, fresh_idx)
+
+    eng = SearchEngine(spark, idx)
+    # pre-cutoff docs are gone from results AND from the dictionary
+    assert eng.search("ancient", k=100).df.count() == 0
+    assert eng.search("alpha", k=100).df.count() == 0
+    got = [
+        (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+        for r in eng.search("words", k=100).df.collect()
+    ]
+    want = [
+        (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+        for r in SearchEngine(spark, fresh_idx).search("words", k=100).df.collect()
+    ]
+    assert got == want and len(got) == 18  # 6 surviving MID + 12 NEW
+
+    # idempotent: a second prune at the same cutoff is a no-op
+    assert b.prune_index(cutoff)["pruned"] is False
