@@ -477,12 +477,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["window_counts"] = window_counts
 
-    # -- non-SQL-expressible ops: no oracle entry -> the driver records a
-    # rows-only check (xxhash64-based hashing has no DuckDB equivalent)
     def simhash_fingerprints(spark, sf):
+        # portable 32-bit variant (md5-derived token hash) so DuckDB can
+        # reproduce fingerprints bit-exactly; the 64-bit xxhash variant
+        # stays the engine-internal default
         from aspublic_spark.operators.dedup import simhash
 
-        return simhash(docs(spark, sf).filter(F.col("doc_id") < 200))
+        return simhash(
+            docs(spark, sf).filter(F.col("doc_id") < 200), n_bits=32, portable=True
+        )
 
     q["simhash_fingerprints"] = simhash_fingerprints
 
@@ -665,5 +668,85 @@ def oracle_sql() -> dict[str, str]:
                         '%Y-%m-%d %H:%M:%S') as w_start,
                event_type, count(*) as n, round(sum(value), 4) as total
         from events group by 1, 2
+    """
+
+    # portable 32-bit simhash: md5-derived token hash on both sides
+    o["simhash_fingerprints"] = """
+        with tok as (
+          select doc_id,
+                 unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) as t
+          from documents where doc_id < 200
+        ),
+        h as (
+          select doc_id, ('0x' || substr(md5(t), 1, 8))::bigint as hv from tok
+        ),
+        bits as (
+          select doc_id, g.i,
+                 sum(case when (hv >> g.i) & 1 = 1 then 1 else -1 end) as s
+          from h, lateral (select unnest(generate_series(0, 31)) as i) g
+          group by doc_id, g.i
+        )
+        select doc_id,
+               sum(case when s > 0 then (1::bigint << i) else 0 end)::bigint as simhash
+        from bits group by doc_id
+    """
+
+    # MinHash+LSH duplicate pairs: same signatures as minhash_signatures
+    # (md5-derived hash, same permutations), banded r=4 x b=8; candidate
+    # pairs share at least one identical band (compared on the raw band
+    # VALUES, which equals Spark's band-hash equality absent xxhash64
+    # collisions); verified by exact 2-shingle Jaccard >= 0.35.
+    params32 = minhash_params(32, seed=42)
+    sig_cols = ",\n             ".join(
+        f"min(({a} * h + {b}) % {MERSENNE_P}) as h{i}"
+        for i, (a, b) in enumerate(params32)
+    )
+    band_rows = " union all ".join(
+        "select doc_id, {b} as band, [{cols}] as bv from sig".format(
+            b=b, cols=", ".join(f"h{b * 4 + j}" for j in range(4))
+        )
+        for b in range(8)
+    )
+    o["minhash_lsh_dup_pairs"] = f"""
+        with words as (
+          select doc_id, string_split(text, ' ') as w from documents
+        ),
+        sh as (
+          select distinct doc_id, array_to_string(w[i:i+1], ' ') as shingle
+          from words, lateral (
+            select unnest(generate_series(1, greatest(len(w) - 1, 1))) as i
+          )
+        ),
+        hashed as (
+          select doc_id, ('0x' || substr(md5(shingle), 1, 8))::bigint as h
+          from sh
+        ),
+        sig as (
+          select doc_id, {sig_cols}
+          from hashed group by doc_id
+        ),
+        banded as ({band_rows}),
+        cand as (
+          select distinct a.doc_id as id1, b.doc_id as id2
+          from banded a join banded b
+            on a.band = b.band and a.bv = b.bv and a.doc_id < b.doc_id
+        ),
+        shl as (
+          select doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 1, 1)),
+                   i -> array_to_string(w[i:i+1], ' ')
+                 )) as shs
+          from words
+        ),
+        verified as (
+          select id1, id2,
+                 round(len(list_intersect(x.shs, y.shs)) * 1.0
+                       / len(list_distinct(list_concat(x.shs, y.shs))), 4) as jaccard
+          from cand
+          join shl x on x.doc_id = id1
+          join shl y on y.doc_id = id2
+        )
+        select id1, id2, jaccard from verified where jaccard >= 0.35
     """
     return o

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -183,28 +185,132 @@ def minhash_dedup(
     return df.join(drop, id_col, "left_anti"), verified
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash: sign of tf-weighted sum per bit of token hashes.
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash: sign of tf-weighted sum per bit of token hashes.
 
-    Implemented as explode -> single groupBy with 64 conditional-sum
-    aggregates (one shuffle), then bit assembly JVM-side."""
+    Implemented as explode -> single groupBy with n_bits conditional-sum
+    aggregates (one shuffle), then bit assembly JVM-side.
+    ``portable=True`` uses the md5-derived 32-bit token hash (DuckDB-
+    reproducible, pairs with n_bits=32); the default keeps xxhash64
+    (cheaper, engine-internal)."""
     tok = df.select(
         F.col(id_col),
         F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("_t"),
-    ).withColumn("_h", F.xxhash64("_t"))
+    )
+    hcol = portable_hash32(F.col("_t")) if portable else F.xxhash64("_t")
+    tok = tok.withColumn("_h", hcol)
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     g = tok.groupBy(id_col).agg(*aggs)
     fp = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp.bitwiseOR(term)
     return g.select(F.col(id_col), fp.alias("simhash"))
+
+
+# -- map-side (shuffle-free) signature variants -------------------------
+#
+# minhash_signatures/simhash above shuffle the full shingle/token stream
+# (explode -> groupBy) — that shape is what makes them bit-exactly
+# DuckDB-checkable, but at 100 TB it moves ~every token through one
+# exchange. Signatures are per-row pure functions, so the scale default
+# is an Arrow-batched pandas UDF computing them with ZERO shuffle.
+# Bit-parity with the oracle-checked variants is asserted in tests.
+
+def _md5_hash32_np(strings: list[str]):
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in strings),
+        dtype=np.int64,
+        count=len(strings),
+    )
+
+
+def minhash_signatures_mapside(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Same signatures as ``minhash_signatures`` (bit-identical; same
+    portable hash + permutations) but computed map-side: no explode, no
+    shuffle — the H permutation minima come out of one pandas UDF."""
+    from pyspark.sql import types as T
+
+    params = minhash_params(n_hashes, seed)
+    a = np.array([p[0] for p in params], dtype=np.int64)[:, None]
+    b = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+
+    def shingles(text: str) -> list[str]:
+        import re
+
+        words = re.sub(r"\s+", " ", (text or "").strip().lower()).split(" ")
+        if len(words) >= shingle_k:
+            sh = {
+                " ".join(words[i : i + shingle_k])
+                for i in range(len(words) - shingle_k + 1)
+            }
+        else:
+            sh = {" ".join(words)}
+        return sorted(sh)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(s: pd.Series) -> pd.Series:
+        out = []
+        for text in s:
+            sh = shingles(text)
+            if not sh:
+                out.append([MERSENNE_P] * n_hashes)
+                continue
+            h = _md5_hash32_np(sh)[None, :]
+            out.append(((a * h + b) % MERSENNE_P).min(axis=1).tolist())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
+
+
+def simhash_mapside(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 32,
+) -> DataFrame:
+    """Map-side SimHash, bit-identical to ``simhash(portable=True,
+    n_bits=32)`` — tf-weighted sign bits from the md5-derived 32-bit
+    token hash, zero shuffle."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def fp_udf(s: pd.Series) -> pd.Series:
+        import re
+
+        out = np.zeros(len(s), dtype=np.int64)
+        for j, text in enumerate(s):
+            toks = re.sub(r"\s+", " ", (text or "").strip().lower()).split(" ")
+            if not toks:
+                continue
+            h = _md5_hash32_np(toks)
+            bits = ((h[:, None] >> np.arange(n_bits)[None, :]) & 1) * 2 - 1
+            sums = bits.sum(axis=0)
+            out[j] = int(((sums > 0).astype(np.int64) << np.arange(n_bits)).sum())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), fp_udf(F.col(text_col)).alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -123,6 +123,9 @@ class SearchEngine:
         self.spark = spark
         self.index_dir = index_dir
         self.prune_min_postings = prune_min_postings
+        # cap on block intervals materialized to the driver for range
+        # pruning; denser terms are coarsened distributed first
+        self.max_intervals_collect = 4096
         self._cache = cache_tables
         self._docs_df = None
         self._dict_df = None
@@ -299,11 +302,31 @@ class SearchEngine:
                 s["df"] for s in stats.get(t, {}).values()
             )
             rarest = min(and_like, key=df_of)
-            ivals = (
-                pos_blocks.filter(F.col("term") == rarest)
-                .select("min_doc", "max_doc")
-                .collect()
+            rare = pos_blocks.filter(F.col("term") == rarest).select(
+                "min_doc", "max_doc"
             )
+            # Driver-safety: for a dense rarest term, collecting every
+            # block interval is an unbounded driver materialization.
+            # Coarsen distributed first — ntile buckets over min_doc,
+            # one covering interval per bucket. Coarse intervals are a
+            # SUPERSET of the exact union, so the semi-join prune stays
+            # lossless (it only keeps more blocks, never fewer).
+            est_blocks = df_of(rarest) / max(self.block_size, 1) + 1
+            if est_blocks > self.max_intervals_collect:
+                from pyspark.sql import Window
+
+                nbuck = min(256, self.max_intervals_collect)
+                rare = (
+                    rare.withColumn(
+                        "_b", F.ntile(nbuck).over(Window.orderBy("min_doc"))
+                    )
+                    .groupBy("_b")
+                    .agg(
+                        F.min("min_doc").alias("min_doc"),
+                        F.max("max_doc").alias("max_doc"),
+                    )
+                )
+            ivals = rare.collect()
             merged = []
             for lo, hi in sorted((r["min_doc"], r["max_doc"]) for r in ivals):
                 if merged and lo <= merged[-1][1]:

@@ -42,13 +42,28 @@ class StreamingIngest:
         accept: list[FilterPolicy] | None = None,
         reject: list[FilterPolicy] | None = None,
         index_kwargs: dict | None = None,
+        dedup_horizon_days: int | None = 7,
+        html_text: bool = False,
     ):
+        """``dedup_horizon_days`` bounds the cross-batch idempotency
+        anti-join: the existing-keys scan reads only day partitions
+        within the horizon of the batch's min ts, so per-batch cost is
+        independent of corpus history (the reference bounds the same
+        state with a 600 s TTL dedupe map, collector.py:757-760, and
+        relies on the DB upsert's ON CONFLICT for anything older —
+        here the Iceberg MERGE seam / an offline exact dedup pass plays
+        that role). ``None`` scans full history (exact, unbounded)."""
         self.spark = spark
         self.index_dir = index_dir
         self.docs_dir = docs_dir
+        self.keys_dir = docs_dir + "_keys"
         self.watermark = watermark
         self.accept = accept
         self.reject = reject
+        self.dedup_horizon_days = dedup_horizon_days
+        # html_text=True runs the collector's HTML->text normalize stage
+        # (collector.py:102, ignore_links + body_width=0) on ingest
+        self.html_text = html_text
         self.builder = IndexBuilder(spark, index_dir, **(index_kwargs or {}))
         self._next_gen = self._detect_next_gen()
 
@@ -79,6 +94,14 @@ class StreamingIngest:
         if not os.path.exists(marker):
             new.write.mode("append").parquet(self.docs_dir)
             open(marker, "w").close()
+        kmarker = os.path.join(staged, "_KEYS_APPENDED")
+        if not os.path.exists(kmarker):
+            # day-partitioned key sidecar: the dedup anti-join reads
+            # only recent partitions (partition pruning on `day`)
+            new.select(
+                "conv_id", "turn_idx", F.to_date("ts").alias("day")
+            ).write.mode("append").partitionBy("day").parquet(self.keys_dir)
+            open(kmarker, "w").close()
         self.builder.add_documents(new, gen=gen)
         return n
 
@@ -99,13 +122,33 @@ class StreamingIngest:
     def ingest_batch(self, batch_df: DataFrame, epoch_id: int | None = None) -> int:
         self.recover()
         df = batch_df
+        if self.html_text:
+            from aspublic_spark.functions.html import html_text_udf
+
+            df = df.withColumn("text", html_text_udf(F.col("text")))
         if self.accept or self.reject:
             df = apply_policies(df, "conv_id", ["text"], self.accept, self.reject)
-        # idempotent upsert: drop keys already present (exactly-once effect
-        # under at-least-once delivery)
-        if os.path.isdir(self.docs_dir):
-            existing = self.spark.read.parquet(self.docs_dir).select("conv_id", "turn_idx")
-            df = anti_join_existing(df, existing, ["conv_id", "turn_idx"])
+        # idempotent upsert: drop keys already present (exactly-once
+        # effect under at-least-once delivery). The existing side is the
+        # day-partitioned key sidecar pruned to the dedup horizon, so
+        # this scan does NOT grow with corpus history.
+        existing = None
+        if os.path.isdir(self.keys_dir):
+            existing = self.spark.read.parquet(self.keys_dir)
+            if self.dedup_horizon_days is not None:
+                mn = df.agg(F.min("ts").alias("mn")).collect()[0]["mn"]
+                if mn is not None:
+                    from datetime import timedelta
+
+                    horizon = (mn - timedelta(days=self.dedup_horizon_days)).date()
+                    existing = existing.filter(F.col("day") >= F.lit(horizon))
+        elif os.path.isdir(self.docs_dir):
+            # legacy layout without the sidecar: full-history scan
+            existing = self.spark.read.parquet(self.docs_dir)
+        if existing is not None:
+            df = anti_join_existing(
+                df, existing.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"]
+            )
         # Stage the filtered batch and re-read it to SEVER LINEAGE: the
         # anti-join above references docs_dir, and appending to docs_dir
         # below would otherwise poison any later re-evaluation of this

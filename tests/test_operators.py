@@ -215,3 +215,30 @@ def test_ivf_topk_recall(spark, emb):
     part = {r["vec_id"] for r in ivf.topk(q, k=10, nprobe=3).collect()}
     assert len(part & exact) / 10 >= 0.3
     assert emb.first()["vec_id"] in part
+
+
+def test_mapside_minhash_bit_identical(spark):
+    """The shuffle-free pandas-UDF signatures must equal the
+    oracle-checked explode->groupBy signatures bit-for-bit."""
+    from aspublic_spark.operators import dedup as D
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 60
+    )
+    a = {r["doc_id"]: list(r["sig"]) for r in D.minhash_signatures(
+        d, n_hashes=16, shingle_k=3, seed=42).collect()}
+    b = {r["doc_id"]: list(r["sig"]) for r in D.minhash_signatures_mapside(
+        d, n_hashes=16, shingle_k=3, seed=42).collect()}
+    assert a == b and len(a) == 60
+
+
+def test_mapside_simhash_bit_identical(spark):
+    from aspublic_spark.operators import dedup as D
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 60
+    )
+    a = {r["doc_id"]: r["simhash"] for r in D.simhash(
+        d, n_bits=32, portable=True).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in D.simhash_mapside(d, n_bits=32).collect()}
+    assert a == b and len(a) == 60

@@ -205,3 +205,23 @@ def test_long_document_linear_build(spark, workdir):
     assert _turns(eng.search('"alpha needle"')) == [0, 1]
     assert _turns(eng.search("w996")) == [0]
     assert build_secs < 120  # sanity ceiling, not a benchmark
+
+
+def test_interval_coarsening_lossless(engine):
+    """Force the distributed interval-coarsening path (dense rarest
+    term) and assert results identical to the exhaustive plan — coarse
+    intervals are a covering superset, so the prune stays lossless."""
+    coarse = SearchEngine(engine.spark, engine.index_dir, prune_min_postings=0)
+    coarse.max_intervals_collect = 1  # force ntile path for any term
+    for q in ["sample status", "example keyword", '"sample status"']:
+        a = [
+            (r["turn_idx"], round(r["score"], 9))
+            for r in coarse.search(q, block_max=True).df.collect()
+        ]
+        b = [
+            (r["turn_idx"], round(r["score"], 9))
+            for r in engine.search(q, block_max=False).df.collect()
+        ]
+        assert a == b, q
+        info = coarse.search(q, block_max=True).pruning
+        assert info.get("range_pruned") and info.get("n_intervals", 10**9) <= 256

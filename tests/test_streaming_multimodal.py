@@ -149,3 +149,30 @@ def test_multimodal_features_and_plans(spark):
     rp = MM.resize_plan(media, max_side=512).collect()
     for r in rp:
         assert max(r["target_w"], r["target_h"]) <= 512
+
+
+def test_bounded_dedup_horizon(spark, workdir):
+    """The cross-batch idempotency anti-join scans only key partitions
+    within dedup_horizon_days of the batch — per-batch cost independent
+    of history. TTL semantics like the reference's 600s dedupe map:
+    a key re-arriving INSIDE the horizon is dropped, one re-arriving
+    far outside it is re-accepted (exact-once beyond the horizon is the
+    Iceberg MERGE / offline-dedup seam, documented)."""
+    idx = os.path.join(workdir, "hz_idx")
+    docs = os.path.join(workdir, "hz_docs")
+    ing = StreamingIngest(
+        spark, idx, docs, index_kwargs=dict(n_slices=2, block_size=8),
+        dedup_horizon_days=2,
+    )
+    base = fixture_transcripts(spark)  # ts ~ epoch 1700000000
+    assert ing.ingest_batch(base) == 6
+    # same keys, same day: inside horizon -> dropped
+    assert ing.ingest_batch(base) == 0
+    # same keys, 30 days later: outside horizon -> re-accepted
+    shifted = base.withColumn("ts", F.col("ts") + F.expr("interval 30 days"))
+    assert ing.ingest_batch(shifted) == 6
+    # and those new keys dedupe again within their own day
+    assert ing.ingest_batch(shifted) == 0
+    # key sidecar is day-partitioned (the pruning axis)
+    days = [n for n in os.listdir(docs + "_keys") if n.startswith("day=")]
+    assert len(days) == 2
