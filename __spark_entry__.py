@@ -397,6 +397,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_count_by_lang"] = token_count_by_lang
 
+    def json_normalize(spark, sf):
+        # T6 end-to-end: synthesize a status JSON payload per document
+        # (deterministically, from table columns), then run the real
+        # from_json + casts + HTML->text pipeline on it
+        from aspublic_spark.functions.json_hooks import normalize_status_json
+
+        d = docs(spark, sf).filter(F.col("doc_id") < 100)
+        payload = F.to_json(
+            F.struct(
+                F.concat(F.lit("https://inst.example/"), F.col("doc_id")).alias("url"),
+                F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")).alias("content"),
+                F.col("lang").alias("language"),
+                F.lit("2024-03-01T00:00:00Z").alias("created_at"),
+            )
+        )
+        return normalize_status_json(d.select(payload.alias("value")))
+
+    q["json_normalize"] = json_normalize
+
     # -- dedup family ----------------------------------------------------
     def minhash_signatures(spark, sf):
         from aspublic_spark.operators.dedup import minhash_signatures as mh
@@ -668,6 +687,65 @@ def oracle_sql() -> dict[str, str]:
                         '%Y-%m-%d %H:%M:%S') as w_start,
                event_type, count(*) as n, round(sum(value), 4) as total
         from events group by 1, 2
+    """
+
+    o["json_normalize"] = """
+        select 'inst.example/' || doc_id as url,
+               text,
+               '' as subject,
+               1709251200::bigint as created,
+               lang as language,
+               false as bot,
+               false as reply,
+               false as attachments
+        from documents where doc_id < 100
+    """
+
+    # LSH ANN: the hyperplanes are deterministic (seeded RandomState),
+    # so the oracle embeds them as literals and reproduces the exact
+    # bucket/multiprobe candidate set (hamming(bucket, qbucket) <= 1 per
+    # table) and the exact rescoring — no longer a rows-only entry.
+    from aspublic_spark.operators.similarity import _planes
+
+    def _plane_lit(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    n_tables, n_planes, seed, dim = 8, 8, 42, 64
+    be_cols, bq_cols, conds = [], [], []
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed + 1000 * t)
+        be = " + ".join(
+            f"(case when list_dot_product(e, {_plane_lit(p)}) >= 0 then {1 << i} else 0 end)"
+            for i, p in enumerate(planes)
+        )
+        bq = " + ".join(
+            f"(case when list_dot_product(qe, {_plane_lit(p)}) >= 0 then {1 << i} else 0 end)"
+            for i, p in enumerate(planes)
+        )
+        be_cols.append(f"({be}) as be{t}")
+        bq_cols.append(f"({bq}) as bq{t}")
+        conds.append(f"bit_count(xor(be{t}::bigint, bq{t}::bigint)) <= 1")
+    o["lsh_ann_topk"] = f"""
+        with emb as (
+          select vec_id, embedding::DOUBLE[] as e from embeddings
+        ),
+        q as (
+          select e as qe from emb
+          where vec_id = (select min(vec_id) from embeddings)
+        ),
+        be as (select vec_id, e, {", ".join(be_cols)} from emb),
+        bq as (select qe, {", ".join(bq_cols)} from q),
+        cand as (
+          select be.vec_id, be.e from be, bq where {" or ".join(conds)}
+        )
+        select vec_id,
+               round(list_dot_product(c.e, (select qe from q))
+                     / (sqrt(list_dot_product(c.e, c.e))
+                        * sqrt((select list_dot_product(qe, qe) from q))),
+                     5) as cosine
+        from cand c
+        order by cosine desc, vec_id asc
+        limit 10
     """
 
     # portable 32-bit simhash: md5-derived token hash on both sides

@@ -50,6 +50,7 @@ def cmd_build(args) -> int:
         spark,
         args.index,
         key_cols=args.key_cols.split(","),
+        text_cols=[c for c in args.text_cols.split(",") if c] or None,
         text_col=args.text_col,
         meta_cols=[c for c in args.meta_cols.split(",") if c],
         n_slices=args.slices,
@@ -78,6 +79,7 @@ def cmd_search(args) -> int:
 
     spark = _spark(args)
     eng = SearchEngine(spark, args.index)
+    fw = [float(x) for x in args.field_weights.split(",")] if args.field_weights else None
     res = eng.search(
         args.q,
         k=args.k,
@@ -85,6 +87,7 @@ def cmd_search(args) -> int:
         conv_prefix=args.conv_prefix,
         order=args.order,
         parser=parse_websearch if args.websearch else parse_query,
+        field_weights=fw,
     )
     t0 = time.time()
     rows = res.df.collect()
@@ -99,6 +102,8 @@ def cmd_search(args) -> int:
                         "and": res.parsed.and_terms,
                         "phrases": res.parsed.phrases,
                         "not": res.parsed.not_terms,
+                        "not_groups": res.parsed.not_groups,
+                        "not_phrases": res.parsed.not_phrases,
                         "or": res.parsed.or_groups,
                     },
                     "pruning": res.pruning,
@@ -107,6 +112,18 @@ def cmd_search(args) -> int:
             default=str,
         )
     )
+    return 0
+
+
+def cmd_prune(args) -> int:
+    from datetime import datetime
+
+    from aspublic_spark.index.build import IndexBuilder
+
+    spark = _spark(args)
+    b = IndexBuilder(spark, args.index)
+    cutoff = datetime.fromisoformat(args.cutoff)
+    print(json.dumps(b.prune_index(cutoff, ts_col=args.ts_col), default=str))
     return 0
 
 
@@ -123,6 +140,7 @@ def main(argv=None) -> int:
     b.add_argument("--index", required=True)
     b.add_argument("--key-cols", default="conv_id,turn_idx")
     b.add_argument("--text-col", default="text")
+    b.add_argument("--text-cols", default="", help="comma list for a multi-field index (e.g. text,subject)")
     b.add_argument("--meta-cols", default="role,tool,ts")
     b.add_argument("--slices", type=int, default=8)
     b.add_argument("--block-size", type=int, default=128)
@@ -138,9 +156,18 @@ def main(argv=None) -> int:
     s.add_argument("--conv-prefix")
     s.add_argument("--order", default="bm25", choices=["bm25", "recency"])
     s.add_argument("--websearch", action="store_true")
+    s.add_argument("--field-weights", default="", help="comma list, bm25(fts, w1, w2) analog")
+
+    pr = sub.add_parser("prune")
+    pr.add_argument("--index", required=True)
+    pr.add_argument("--cutoff", required=True, help="ISO timestamp; segments older are dropped")
+    pr.add_argument("--ts-col", default="ts")
 
     args = p.parse_args(argv)
-    return {"package": cmd_package, "build": cmd_build, "search": cmd_search}[args.cmd](args)
+    return {
+        "package": cmd_package, "build": cmd_build,
+        "search": cmd_search, "prune": cmd_prune,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -344,6 +344,21 @@ class IndexBuilder:
         self.n_slices = n_slices
         self.store_positions = store_positions
         self.salt_max_postings = salt_max_postings
+        # reopening an existing index: the stored layout wins — building
+        # a new generation with different slicing/fields/block size
+        # would silently corrupt the segment set
+        meta_path = os.path.join(index_dir, "index_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                m = json.load(f)
+            self.key_cols = m["key_cols"]
+            self.meta_cols = m["meta_cols"]
+            self.text_cols = m.get("text_cols", [m.get("text_col", "text")])
+            self.text_col = self.text_cols[0]
+            self.block_size = m.get("block_size", block_size)
+            self.n_slices = m.get("n_slices", n_slices)
+            self.store_positions = m.get("store_positions", store_positions)
+            self.salt_max_postings = m.get("salt_max_postings", salt_max_postings)
         os.makedirs(os.path.join(index_dir, "manifest"), exist_ok=True)
 
     # -- paths -------------------------------------------------------

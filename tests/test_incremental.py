@@ -137,3 +137,13 @@ def test_index_retention_prune(spark, workdir):
 
     # idempotent: a second prune at the same cutoff is a no-op
     assert b.prune_index(cutoff)["pruned"] is False
+
+
+def test_reopen_adopts_stored_layout(spark, workdir):
+    """Reopening an index with different constructor params must adopt
+    the on-disk layout (differing slicing/fields would corrupt)."""
+    idx = os.path.join(workdir, "reopen_idx")
+    _builder(spark, idx).build(synth_transcripts(spark, 20, seed=3))
+    b2 = IndexBuilder(spark, idx, n_slices=16, block_size=999, text_col="nope")
+    assert b2.n_slices == 2 and b2.block_size == 8 and b2.text_cols == ["text"]
+    assert b2.key_cols == ["conv_id", "turn_idx"]
