@@ -129,6 +129,7 @@ class SearchEngine:
         self._cache = cache_tables
         self._docs_df = None
         self._dict_df = None
+        self._blocks_df = None
         with open(os.path.join(index_dir, "index_meta.json")) as f:
             meta = json.load(f)
         self.key_cols: list[str] = meta["key_cols"]
@@ -160,8 +161,26 @@ class SearchEngine:
         return self._dict_df
 
     def blocks(self, terms: list[str]) -> DataFrame:
-        df = self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
-        return df.filter(F.col("term").isin(list(terms)))  # pushed to scan
+        if self._blocks_df is None:
+            # one DataFrame reused across queries: Spark's file index is
+            # built once, not re-listed per search. The engine is a
+            # point-in-time snapshot (like the viewer's sqlite handle) —
+            # call refresh() after new generations land.
+            self._blocks_df = self.spark.read.parquet(
+                os.path.join(self.index_dir, "postings")
+            )
+        return self._blocks_df.filter(F.col("term").isin(list(terms)))  # pushed to scan
+
+    def refresh(self):
+        """Re-list index tables after incremental builds/compaction."""
+        for df in (self._docs_df, self._dict_df):
+            if df is not None and self._cache:
+                df.unpersist()
+        self._docs_df = self._dict_df = self._blocks_df = None
+        st_rows = self.spark.read.parquet(os.path.join(self.index_dir, "stats")).collect()
+        self.n_docs = int(st_rows[0]["n_docs"])
+        self.avgdl_by_fld = {int(r["fld"]): float(r["avgdl"] or 1.0) for r in st_rows}
+        self.avgdl = self.avgdl_by_fld.get(0, 1.0)
 
     def term_stats(self, terms: list[str]) -> dict[str, dict[int, dict]]:
         """{term: {fld: dictionary row}} — a term exists if it appears
@@ -225,12 +244,15 @@ class SearchEngine:
         return d
 
     # -- phrase evaluation (Q4) ----------------------------------------
-    def _phrase_docs(self, phrase: list[str], unp_pos: DataFrame) -> DataFrame:
+    def _phrase_docs(
+        self, phrase: list[str], unp_pos: DataFrame, stats: dict | None = None
+    ) -> DataFrame:
         """Docs where the phrase occurs adjacently within a SINGLE field
         (FTS5 phrases never span columns). Position candidates are
         anchored on the rarest phrase term — its explode produces the
         smallest intermediate — with offsets checked relative to it."""
-        stats = self.term_stats(list(set(phrase)))
+        if stats is None:  # standalone use; search() passes its stats
+            stats = self.term_stats(list(set(phrase)))
         df_of = lambda t: sum(s["df"] for s in stats.get(t, {}).values())  # noqa: E731
         anchor = min(range(len(phrase)), key=lambda i: df_of(phrase[i]))
         cur = (
@@ -581,7 +603,9 @@ class SearchEngine:
         cand = self._qualify(scored, pq).drop("_terms")
 
         for ph in pq.phrases:
-            cand = cand.join(self._phrase_docs(ph, unpacked), "doc_id", "left_semi")
+            cand = cand.join(
+                self._phrase_docs(ph, unpacked, stats), "doc_id", "left_semi"
+            )
 
         if not_blocks is not None:
             unp_not = self.unpack(not_blocks, with_positions=bool(live_nphrases))
@@ -603,7 +627,9 @@ class SearchEngine:
                 )
                 cand = cand.join(gd, "doc_id", "left_anti")
             for ph in live_nphrases:
-                cand = cand.join(self._phrase_docs(ph, unp_not), "doc_id", "left_anti")
+                cand = cand.join(
+                    self._phrase_docs(ph, unp_not, ng_stats), "doc_id", "left_anti"
+                )
 
         out = (
             cand.join(docs_f.select("doc_id", *key_meta), "doc_id")

@@ -161,20 +161,19 @@ class StreamingIngest:
         return n
 
     # -- streaming wiring --------------------------------------------------
-    def start(
+    def start_from_stream(
         self,
-        source_dir: str,
+        stream: DataFrame,
         checkpoint_dir: str,
         available_now: bool = True,
         processing_time: str = "60 seconds",
     ):
-        """File-source stream (the sandbox stand-in for the websocket
-        firehose; swap for kafka/socket in production — same plan)."""
-        stream = (
-            self.spark.readStream.schema(TRANSCRIPTS_SCHEMA)
-            .parquet(source_dir)
-            .withWatermark("ts", self.watermark)
-            .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+        """Attach the ingest pipeline to ANY streaming DataFrame with
+        the transcript schema — kafka (`readStream.format("kafka")` +
+        from_json projection), socket, rate, or file sources all reach
+        the same watermark -> dedup -> foreachBatch plan."""
+        stream = stream.withWatermark("ts", self.watermark).dropDuplicatesWithinWatermark(
+            ["conv_id", "turn_idx"]
         )
         writer = stream.writeStream.foreachBatch(
             lambda bdf, eid: self.ingest_batch(bdf, eid)
@@ -184,6 +183,20 @@ class StreamingIngest:
         else:
             writer = writer.trigger(processingTime=processing_time)
         return writer.start()
+
+    def start(
+        self,
+        source_dir: str,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        processing_time: str = "60 seconds",
+    ):
+        """File-source stream (the sandbox stand-in for the websocket
+        firehose; swap for kafka/socket via start_from_stream)."""
+        stream = self.spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(source_dir)
+        return self.start_from_stream(
+            stream, checkpoint_dir, available_now, processing_time
+        )
 
 
 def observe_ingest(df: DataFrame, name: str = "ingest") -> DataFrame:

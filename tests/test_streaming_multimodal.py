@@ -176,3 +176,45 @@ def test_bounded_dedup_horizon(spark, workdir):
     # key sidecar is day-partitioned (the pruning axis)
     days = [n for n in os.listdir(docs + "_keys") if n.startswith("day=")]
     assert len(days) == 2
+
+
+def test_non_file_stream_source(spark, workdir):
+    """The ingest plan is source-agnostic: a rate source (a REAL
+    continuous streaming source, not the file stand-in) projected to
+    the transcript schema flows through the same watermark -> dedup ->
+    foreachBatch -> incremental-index pipeline."""
+    idx = os.path.join(workdir, "rate_idx")
+    docs = os.path.join(workdir, "rate_docs")
+    ing = StreamingIngest(spark, idx, docs, index_kwargs=dict(n_slices=2, block_size=8))
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        .select(
+            F.format_string("r%06d", (F.col("value") / 4).cast("long")).alias("conv_id"),
+            F.pmod(F.col("value"), F.lit(4)).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.concat(F.lit("rate row token"), F.col("value").cast("string")).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.col("timestamp").alias("ts"),
+        )
+    )
+    q = ing.start_from_stream(rate, os.path.join(workdir, "rate_ckpt"), available_now=False,
+                              processing_time="2 seconds")
+    import time
+
+    deadline = time.time() + 150
+    n = 0
+    try:
+        while time.time() < deadline:
+            time.sleep(3)
+            if os.path.isdir(docs):
+                try:
+                    n = spark.read.parquet(docs).count()
+                except Exception:
+                    continue  # dir exists but first batch still in flight
+                if n >= 20:
+                    break
+    finally:
+        q.stop()
+    assert n >= 20
+    eng = SearchEngine(spark, idx)
+    assert eng.search("rate", k=5).df.count() == 5
