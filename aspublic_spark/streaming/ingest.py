@@ -44,6 +44,7 @@ class StreamingIngest:
         index_kwargs: dict | None = None,
         dedup_horizon_days: int | None = 7,
         html_text: bool = False,
+        auto_compact_gens: int | None = None,
     ):
         """``dedup_horizon_days`` bounds the cross-batch idempotency
         anti-join: the existing-keys scan reads only day partitions
@@ -64,6 +65,11 @@ class StreamingIngest:
         # html_text=True runs the collector's HTML->text normalize stage
         # (collector.py:102, ignore_links + body_width=0) on ingest
         self.html_text = html_text
+        # compact the index when the generation count reaches this bound
+        # (many small per-batch segments make query scans open many
+        # files; batches are serialized inside foreachBatch, so the
+        # offline-op constraint holds during the stream)
+        self.auto_compact_gens = auto_compact_gens
         self.builder = IndexBuilder(spark, index_dir, **(index_kwargs or {}))
         self._next_gen = self._detect_next_gen()
 
@@ -158,6 +164,12 @@ class StreamingIngest:
         n = self._finish_staged(gen)
         if n:
             self._next_gen += 1
+        if self.auto_compact_gens and self._next_gen and n:
+            praw = os.path.join(self.index_dir, "postings_raw")
+            gens = [g for g in os.listdir(praw) if g.startswith("gen=")]
+            if len(gens) >= self.auto_compact_gens:
+                self.builder.compact()
+                self._next_gen = self._detect_next_gen()
         return n
 
     # -- streaming wiring --------------------------------------------------

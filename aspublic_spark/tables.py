@@ -170,9 +170,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None):
-    """Write a table — Iceberg `writeTo` when a catalog is configured,
-    Parquet otherwise (the sandbox path)."""
+def _iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of a configured Iceberg catalog, if any (production path)."""
+    try:
+        for k, v in spark.sparkContext.getConf().getAll():
+            if k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower():
+                return k.split(".", 3)[3]
+    except Exception:
+        pass
+    return None
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by=None,
+    days_ts_col: str | None = None,
+):
+    """Write a table — Iceberg `writeTo(...).partitionedBy(days(ts))`
+    when a catalog is configured, Parquet otherwise (the sandbox path).
+
+    ``days_ts_col``: partition by day of that timestamp column — the
+    Iceberg `days(ts)` transform. The Parquet fallback materializes a
+    `day` column and uses directory partitioning, so time-range
+    predicates prune PARTITIONS (not just row groups) either way —
+    the retention-prune analog of db_sqlite.py:46-52 becomes a
+    metadata-only partition drop."""
+    spark = df.sparkSession
+    cat = _iceberg_catalog(spark)
+    if cat is not None and not path.startswith("/"):
+        wt = df.writeTo(f"{cat}.{path}")
+        if days_ts_col:
+            wt = wt.partitionedBy(F.days(F.col(days_ts_col)))
+        elif partition_by:
+            wt = wt.partitionedBy(*[F.col(c) for c in partition_by])
+        (wt.createOrReplace if mode == "overwrite" else wt.append)()
+        return
+    if days_ts_col:
+        df = df.withColumn("day", F.to_date(F.col(days_ts_col)))
+        partition_by = ["day"]
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)

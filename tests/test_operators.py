@@ -242,3 +242,44 @@ def test_mapside_simhash_bit_identical(spark):
         d, n_bits=32, portable=True).collect()}
     b = {r["doc_id"]: r["simhash"] for r in D.simhash_mapside(d, n_bits=32).collect()}
     assert a == b and len(a) == 60
+
+
+def test_days_partitioned_write_prunes_partitions(spark, workdir):
+    """write_table(days_ts_col=...) gives directory partitioning by day;
+    a time predicate must prune PARTITIONS at plan time (the Iceberg
+    days(ts) transform analog), visible as PartitionFilters in explain."""
+    import os
+
+    from aspublic_spark.tables import synth_transcripts, write_table
+
+    path = os.path.join(workdir, "days_tbl")
+    write_table(synth_transcripts(spark, 400, seed=11), path, days_ts_col="ts")
+    days = [n for n in os.listdir(path) if n.startswith("day=")]
+    assert len(days) >= 2
+    rd = spark.read.parquet(path).filter(F.col("day") >= "2023-11-15")
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan
+    # and the filter actually restricts the files read
+    assert rd.count() < spark.read.parquet(path).count()
+
+
+def test_streaming_auto_compact(spark, workdir):
+    import os
+
+    from aspublic_spark.streaming.ingest import StreamingIngest
+    from aspublic_spark.tables import synth_transcripts
+    from aspublic_spark.query.engine import SearchEngine
+
+    idx = os.path.join(workdir, "ac_idx")
+    ing = StreamingIngest(
+        spark, idx, os.path.join(workdir, "ac_docs"),
+        index_kwargs=dict(n_slices=2, block_size=8), auto_compact_gens=3,
+    )
+    base = synth_transcripts(spark, 90, seed=4)
+    for i in range(3):
+        lo, hi = f"c{i*4:09d}", f"c{(i+1)*4:09d}"
+        b = base.filter((F.col("conv_id") >= lo) & (F.col("conv_id") < hi))
+        assert ing.ingest_batch(b) > 0
+    gens = [g for g in os.listdir(os.path.join(idx, "postings_raw")) if g.startswith("gen=")]
+    assert len(gens) == 1  # compacted at the threshold
+    assert SearchEngine(spark, idx).n_docs == 90
