@@ -2,12 +2,14 @@
 
 ``queries()`` exposes the implemented operator surface from SURVEY.md §2
 over the driver-provided parquet tables; ``oracle_sql()`` gives the
-DuckDB-equivalent ANSI SQL for each. The full-text queries run through
-the REAL engine path (packed varint index on disk -> block-max pruned
-BM25 retrieval), not a shortcut pipeline; the oracle recomputes BM25
-naively in SQL (the documents corpus is single-space [a-z0-9 ] text, so
-``string_split(text, ' ')`` tokenizes identically to the engine's FTS5
-tokenizer).
+DuckDB-equivalent ANSI SQL for each — EVERY entry has one (the LSH
+entries embed their seeded hyperplanes/permutations as SQL literals, so
+even the approximate-ANN candidate sets are reproduced exactly). The
+full-text queries run through the REAL engine path (packed varint index
+on disk -> block-max pruned BM25 retrieval), not a shortcut pipeline;
+the oracle recomputes BM25 naively in SQL (the documents corpus is
+single-space [a-z0-9 ] text, so ``string_split(text, ' ')`` tokenizes
+identically to the engine's FTS5 tokenizer).
 
 Float policy: scores are rounded to 4 decimals on BOTH sides and used
 as the ordering key with doc_id tie-break, so cross-engine last-ulp
@@ -450,6 +452,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_cosine_topk"] = ann_cosine_topk
 
+    def knn_join_topk(spark, sf):
+        from aspublic_spark.operators.similarity import knn_join_brute
+
+        emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        queries_side = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        return knn_join_brute(emb, queries_side, k=5)
+
+    q["knn_join_topk"] = knn_join_topk
+
     # -- text analysis ----------------------------------------------------
     def lang_id_counts(spark, sf):
         from aspublic_spark.functions.textstats import lang_id
@@ -699,6 +712,26 @@ def oracle_sql() -> dict[str, str]:
                false as reply,
                false as attachments
         from documents where doc_id < 100
+    """
+
+    o["knn_join_topk"] = """
+        with q as (
+          select vec_id as q_id, embedding::DOUBLE[] as qe
+          from embeddings where vec_id < 3
+        ),
+        e as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+        s as (
+          select q.q_id, e.vec_id,
+                 round(list_dot_product(e.e, q.qe)
+                       / (sqrt(list_dot_product(e.e, e.e))
+                          * sqrt(list_dot_product(q.qe, q.qe))), 5) as cosine
+          from q, e
+        )
+        select q_id, vec_id, cosine, rank from (
+          select *, row_number() over (
+            partition by q_id order by cosine desc, vec_id asc) as rank
+          from s
+        ) where rank <= 5
     """
 
     # LSH ANN: the hyperplanes are deterministic (seeded RandomState),

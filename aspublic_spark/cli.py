@@ -56,6 +56,7 @@ def cmd_build(args) -> int:
         n_slices=args.slices,
         block_size=args.block_size,
         salt_max_postings=args.salt_max,
+        analyzer=args.analyzer,
     )
     t0 = time.time()
     b.build(df, gen=args.gen, resume=not args.no_resume)
@@ -145,6 +146,7 @@ def main(argv=None) -> int:
     b.add_argument("--slices", type=int, default=8)
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--salt-max", type=int, default=100_000)
+    b.add_argument("--analyzer", default="fts5", choices=["fts5", "english"])
     b.add_argument("--gen", type=int, default=0)
     b.add_argument("--no-resume", action="store_true")
 

@@ -65,7 +65,9 @@ RAW_SCHEMA = (
 RAW_FORMAT = 3
 
 
-def _raw_postings_arrow_factory(store_positions: bool, n_fields: int = 1):
+def _raw_postings_arrow_factory(
+    store_positions: bool, n_fields: int = 1, analyzer: str = "fts5"
+):
     """mapInArrow fn: (slice, doc_id, f0[, f1...]) batches -> raw postings.
 
     Replaces the former JVM higher-order-function position extraction,
@@ -82,7 +84,9 @@ def _raw_postings_arrow_factory(store_positions: bool, n_fields: int = 1):
     """
     import pyarrow as pa
 
-    from aspublic_spark.functions.tokenizer import tokenize
+    from aspublic_spark.functions.stemmer import get_analyzer
+
+    tokenize = get_analyzer(analyzer)
 
     def one_field(slice_np, doc_np, texts, fld):
         import pandas as pd
@@ -329,11 +333,15 @@ class IndexBuilder:
         store_positions: bool = True,
         salt_max_postings: int = 100_000,
         text_cols: list[str] | None = None,
+        analyzer: str = "fts5",
     ):
         """``text_cols`` indexes multiple columns as FTS5 fields (the
         reference indexes BOTH text and subject, db_sqlite.py:27-41);
         field ordinal = list position. ``text_col`` remains the
-        single-field shorthand."""
+        single-field shorthand. ``analyzer``: 'fts5' (unicode61
+        semantics, the rank-identity backend) or 'english' (the
+        Postgres to_tsvector('english') variant: stopwords dropped,
+        Porter-stemmed — db_postgres.py:29-31)."""
         self.spark = spark
         self.index_dir = index_dir
         self.key_cols = list(key_cols)
@@ -344,6 +352,7 @@ class IndexBuilder:
         self.n_slices = n_slices
         self.store_positions = store_positions
         self.salt_max_postings = salt_max_postings
+        self.analyzer = analyzer
         # reopening an existing index: the stored layout wins — building
         # a new generation with different slicing/fields/block size
         # would silently corrupt the segment set
@@ -359,6 +368,7 @@ class IndexBuilder:
             self.n_slices = m.get("n_slices", n_slices)
             self.store_positions = m.get("store_positions", store_positions)
             self.salt_max_postings = m.get("salt_max_postings", salt_max_postings)
+            self.analyzer = m.get("analyzer", "fts5")
         os.makedirs(os.path.join(index_dir, "manifest"), exist_ok=True)
 
     # -- paths -------------------------------------------------------
@@ -427,6 +437,7 @@ class IndexBuilder:
                 json.dump(
                     {
                         "raw_format": RAW_FORMAT,
+                        "analyzer": self.analyzer,
                         "key_cols": self.key_cols,
                         "meta_cols": self.meta_cols,
                         "text_col": self.text_col,
@@ -489,7 +500,9 @@ class IndexBuilder:
             .withColumn("slice", slice_col)
             .select("slice", "doc_id", *[f"f{i}" for i in range(len(self.text_cols))])
             .mapInArrow(
-                _raw_postings_arrow_factory(self.store_positions, len(self.text_cols)),
+                _raw_postings_arrow_factory(
+                    self.store_positions, len(self.text_cols), self.analyzer
+                ),
                 RAW_SCHEMA,
             )
         )

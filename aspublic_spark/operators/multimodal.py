@@ -1,22 +1,29 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: binary payloads + typed metadata, REAL decode
+for stdlib-expressible formats, explicit stubs for the rest.
 
 Images/audio/video ride through the engine as ``binary`` columns with a
-typed metadata struct — the Spark-side schema, partitioning, Arrow batch
-shape, and UDF signatures here are real and tested; the actual codec
-work (JPEG decode, resampling, frame extraction) is STUBBED because the
-sandbox has no image/audio libraries. Stubs are explicit:
+typed metadata struct. The Spark-side schema, partitioning, Arrow batch
+shape, and UDF signatures are real and tested, and so is the decode
+path for formats the sandbox can express without external libraries:
 
-- ``decode_image`` raises NotImplementedError unless
-  ``deterministic_fake=True``, in which case it produces a seeded fake
-  (pixel stats derived from xxhash of the bytes) so downstream plumbing
-  (feature extraction, dedup on features) is testable end-to-end;
-- swap the ``_fake_*`` functions for PIL/ffmpeg calls in production —
-  the mapInPandas batch shape does not change.
+- **PPM (P6) images**: parsed/encoded in pure numpy (`decode_ppm` /
+  `encode_ppm`); feature extraction (channel moments + luminance
+  histogram) and nearest-neighbor resize operate on real pixels;
+- **WAV audio**: stdlib ``wave`` decode (`decode_wav`); features are
+  duration / RMS / zero-crossing rate / peak + band energies.
+
+JPEG/PNG/video codecs need PIL/ffmpeg (absent here), so those payloads
+raise an explicit NotImplementedError unless ``deterministic_fake=True``
+(hash-seeded fake features keep downstream plumbing testable); swap the
+``_fake_*`` branch for PIL/ffmpeg in production — the mapInPandas batch
+shape does not change.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 
 import numpy as np
 import pandas as pd
@@ -45,39 +52,158 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 IMAGE_FEATURE_DIM = 16
+AUDIO_FEATURE_DIM = 16
 
 
-def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table: payload bytes derived from the id
-    (stateless, partition-independent)."""
-    return (
-        spark.range(n)
-        .select(
-            F.col("id").alias("media_id"),
-            F.element_at(
-                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-                (F.pmod(F.xxhash64(F.lit(seed), "id"), F.lit(3)) + 1).cast("int"),
-            ).alias("kind"),
-            F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 256)
-            .cast("binary")
-            .alias("payload"),
-            F.struct(
-                (F.pmod(F.xxhash64(F.lit(seed + 1), "id"), F.lit(1920)) + 16).cast("int").alias("width"),
-                (F.pmod(F.xxhash64(F.lit(seed + 2), "id"), F.lit(1080)) + 16).cast("int").alias("height"),
-                (F.pmod(F.xxhash64(F.lit(seed + 3), "id"), F.lit(60000)) + 1000).cast("int").alias("duration_ms"),
-                F.lit("application/x-fake").alias("mime"),
-            ).alias("meta"),
+# -- real codecs (stdlib/numpy only) ------------------------------------
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) -> binary PPM (P6)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = a.shape[0], a.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> uint8 (h, w, 3). Pure numpy, handles comments."""
+    if not payload or not payload.startswith(b"P6"):
+        raise NotImplementedError(
+            "real decode of non-PPM images requires PIL/cv2 (not in this "
+            "sandbox); pass deterministic_fake=True for the plumbing path"
         )
+    # header: magic, width, height, maxval — whitespace/comment separated
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i).reshape(
+        h, w, 3
     )
 
 
+def encode_wav(samples: np.ndarray, framerate: int = 8000) -> bytes:
+    """int16 mono samples -> WAV bytes (stdlib wave)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(framerate)
+        wf.writeframes(np.ascontiguousarray(samples, dtype=np.int16).tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (float64 mono samples in [-1, 1], framerate)."""
+    if not payload or payload[:4] != b"RIFF":
+        raise NotImplementedError(
+            "real decode of non-WAV audio requires ffmpeg (not in this "
+            "sandbox); pass deterministic_fake=True for the plumbing path"
+        )
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n, ch, width, rate = (
+            wf.getnframes(), wf.getnchannels(), wf.getsampwidth(), wf.getframerate()
+        )
+        raw = wf.readframes(n)
+    if width != 2:
+        raise ValueError("only 16-bit WAV supported")
+    s = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+    if ch > 1:
+        s = s.reshape(-1, ch).mean(axis=1)
+    return s, rate
+
+
+def _synth_ppm(media_id: int, seed: int) -> tuple[bytes, int, int]:
+    rng = np.random.RandomState((media_id * 2654435761 + seed) & 0x7FFFFFFF)
+    w, h = int(rng.randint(8, 24)), int(rng.randint(8, 24))
+    x = np.arange(w)[None, :] + np.arange(h)[:, None] + media_id
+    img = np.stack(
+        [(x * 7) % 256, (x * 13) % 256, (x * 29) % 256], axis=-1
+    ).astype(np.uint8)
+    return encode_ppm(img), w, h
+
+
+def _synth_wav(media_id: int, seed: int) -> tuple[bytes, int]:
+    rate = 8000
+    dur_ms = 100 + (media_id * 37 + seed) % 400
+    t = np.arange(int(rate * dur_ms / 1000))
+    freq = 100.0 + (media_id % 40) * 20.0
+    samples = (np.sin(2 * np.pi * freq * t / rate) * 12000).astype(np.int16)
+    return encode_wav(samples, rate), dur_ms
+
+
+def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic media table with REAL payloads: PPM images and WAV
+    audio (both decodable in-sandbox), opaque fake bytes for video.
+    Pure function of (media_id, seed) — partition-independent."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                kind = ("image", "audio", "video")[mid % 3]
+                if kind == "image":
+                    payload, w, h = _synth_ppm(mid, seed)
+                    meta = (w, h, None, "image/x-portable-pixmap")
+                elif kind == "audio":
+                    payload, dur = _synth_wav(mid, seed)
+                    meta = (None, None, dur, "audio/wav")
+                else:
+                    payload = hashlib.sha256(f"{seed}:{mid}".encode()).digest()
+                    meta = (
+                        16 + (mid * 31) % 1920, 16 + (mid * 17) % 1080,
+                        1000 + (mid * 97) % 60000, "video/x-fake",
+                    )
+                rows.append((mid, kind, payload, meta))
+            yield pd.DataFrame(
+                {
+                    "media_id": [r[0] for r in rows],
+                    "kind": [r[1] for r in rows],
+                    "payload": [r[2] for r in rows],
+                    "meta": [
+                        {
+                            "width": r[3][0], "height": r[3][1],
+                            "duration_ms": r[3][2], "mime": r[3][3],
+                        }
+                        for r in rows
+                    ],
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def _fake_image_features(payload: bytes, dim: int = IMAGE_FEATURE_DIM) -> np.ndarray:
-    """Deterministic stand-in for a real decode+embed: hash-seeded unit
-    vector. REPLACE with real decode (PIL -> resize -> model) in prod."""
+    """Deterministic stand-in for decode+embed of formats the sandbox
+    cannot decode (JPEG/PNG): hash-seeded unit vector. REPLACE with real
+    decode (PIL -> resize -> model) in prod."""
     h = hashlib.sha256(payload or b"").digest()
     rng = np.random.RandomState(np.frombuffer(h[:4], dtype=np.uint32)[0])
     v = rng.standard_normal(dim)
     return v / np.linalg.norm(v)
+
+
+def _real_image_features(payload: bytes, dim: int = IMAGE_FEATURE_DIM) -> np.ndarray:
+    """REAL pixel features from a PPM payload: per-channel mean/std +
+    luminance histogram (dim-6 bins)."""
+    rgb = decode_ppm(payload).astype(np.float64) / 255.0
+    means, stds = rgb.mean(axis=(0, 1)), rgb.std(axis=(0, 1))
+    lum = rgb @ np.array([0.299, 0.587, 0.114])
+    hist, _ = np.histogram(lum, bins=dim - 6, range=(0.0, 1.0))
+    return np.concatenate([means, stds, hist / lum.size])
 
 
 def extract_image_features(
@@ -85,26 +211,84 @@ def extract_image_features(
 ) -> DataFrame:
     """mapInPandas feature extraction over image payloads.
 
-    Batch shape: input (media_id, payload), output (media_id,
-    features array<float>). Partitioning is preserved — no shuffle;
-    at scale the binary column is the IO bound, so repartition the
-    source by file size before calling if batches skew."""
+    PPM payloads are decoded FOR REAL (numpy); other formats raise the
+    explicit stub error unless ``deterministic_fake=True``. Batch shape:
+    input (media_id, payload), output (media_id, features array<float>).
+    Partitioning is preserved — no shuffle; at scale the binary column
+    is the IO bound, so repartition the source by file size before
+    calling if batches skew."""
+
+    def one(p):
+        try:
+            return _real_image_features(p, dim)
+        except NotImplementedError:
+            if deterministic_fake:
+                return _fake_image_features(p, dim)
+            raise
 
     def run(batches):
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/cv2 (not in this sandbox); "
-                    "pass deterministic_fake=True for the plumbing path"
-                )
+            feats = [one(p).astype(np.float32).tolist() for p in pdf["payload"]]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    src = df.filter(F.col("kind") == "image").select("media_id", "payload")
+    return src.mapInPandas(run, "media_id long, features array<float>")
+
+
+def _audio_features(payload: bytes, dim: int = AUDIO_FEATURE_DIM) -> np.ndarray:
+    """REAL audio features from a WAV payload: duration, RMS,
+    zero-crossing rate, peak + (dim-4) FFT band energies."""
+    s, rate = decode_wav(payload)
+    if s.size == 0:
+        return np.zeros(dim)
+    dur = s.size / rate
+    rms = float(np.sqrt(np.mean(s * s)))
+    zcr = float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1])))
+    peak = float(np.abs(s).max())
+    mag = np.abs(np.fft.rfft(s))
+    bands = np.array_split(mag, dim - 4)
+    be = np.array([float(b.sum()) for b in bands])
+    tot = be.sum() or 1.0
+    return np.concatenate([[dur, rms, zcr, peak], be / tot])
+
+
+def extract_audio_features(df: DataFrame, dim: int = AUDIO_FEATURE_DIM) -> DataFrame:
+    """mapInPandas WAV feature extraction (stdlib decode, real samples)."""
+
+    def run(batches):
+        for pdf in batches:
             feats = [
-                _fake_image_features(p, dim).astype(np.float32).tolist()
+                _audio_features(p, dim).astype(np.float32).tolist()
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
+    src = df.filter(F.col("kind") == "audio").select("media_id", "payload")
+    return src.mapInPandas(run, "media_id long, features array<float>")
+
+
+def resize_ppm(payload: bytes, max_side: int = 512) -> bytes:
+    """REAL nearest-neighbor resize of a PPM payload (numpy indexing),
+    applying the same geometry as resize_plan."""
+    img = decode_ppm(payload)
+    h, w = img.shape[0], img.shape[1]
+    scale = min(float(max_side) / max(w, h), 1.0)
+    tw, th = max(int(np.ceil(w * scale)), 1), max(int(np.ceil(h * scale)), 1)
+    ys = np.minimum((np.arange(th) / scale).astype(np.int64), h - 1)
+    xs = np.minimum((np.arange(tw) / scale).astype(np.int64), w - 1)
+    return encode_ppm(img[ys][:, xs])
+
+
+def resize_images(df: DataFrame, max_side: int = 512) -> DataFrame:
+    """mapInPandas real resize for PPM payloads -> resized payload col."""
+
+    def run(batches):
+        for pdf in batches:
+            out = [resize_ppm(p, max_side) for p in pdf["payload"]]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": out})
+
     src = df.filter(F.col("kind") == "image").select("media_id", "payload")
-    return src.mapInPandas(run, f"media_id long, features array<float>")
+    return src.mapInPandas(run, "media_id long, payload binary")
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

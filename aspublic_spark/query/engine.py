@@ -138,6 +138,11 @@ class SearchEngine:
         self.block_size: int = meta.get("block_size", 128)
         self.text_cols: list[str] = meta.get("text_cols", [meta.get("text_col", "text")])
         self.n_fields = len(self.text_cols)
+        # query-side analyzer always mirrors the index-side one
+        from aspublic_spark.functions.stemmer import get_analyzer
+
+        self.analyzer: str = meta.get("analyzer", "fts5")
+        self._tok = get_analyzer(self.analyzer)
         st_rows = spark.read.parquet(os.path.join(index_dir, "stats")).collect()
         self.n_docs = int(st_rows[0]["n_docs"])
         # per-field average length (FTS5 per-column norms); fields with
@@ -319,7 +324,11 @@ class SearchEngine:
         # (a doc satisfies term t if it matches in ANY field, so the
         # rarest term's intervals span its blocks across all fields)
         and_like = list(pq.and_terms) + [t for ph in pq.phrases for t in ph]
-        if and_like:
+        # intersecting a single term's blocks with their own intervals
+        # keeps everything — only worth the extra job when a SECOND
+        # term's (or the NOT side's) blocks can actually be dropped
+        distinct_pos = {(t, f) for (t, f) in scaled_map}
+        if and_like and (len({t for t, _ in distinct_pos}) > 1 or not_blocks is not None):
             df_of = lambda t: sum(  # noqa: E731
                 s["df"] for s in stats.get(t, {}).values()
             )
@@ -504,7 +513,7 @@ class SearchEngine:
         subject, db_sqlite.py:27). Defaults to 1.0 per field (FTS5
         default); total score = sum_f w_f * BM25_f."""
         k = max(1, min(int(k), 100))  # reference clamp, viewer.py:123
-        pq = parser(q) if isinstance(q, str) else (q or ParsedQuery())
+        pq = parser(q, tok=self._tok) if isinstance(q, str) else (q or ParsedQuery())
         has_doc_filters = any(
             v is not None for v in (role, tool_present, after, before, conv_prefix, extra_filter)
         )

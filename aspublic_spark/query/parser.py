@@ -79,13 +79,16 @@ def _tok1(word: str) -> list[str]:
     return tokenize(word)
 
 
-def parse_query(q: str) -> ParsedQuery:
-    """sqlite-backend semantics (viewer.py:62-84 behavior)."""
+def parse_query(q: str, tok=tokenize) -> ParsedQuery:
+    """sqlite-backend semantics (viewer.py:62-84 behavior).
+
+    ``tok``: the analyzer used for query terms — MUST match the
+    index-side analyzer (the engine passes its index's)."""
     out = ParsedQuery()
     rest = q or ""
 
     def neg_phrase(m: re.Match) -> str:
-        toks = tokenize(m.group(1))
+        toks = tok(m.group(1))
         if len(toks) == 1:
             out.not_terms.extend(toks)
         elif toks:
@@ -93,11 +96,11 @@ def parse_query(q: str) -> ParsedQuery:
         return " "
 
     def neg_word(m: re.Match) -> str:
-        out.not_terms.extend(tokenize(m.group(1)))
+        out.not_terms.extend(tok(m.group(1)))
         return " "
 
     def phrase(m: re.Match) -> str:
-        toks = tokenize(m.group(1))
+        toks = tok(m.group(1))
         if toks:
             out.phrases.append(toks)
         return " "
@@ -106,11 +109,11 @@ def parse_query(q: str) -> ParsedQuery:
     rest = _NEG_WORD.sub(neg_word, rest)
     rest = _PHRASE.sub(phrase, rest)
     for w in rest.split():
-        out.and_terms.extend(tokenize(w))
+        out.and_terms.extend(tok(w))
     return out
 
 
-def parse_websearch(q: str) -> ParsedQuery:
+def parse_websearch(q: str, tok=tokenize) -> ParsedQuery:
     """websearch_to_tsquery-style semantics with OR support."""
     out = ParsedQuery()
     # lex: quoted phrases, negations, OR, words
@@ -118,11 +121,11 @@ def parse_websearch(q: str) -> ParsedQuery:
     items: list[tuple[str, object]] = []  # (kind, payload)
     for m in token_re.finditer(q or ""):
         if m.group(1) is not None:
-            toks = tokenize(m.group(1))
+            toks = tok(m.group(1))
             if toks:
                 items.append(("not_phrase", toks))
         elif m.group(2) is not None:
-            toks = tokenize(m.group(2))
+            toks = tok(m.group(2))
             if toks:
                 items.append(("phrase", toks))
         else:
@@ -130,9 +133,9 @@ def parse_websearch(q: str) -> ParsedQuery:
             if w == "OR":
                 items.append(("or", None))
             elif w.startswith("-") and len(w) > 1:
-                items.append(("not", tokenize(w[1:])))
+                items.append(("not", tok(w[1:])))
             else:
-                toks = tokenize(w)
+                toks = tok(w)
                 if toks:
                     items.append(("word", toks))
 

@@ -52,6 +52,20 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus), 4)
+    # Deep Catalyst trees (long sessions, streaming micro-batch planning)
+    # can blow the default JVM thread stack. In client/local mode driver
+    # JVM options must be set BEFORE the gateway launches — conf-set
+    # spark.driver.extraJavaOptions is too late — so widen the stack via
+    # the submit args when this process has not started a JVM yet.
+    from pyspark import SparkContext
+
+    if SparkContext._gateway is None and "-Xss" not in os.environ.get(
+        "PYSPARK_SUBMIT_ARGS", ""
+    ):
+        prev = os.environ.get("PYSPARK_SUBMIT_ARGS", "pyspark-shell")
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            '--driver-java-options "-Xss16m" ' + prev
+        )
     # local-mode shuffle/spill dirs: prefer RAM-backed storage — the
     # sandbox's /tmp disk sustains ~350MB/s, which caps parallel write
     # scaling (a real cluster gets per-executor local SSDs instead)
@@ -70,6 +84,9 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # cluster path: executors get the widened stack via conf (the
+        # local-mode driver gets it from PYSPARK_SUBMIT_ARGS above)
+        .config("spark.executor.extraJavaOptions", "-Xss16m")
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

@@ -129,18 +129,26 @@ def test_multimodal_features_and_plans(spark):
     media = MM.synth_media(spark, 60, seed=42)
     assert media.schema["payload"].dataType.typeName() == "binary"
 
-    feats = MM.extract_image_features(media, deterministic_fake=True).collect()
+    # PPM payloads decode FOR REAL — no deterministic_fake needed
+    feats = MM.extract_image_features(media).collect()
     assert len(feats) > 0
     for r in feats:
         assert len(r["features"]) == MM.IMAGE_FEATURE_DIM
     # determinism: same ids -> same features on recompute
-    feats2 = MM.extract_image_features(media, deterministic_fake=True).collect()
+    feats2 = MM.extract_image_features(media).collect()
     assert {r["media_id"]: r["features"] for r in feats} == {
         r["media_id"]: r["features"] for r in feats2
     }
 
-    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
-        MM.extract_image_features(media).collect()
+    # non-decodable format (JPEG-ish bytes): explicit stub error unless
+    # deterministic_fake is requested
+    jpegish = spark.createDataFrame(
+        [(999, "image", b"\xff\xd8\xff\xe0 not a real jpeg", None)], MM.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|non-PPM"):
+        MM.extract_image_features(jpegish).collect()
+    fake = MM.extract_image_features(jpegish, deterministic_fake=True).collect()
+    assert len(fake) == 1 and len(fake[0]["features"]) == MM.IMAGE_FEATURE_DIM
 
     frames = MM.frame_sample_plan(media, every_ms=5000)
     row = frames.groupBy("media_id").count().first()
@@ -149,6 +157,58 @@ def test_multimodal_features_and_plans(spark):
     rp = MM.resize_plan(media, max_side=512).collect()
     for r in rp:
         assert max(r["target_w"], r["target_h"]) <= 512
+
+
+def test_ppm_roundtrip_and_real_pixel_features():
+    import numpy as np
+
+    img = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    payload = MM.encode_ppm(img)
+    back = MM.decode_ppm(payload)
+    assert (back == img).all()
+    # comment + whitespace variants parse too
+    commented = b"P6\n# a comment\n8 6\n255\n" + img.tobytes()
+    assert (MM.decode_ppm(commented) == img).all()
+    f = MM._real_image_features(payload)
+    assert len(f) == MM.IMAGE_FEATURE_DIM
+    # channel means are real pixel statistics
+    assert abs(f[0] - img[:, :, 0].mean() / 255.0) < 1e-9
+
+
+def test_wav_roundtrip_and_audio_features(spark):
+    import numpy as np
+
+    t = np.arange(800)
+    sine = (np.sin(2 * np.pi * 100 * t / 8000) * 12000).astype(np.int16)
+    payload = MM.encode_wav(sine, 8000)
+    s, rate = MM.decode_wav(payload)
+    assert rate == 8000 and s.size == 800
+    assert abs(s.max() - 12000 / 32768.0) < 1e-3
+    f = MM._audio_features(payload)
+    assert len(f) == MM.AUDIO_FEATURE_DIM
+    assert abs(f[0] - 0.1) < 1e-9          # duration: 800/8000 s
+    assert abs(f[1] - 12000 / 32768.0 / np.sqrt(2)) < 1e-3  # sine RMS
+    # distributed: features over the synth table's real WAVs
+    media = MM.synth_media(spark, 30, seed=42)
+    rows = MM.extract_audio_features(media).collect()
+    assert len(rows) > 0
+    assert all(len(r["features"]) == MM.AUDIO_FEATURE_DIM for r in rows)
+    durations = {r["media_id"]: r["features"][0] for r in rows}
+    metas = {
+        r["media_id"]: r["meta"]["duration_ms"]
+        for r in media.filter("kind = 'audio'").collect()
+    }
+    for mid, d in durations.items():
+        assert abs(d - metas[mid] / 1000.0) < 2e-3  # decoded == metadata
+
+
+def test_resize_images_real(spark):
+    media = MM.synth_media(spark, 30, seed=42)
+    out = MM.resize_images(media, max_side=10).collect()
+    assert len(out) > 0
+    for r in out:
+        img = MM.decode_ppm(bytes(r["payload"]))
+        assert max(img.shape[0], img.shape[1]) <= 10
 
 
 def test_bounded_dedup_horizon(spark, workdir):
@@ -216,5 +276,8 @@ def test_non_file_stream_source(spark, workdir):
     finally:
         q.stop()
     assert n >= 20
+    # stopping mid-batch can strand a staged generation (docs appended,
+    # index half-built) — recover() finishes it, same as after a crash
+    ing.recover()
     eng = SearchEngine(spark, idx)
     assert eng.search("rate", k=5).df.count() == 5

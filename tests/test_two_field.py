@@ -138,3 +138,19 @@ def test_single_field_index_unchanged(spark, workdir):
     eng = SearchEngine(spark, idx)
     assert eng.search("warning").df.count() == 0
     assert eng.search("politics").df.count() == 1  # body occurrence only
+
+
+def test_two_field_pruning_lossless(engine2):
+    """Block-max theta + doc-range pruning with per-(term, field) upper
+    bounds must stay lossless on the two-field index."""
+    pruned = SearchEngine(engine2.spark, engine2.index_dir, prune_min_postings=0)
+    for q in ["politics", "sample politics", "warning status", "status"]:
+        a = [
+            (r["turn_idx"], round(r["score"], 9))
+            for r in pruned.search(q, block_max=True).df.collect()
+        ]
+        b = [
+            (r["turn_idx"], round(r["score"], 9))
+            for r in engine2.search(q, block_max=False).df.collect()
+        ]
+        assert a == b, q
