@@ -198,11 +198,22 @@ def main():
     tps = n_turns / build_secs
 
     eng = SearchEngine(spark, idx_dir, cache_tables=True)
+    eng.search("status", k=5).df.collect()  # warm caches (long-lived server)
     queries = {}
     for name, q, kw in QUERY_SET:
         t0 = time.time()
         eng.search(q, k=50, **kw).df.collect()
         queries[name] = round(time.time() - t0, 3)
+    # block-max path datapoint: forced on (the default threshold keeps
+    # it off at this corpus size because the exhaustive scan is cheaper
+    # than pruning's two extra driver round-trips; at Zipf-head scale
+    # the threshold enables it automatically)
+    pruned_eng = SearchEngine(spark, idx_dir, cache_tables=True, prune_min_postings=0)
+    t0 = time.time()
+    res = pruned_eng.search("the", k=50)
+    res.df.collect()
+    queries["q_heavy_blockmax"] = round(time.time() - t0, 3)
+    assert res.pruning.get("theta_pruned"), "block-max did not fire"
 
     result = {
         "metric": "index_build_turns_per_sec",
