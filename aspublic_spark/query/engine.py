@@ -262,31 +262,42 @@ class SearchEngine:
         self, phrase: list[str], unp_pos: DataFrame, stats: dict | None = None
     ) -> DataFrame:
         """Docs where the phrase occurs adjacently within a SINGLE field
-        (FTS5 phrases never span columns). Position candidates are
-        anchored on the rarest phrase term — its explode produces the
-        smallest intermediate — with offsets checked relative to it."""
+        (FTS5 phrases never span columns).
+
+        Evaluated WITHOUT exploding positions: starting from the rarest
+        term's position array (smallest intermediate), each further term
+        joins on (doc, fld) and intersects its offset-shifted array —
+        `array_intersect(cur, transform(pos_i, p -> p - rel_offset))`,
+        all JVM higher-order functions. A doc survives while the set of
+        viable anchor positions stays non-empty; per-row work is
+        O(positions), and the join rows stay one-per-(doc, fld) instead
+        of one-per-position."""
         if stats is None:  # standalone use; search() passes its stats
             stats = self.term_stats(list(set(phrase)))
         df_of = lambda t: sum(s["df"] for s in stats.get(t, {}).values())  # noqa: E731
         anchor = min(range(len(phrase)), key=lambda i: df_of(phrase[i]))
-        cur = (
-            unp_pos.filter(F.col("term") == phrase[anchor])
-            .select("fld", "doc_id", F.explode("positions").alias("_pa"))
-            .select("fld", "doc_id", (F.col("_pa") - anchor).alias("p0"))
-            .filter(F.col("p0") >= 0)
+        cur = unp_pos.filter(F.col("term") == phrase[anchor]).select(
+            "fld", "doc_id", F.col("positions").alias("_vp")
         )
         for i, t in enumerate(phrase):
             if i == anchor:
                 continue
+            off = i - anchor  # term i sits `off` tokens after the anchor
             nxt = unp_pos.filter(F.col("term") == t).select(
                 F.col("fld").alias("_f"),
                 F.col("doc_id").alias("_d"),
-                F.col("positions").alias(f"_pos{i}"),
+                F.col("positions").alias("_pn"),
             )
             cur = (
                 cur.join(nxt, (cur.doc_id == nxt._d) & (cur.fld == nxt._f))
-                .filter(F.array_contains(F.col(f"_pos{i}"), F.col("p0") + i))
-                .select("fld", "doc_id", "p0")
+                .select(
+                    "fld",
+                    "doc_id",
+                    F.array_intersect(
+                        "_vp", F.transform("_pn", lambda p: p - off)
+                    ).alias("_vp"),
+                )
+                .filter(F.size("_vp") > 0)
             )
         return cur.select("doc_id").distinct()
 
