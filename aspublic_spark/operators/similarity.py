@@ -171,6 +171,8 @@ class IVFIndex:
         self.id_col = id_col
         self.vec_col = vec_col
 
+    MAX_DRIVER_CENTROID_CELLS = 50_000_000  # ~400 MB of float64
+
     @staticmethod
     def build(
         emb: DataFrame,
@@ -181,6 +183,17 @@ class IVFIndex:
         seed: int = 42,
     ) -> "IVFIndex":
         spark = emb.sparkSession
+        first = emb.select(vec_col).first()
+        dim = len(first[vec_col]) if first else 0
+        if n_centroids * dim > IVFIndex.MAX_DRIVER_CENTROID_CELLS:
+            # the coarse quantizer is driver-materialized (like MLlib
+            # KMeans cluster centers); beyond this, use a hierarchical /
+            # product-quantized coarse index instead of raising C
+            raise ValueError(
+                f"n_centroids*dim = {n_centroids * dim} exceeds the "
+                "driver-side centroid budget; use a hierarchical coarse "
+                "quantizer at this scale"
+            )
         n = emb.count()
         # deterministic spread-out seed pick: first vector of each hash bucket
         from pyspark.sql import Window
