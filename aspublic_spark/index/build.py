@@ -527,16 +527,23 @@ class IndexBuilder:
             F.max("tf").alias("max_tf"),
             F.min("dl").alias("min_dl"),
         )
-        gdict.write.mode("overwrite").parquet(self._p("dictionary_gens", f"gen={gen}"))
-        tot_rows = (
-            self.spark.read.parquet(self._p("dictionary_gens", f"gen={gen}"))
-            .groupBy("fld")
-            .agg(F.sum("cf").alias("total_tokens"), F.sum("df").alias("n_postings"))
-            .collect()
+        # per-field totals ride the SAME write action as observed
+        # metrics (no read-back aggregation job); fld ordinals are tiny,
+        # so fixed per-fld conditional sums cover them
+        from pyspark.sql import Observation
+
+        obs = Observation(f"gendict_g{gen}")
+        n_fld = len(self.text_cols)
+        metrics = [F.sum("df").alias("n_postings")]
+        for f in range(n_fld):
+            metrics.append(
+                F.sum(F.when(F.col("fld") == f, F.col("cf")).otherwise(0)).alias(f"tok{f}")
+            )
+        gdict.observe(obs, *metrics).write.mode("overwrite").parquet(
+            self._p("dictionary_gens", f"gen={gen}")
         )
-        by_fld = {
-            str(int(r["fld"])): int(r["total_tokens"] or 0) for r in tot_rows
-        }
+        got = obs.get
+        by_fld = {str(f): int(got[f"tok{f}"] or 0) for f in range(n_fld)}
         n_docs = self.spark.read.parquet(self._p("docs", f"gen={gen}")).count()
         self._commit(
             "gendict", gen, None,
@@ -544,7 +551,7 @@ class IndexBuilder:
                 "n_docs": n_docs,
                 "total_tokens_by_fld": by_fld,
                 "total_tokens": sum(by_fld.values()),
-                "n_postings": sum(int(r["n_postings"] or 0) for r in tot_rows),
+                "n_postings": int(got["n_postings"] or 0),
                 "seconds": time.time() - t0,
             },
         )

@@ -147,3 +147,47 @@ def test_reopen_adopts_stored_layout(spark, workdir):
     b2 = IndexBuilder(spark, idx, n_slices=16, block_size=999, text_col="nope")
     assert b2.n_slices == 2 and b2.block_size == 8 and b2.text_cols == ["text"]
     assert b2.key_cols == ["conv_id", "turn_idx"]
+
+
+def test_prune_crash_recovery_rolls_forward(spark, workdir):
+    """A prune interrupted after the marker commit (filtered copies
+    written, nothing swapped) must roll forward on the next call and
+    end in exactly the same state as an uninterrupted prune."""
+    import json
+    from datetime import datetime, timezone
+
+    idx = os.path.join(workdir, "prunecrash_idx")
+    b = _builder(spark, idx)
+    b.build(_mk_rows(spark, "cOLD", 8, 1_000_000, "ancient alpha words"), gen=0)
+    b.add_documents(_mk_rows(spark, "cMID", 8, 2_000_000 - 4, "boundary bravo words"), gen=1)
+
+    cutoff = datetime.fromtimestamp(2_000_000, tz=timezone.utc).replace(tzinfo=None)
+    # simulate the crash point: filtered copies + marker exist, no swap.
+    g1_docs = spark.read.parquet(os.path.join(idx, "docs", "gen=1"))
+    kept = g1_docs.filter(F.col("ts") >= F.lit(cutoff))
+    kept.write.mode("overwrite").parquet(os.path.join(idx, "docs_pruning", "gen=1"))
+    raw1 = spark.read.parquet(os.path.join(idx, "postings_raw", "gen=1"))
+    kept_ids = kept.select("doc_id")
+    raw1.join(kept_ids, "doc_id", "left_semi").select(
+        "slice", "doc_id", "fld", "dl", "term", "tf", "positions"
+    ).write.mode("overwrite").partitionBy("slice").parquet(
+        os.path.join(idx, "postings_raw_pruning", "gen=1")
+    )
+    with open(os.path.join(idx, "manifest", "prune_pending.json"), "w") as f:
+        json.dump({"drop": [0], "rewrite": [1]}, f)
+
+    # next prune call first rolls the pending decision forward
+    res = b.prune_index(cutoff)
+    assert res["pruned"] is False  # nothing left to do after roll-forward
+
+    fresh_idx = os.path.join(workdir, "prunecrash_fresh")
+    union = (
+        _mk_rows(spark, "cOLD", 8, 1_000_000, "ancient alpha words")
+        .unionByName(_mk_rows(spark, "cMID", 8, 2_000_000 - 4, "boundary bravo words"))
+        .filter(F.col("ts") >= F.lit(cutoff))
+    )
+    _builder(spark, fresh_idx).build(union)
+    assert _stats_row(spark, idx) == _stats_row(spark, fresh_idx)
+    assert _dict_rows(spark, idx) == _dict_rows(spark, fresh_idx)
+    assert SearchEngine(spark, idx).search("ancient", k=10).df.count() == 0
+    assert not os.path.exists(os.path.join(idx, "manifest", "prune_pending.json"))
