@@ -172,6 +172,30 @@ class StreamingIngest:
                 self._next_gen = self._detect_next_gen()
         return n
 
+    def prune_keys(self, older_than) -> int:
+        """Drop key-sidecar day partitions older than ``older_than`` (a
+        date): they are never read once outside every future batch's
+        dedup horizon — directory-level delete, no Spark job. Returns
+        the number of partitions removed."""
+        import shutil
+        from datetime import date
+
+        if not os.path.isdir(self.keys_dir):
+            return 0
+        cutoff = older_than if isinstance(older_than, date) else older_than.date()
+        removed = 0
+        for name in os.listdir(self.keys_dir):
+            if not name.startswith("day="):
+                continue
+            try:
+                d = date.fromisoformat(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if d < cutoff:
+                shutil.rmtree(os.path.join(self.keys_dir, name), ignore_errors=True)
+                removed += 1
+        return removed
+
     # -- streaming wiring --------------------------------------------------
     def start_from_stream(
         self,

@@ -281,3 +281,20 @@ def test_non_file_stream_source(spark, workdir):
     ing.recover()
     eng = SearchEngine(spark, idx)
     assert eng.search("rate", k=5).df.count() == 5
+
+
+def test_prune_keys_sidecar(spark, workdir):
+    from datetime import date
+
+    idx = os.path.join(workdir, "pk_idx")
+    docs = os.path.join(workdir, "pk_docs")
+    ing = StreamingIngest(spark, idx, docs, index_kwargs=dict(n_slices=2, block_size=8))
+    base = fixture_transcripts(spark)  # epoch 1700000000 -> 2023-11-14
+    assert ing.ingest_batch(base) == 6
+    shifted = base.withColumn("ts", F.col("ts") + F.expr("interval 40 days"))
+    assert ing.ingest_batch(shifted) == 6
+    assert ing.prune_keys(date(2023, 12, 1)) == 1  # the 2023-11-14 partition
+    days = [n for n in os.listdir(docs + "_keys") if n.startswith("day=")]
+    assert len(days) == 1
+    # recent keys still dedupe
+    assert ing.ingest_batch(shifted) == 0
