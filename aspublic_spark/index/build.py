@@ -6,23 +6,27 @@ by SQL triggers (common/db_sqlite.py:27-41) / a `tsvector` generated
 column + GIN index (common/db_postgres.py:29-31). Here the index is a
 set of explicit columnar tables, built by DataFrame jobs:
 
-    docs/                doc_id, <key cols>, <meta cols>, doc_len
-    postings_raw/gen=G/slice=S/   term, doc_id, tf, positions  (uncompressed)
-    postings/gen=G/slice=S/       packed blocks (codec.py)
-    dictionary/          term, df, cf, max_tf, min_dl, max_w
-    stats/               n_docs, avgdl, total_tokens
+    docs/gen=G/          doc_id, <key cols>, <meta cols>
+    postings_raw/gen=G/slice=S/  fld, term, doc_id, tf, dl,
+                                 positions (varint BINARY, pre-encoded)
+    postings/gen=G/slice=S/      packed blocks (codec.py)
+    dictionary_gens/gen=G/       per-gen (term, fld) -> df/cf/max_tf/min_dl
+    dictionary/          merged (term, fld) aggregates
+    stats/               one row per fld: n_docs, avgdl, total_tokens
     manifest/            one JSON per (stage, gen, slice): status + lineage
                          + metrics (terms/postings/bytes/seconds)
 
 Scale design (the part that must survive 1000 executors / 100 TB):
 
-- the tokenize+raw-postings pass is ONE scan of the input, written
+- the tokenize+raw-postings pass is ONE mapInArrow scan of the input
+  (linear in tokens; positions leave already varint-encoded), written
   partitioned by a deterministic hash slice of doc_id — no per-slice
-  re-scans;
-- the pack stage shuffles by (term, salt): heavy-hitter terms (df above
-  ``salt_max_postings``) are split across ``ceil(df/salt_max)`` salts
-  keyed by doc hash, so no single reducer ever materializes a full
-  Zipf-head posting list (north_rule's explicit skew handling);
+  re-scans, and the pack shuffle moves compressed bytes;
+- the pack stage shuffles by (slice, term, fld, salt): heavy-hitter
+  terms (df above ``salt_max_postings``) are split across
+  ``ceil(df/salt_max)`` salts keyed by doc hash, so no single reducer
+  ever materializes a full Zipf-head posting list (north_rule's
+  explicit skew handling);
 - blocks carry (min_doc, max_doc, block_max_w, max_tf, min_dl) so the
   query side can do block-max WAND pruning and doc-range intersection
   without touching the packed bytes;
@@ -30,8 +34,11 @@ Scale design (the part that must survive 1000 executors / 100 TB):
   atomic manifest JSON after its output is written; re-running `build`
   skips committed slices (north_rule resumability);
 - incremental ingest = a new generation directory (the batch analog of
-  the FTS5 trigger firing per insert); dictionary/stats are recomputed
-  by `refresh_global` over all generations' raw postings.
+  the FTS5 trigger firing per insert); dictionary/stats quantities are
+  all DECOMPOSABLE, so `refresh_global` merges the small per-gen
+  dictionaries — per-batch cost independent of corpus history;
+- `compact()` merges generations and `prune_index(cutoff)` drops/
+  rewrites them by time, both behind crash-safe pending markers.
 """
 
 from __future__ import annotations
