@@ -59,31 +59,34 @@ def _fingerprint(sf_dir: str) -> str:
     return h.hexdigest()[:16]
 
 
-def _documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
-    """Build (once per sf_dir) and cache the inverted index over documents."""
-    key = os.path.normpath(sf_dir)
+def _build_cached_engine(
+    spark: SparkSession,
+    sf_dir: str,
+    cache_tag: str,
+    docs_transform,
+    builder_kwargs: dict,
+) -> SearchEngine:
+    """Build (once per sf_dir+variant) and cache an index over documents.
+
+    The on-disk cache dir is keyed by layout tag + input fingerprint
+    (stale-reuse safe); the build lands in a unique temp dir and is
+    atomically renamed so concurrent driver processes never see a
+    half-built index."""
+    key = os.path.normpath(sf_dir) + "#" + cache_tag
     if key in _ENGINES:
         return _ENGINES[key]
     ensure_package(spark)
-    # version-tag the cache dir so on-disk layout changes invalidate it;
-    # fingerprint the input so a regenerated corpus invalidates it too
-    idx = os.path.join("/tmp", "aspublic_idx_v3_" + _fingerprint(key))
+    idx = os.path.join(
+        "/tmp", f"aspublic_idx_{cache_tag}_" + _fingerprint(os.path.normpath(sf_dir))
+    )
     if not os.path.exists(os.path.join(idx, "index_meta.json")):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        # build into a unique temp dir, atomically rename into place:
-        # concurrent driver processes then never see a half-built index
+        docs = docs_transform(docs)
         tmp = idx + f".build.{os.getpid()}"
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
-        IndexBuilder(
-            spark,
-            tmp,
-            key_cols=["doc_id"],
-            text_col="text",
-            meta_cols=["lang", "source", "n_chars"],
-            n_slices=4,
-        ).build(docs)
+        IndexBuilder(spark, tmp, **builder_kwargs).build(docs)
         try:
             os.rename(tmp, idx)
         except OSError:  # a concurrent process won the race: use theirs
@@ -93,38 +96,25 @@ def _documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return eng
 
 
+def _documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    return _build_cached_engine(
+        spark, sf_dir, "v4",
+        lambda d: d,
+        dict(key_cols=["doc_id"], text_col="text",
+             meta_cols=["lang", "source", "n_chars"], n_slices=4),
+    )
+
+
 def _documents_engine_2f(spark: SparkSession, sf_dir: str) -> SearchEngine:
     """Two-field index over documents: text + a derived subject column
     (source + lang), matching the reference's fts5(text, subject)
     two-column index (common/db_sqlite.py:27-41)."""
-    key = os.path.normpath(sf_dir) + "#2f"
-    if key in _ENGINES:
-        return _ENGINES[key]
-    ensure_package(spark)
-    idx = os.path.join("/tmp", "aspublic_idx2f_v1_" + _fingerprint(os.path.normpath(sf_dir)))
-    if not os.path.exists(os.path.join(idx, "index_meta.json")):
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
-            "subject", F.concat_ws(" ", "source", "lang")
-        )
-        tmp = idx + f".build.{os.getpid()}"
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        IndexBuilder(
-            spark,
-            tmp,
-            key_cols=["doc_id"],
-            text_cols=["text", "subject"],
-            meta_cols=["lang", "source", "n_chars"],
-            n_slices=4,
-        ).build(docs)
-        try:
-            os.rename(tmp, idx)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    eng = SearchEngine(spark, idx)
-    _ENGINES[key] = eng
-    return eng
+    return _build_cached_engine(
+        spark, sf_dir, "2f_v2",
+        lambda d: d.withColumn("subject", F.concat_ws(" ", "source", "lang")),
+        dict(key_cols=["doc_id"], text_cols=["text", "subject"],
+             meta_cols=["lang", "source", "n_chars"], n_slices=4),
+    )
 
 
 def _fts(spark, sf_dir, q, k=20, parser=None, engine_fn=None, **kw) -> DataFrame:

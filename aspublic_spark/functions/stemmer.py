@@ -176,15 +176,12 @@ def porter_stem(word: str) -> str:
     return w
 
 
-_STEM_CACHE: dict[str, str] = {}
+# bounded: executors are long-lived and web-scale vocabularies reach
+# 10^7+ distinct tokens per worker — an unbounded dict would grow for
+# the life of the process. LRU keeps the Zipf head hot.
+import functools
 
-
-def _stem_cached(word: str) -> str:
-    s = _STEM_CACHE.get(word)
-    if s is None:
-        s = porter_stem(word)
-        _STEM_CACHE[word] = s
-    return s
+_stem_cached = functools.lru_cache(maxsize=1 << 18)(porter_stem)
 
 
 def tokenize_english(text: str | None) -> list[str]:

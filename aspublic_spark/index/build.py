@@ -769,6 +769,35 @@ class IndexBuilder:
             )
 
 
+    def repair(self) -> dict:
+        """Finish any generation whose derived state is incomplete:
+        missing per-gen dictionary (e.g. a compact interrupted after its
+        marker cleared but before the target's gendict ran) or missing/
+        damaged packed slices. Cheap when healthy — manifest-existence
+        checks only, no Spark jobs."""
+        self._finish_pending_compaction()
+        self._apply_pending_prune()
+        praw = self._p("postings_raw")
+        if not os.path.isdir(praw):
+            return {"repaired": []}
+        gens = sorted(
+            int(n.split("=")[1]) for n in os.listdir(praw) if n.startswith("gen=")
+        )
+        touched = []
+        for g in gens:
+            if not self._manifest_done("gendict", g):
+                self._stage_gen_dict(g)
+                self.refresh_global()
+                touched.append(g)
+        for g in gens:
+            if not all(
+                self._manifest_done("pack", g, s) for s in range(self.n_slices)
+            ):
+                self._stage_pack(g)  # per-slice resume redoes only gaps
+                if g not in touched:
+                    touched.append(g)
+        return {"repaired": touched}
+
     def _compact_marker(self) -> str:
         return self._p("manifest", "compact_pending.json")
 
@@ -810,8 +839,6 @@ class IndexBuilder:
         self.refresh_global()
         for g in pend["rewrite"]:
             self._stage_pack(g, resume=False)
-        if pend["drop"] and not pend["rewrite"]:
-            self.refresh_global()
         shutil.rmtree(self._p("docs_pruning"), ignore_errors=True)
         shutil.rmtree(self._p("postings_raw_pruning"), ignore_errors=True)
         os.remove(marker)
@@ -847,7 +874,9 @@ class IndexBuilder:
             mm = docs_g.agg(
                 F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
             ).collect()[0]
-            if mm["hi"] is None or mm["hi"] < cutoff_ts:
+            if mm["hi"] is None:
+                continue  # all-NULL timestamps: no evidence of age, keep
+            if mm["hi"] < cutoff_ts:
                 drop.append(g)
             elif mm["lo"] >= cutoff_ts:
                 continue
@@ -859,7 +888,11 @@ class IndexBuilder:
         shutil.rmtree(self._p("postings_raw_pruning"), ignore_errors=True)
         for g in rewrite:
             docs_g = self.spark.read.parquet(self._p("docs", f"gen={g}"))
-            kept = docs_g.filter(F.col(ts_col) >= F.lit(cutoff_ts))
+            # NULL-ts docs are not "older than cutoff" — retention must
+            # never delete what it cannot date
+            kept = docs_g.filter(
+                (F.col(ts_col) >= F.lit(cutoff_ts)) | F.col(ts_col).isNull()
+            )
             kept.write.mode("overwrite").parquet(self._p("docs_pruning", f"gen={g}"))
             raw_g = self.spark.read.parquet(self._p("postings_raw", f"gen={g}"))
             kept_ids = self.spark.read.parquet(
@@ -954,25 +987,37 @@ class IndexBuilder:
         if len(gens) <= 1:
             # a crash between marker-clear and the target's gendict/pack
             # leaves one raw gen without derived state: finish it here
-            for g in gens:
-                if not self._manifest_done("gendict", g):
-                    self._stage_gen_dict(g)
-                    self.refresh_global()
-                self._stage_pack(g)
+            self.repair()
             return {"compacted": False, "gens": len(gens)}
         target = max(gens) + 1
-        raw = self.spark.read.parquet(praw).select(
-            "slice", "term", "fld", "doc_id", "tf", "positions", "dl"
+        # Late-duplicate healing: a key re-ingested after the streaming
+        # dedup horizon expired exists in TWO generations under the same
+        # doc_id (the reference's DB unique constraint has no analog in
+        # plain parquet appends). Compaction is the exact-once repair
+        # pass: keep each doc_id's LATEST generation row and only that
+        # generation's postings.
+        from pyspark.sql import Window
+
+        docs_all = self.spark.read.parquet(self._p("docs"))  # + gen partition col
+        w = Window.partitionBy("doc_id").orderBy(F.col("gen").desc())
+        docs_kept = (
+            docs_all.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        raw = (
+            self.spark.read.parquet(praw)
+            .join(
+                docs_kept.select("doc_id", "gen"), ["doc_id", "gen"], "left_semi"
+            )
+            .select("slice", "term", "fld", "doc_id", "tf", "positions", "dl")
         )
         tmp_raw = self._p("postings_raw_compacting")
         shutil.rmtree(tmp_raw, ignore_errors=True)
         raw.write.mode("overwrite").partitionBy("slice").parquet(tmp_raw)
-        # `gen` is a discovered partition column on the parent read —
-        # drop it so the merged copy has the per-gen file schema
-        docs = self.spark.read.parquet(self._p("docs")).drop("gen")
         tmp_docs = self._p("docs_compacting")
         shutil.rmtree(tmp_docs, ignore_errors=True)
-        docs.write.mode("overwrite").parquet(tmp_docs)
+        docs_kept.drop("gen").write.mode("overwrite").parquet(tmp_docs)
         with open(self._compact_marker() + ".tmp", "w") as f:
             json.dump({"sources": gens, "target": target}, f)
         os.replace(self._compact_marker() + ".tmp", self._compact_marker())

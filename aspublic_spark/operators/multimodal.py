@@ -221,7 +221,10 @@ def extract_image_features(
     def one(p):
         try:
             return _real_image_features(p, dim)
-        except NotImplementedError:
+        except Exception:
+            # non-PPM (NotImplementedError) or CORRUPT payload (bad
+            # header / truncated pixels): one bad document must not be
+            # able to kill the job when the caller opted into fakes
             if deterministic_fake:
                 return _fake_image_features(p, dim)
             raise

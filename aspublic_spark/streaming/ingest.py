@@ -91,10 +91,13 @@ class StreamingIngest:
         the docs append is guarded by a marker (Spark's output commit
         makes the append itself all-or-nothing), and add_documents
         resumes from its per-slice manifests."""
+        import shutil
+
         staged = self._staging_dir(gen)
         new = self.spark.read.parquet(staged)
         n = new.count()
         if not n:
+            shutil.rmtree(staged, ignore_errors=True)
             return 0
         marker = os.path.join(staged, "_DOCS_APPENDED")
         if not os.path.exists(marker):
@@ -109,21 +112,36 @@ class StreamingIngest:
             ).write.mode("append").partitionBy("day").parquet(self.keys_dir)
             open(kmarker, "w").close()
         self.builder.add_documents(new, gen=gen)
+        # the staged copy exists ONLY for crash recovery; once the
+        # generation is fully committed it must go — otherwise a later
+        # compact()/prune_index() (which clears per-gen manifests)
+        # would make recover() re-index long-finished batches and
+        # double-count every doc in them
+        shutil.rmtree(staged, ignore_errors=True)
         return n
 
     def recover(self):
         """Finish any staged batches whose append/indexing was interrupted
-        (at-least-once delivery + this recovery = effectively-once)."""
+        (at-least-once delivery + this recovery = effectively-once), and
+        repair index generations with missing derived state (damaged
+        pack output, compact/prune interrupted after their markers)."""
+        import shutil
+
         root = self.docs_dir + "_staging"
-        if not os.path.isdir(root):
-            return
-        for name in sorted(os.listdir(root)):
-            if not name.startswith("gen_"):
-                continue
-            gen = int(name.split("_")[1])
-            if not self.builder._manifest_done("pack", gen, self.builder.n_slices - 1):
+        if os.path.isdir(root):
+            for name in sorted(os.listdir(root)):
+                if not name.startswith("gen_"):
+                    continue
+                if name.endswith("_pre"):
+                    # pre-dedup scratch from an interrupted batch: the
+                    # source will redeliver it (at-least-once), discard
+                    shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                    continue
+                gen = int(name.split("_")[1])
                 self._finish_staged(gen)
-            self._next_gen = max(self._next_gen, gen + 1)
+                self._next_gen = max(self._next_gen, gen + 1)
+        self.builder.repair()
+        self._next_gen = max(self._next_gen, self._detect_next_gen())
 
     def ingest_batch(self, batch_df: DataFrame, epoch_id: int | None = None) -> int:
         self.recover()
@@ -134,6 +152,26 @@ class StreamingIngest:
             df = df.withColumn("text", html_text_udf(F.col("text")))
         if self.accept or self.reject:
             df = apply_policies(df, "conv_id", ["text"], self.accept, self.reject)
+        # Materialize the normalized/filtered batch ONCE (HTML and regex
+        # policies are the expensive lineage); the batch's min ts rides
+        # the same write as an observed metric, so no extra action.
+        # Staging also SEVERS LINEAGE: the anti-join below references
+        # on-disk state this batch will append to, and a later
+        # re-evaluation of an un-severed plan would anti-join the new
+        # rows against themselves.
+        import shutil
+
+        from pyspark.sql import Observation
+
+        gen = self._next_gen
+        pre_dir = self._staging_dir(gen) + "_pre"
+        obs = Observation(f"ingest_g{gen}")
+        df.observe(obs, F.min("ts").alias("mn")).write.mode("overwrite").parquet(
+            pre_dir
+        )
+        mn = obs.get["mn"]
+        staged_pre = self.spark.read.parquet(pre_dir)
+
         # idempotent upsert: drop keys already present (exactly-once
         # effect under at-least-once delivery). The existing side is the
         # day-partitioned key sidecar pruned to the dedup horizon, so
@@ -141,26 +179,21 @@ class StreamingIngest:
         existing = None
         if os.path.isdir(self.keys_dir):
             existing = self.spark.read.parquet(self.keys_dir)
-            if self.dedup_horizon_days is not None:
-                mn = df.agg(F.min("ts").alias("mn")).collect()[0]["mn"]
-                if mn is not None:
-                    from datetime import timedelta
+            if self.dedup_horizon_days is not None and mn is not None:
+                from datetime import timedelta
 
-                    horizon = (mn - timedelta(days=self.dedup_horizon_days)).date()
-                    existing = existing.filter(F.col("day") >= F.lit(horizon))
+                horizon = (mn - timedelta(days=self.dedup_horizon_days)).date()
+                existing = existing.filter(F.col("day") >= F.lit(horizon))
         elif os.path.isdir(self.docs_dir):
             # legacy layout without the sidecar: full-history scan
             existing = self.spark.read.parquet(self.docs_dir)
+        new = staged_pre
         if existing is not None:
-            df = anti_join_existing(
-                df, existing.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"]
+            new = anti_join_existing(
+                new, existing.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"]
             )
-        # Stage the filtered batch and re-read it to SEVER LINEAGE: the
-        # anti-join above references docs_dir, and appending to docs_dir
-        # below would otherwise poison any later re-evaluation of this
-        # plan (the new rows would anti-join against themselves).
-        gen = self._next_gen
-        df.write.mode("overwrite").parquet(self._staging_dir(gen))
+        new.write.mode("overwrite").parquet(self._staging_dir(gen))
+        shutil.rmtree(pre_dir, ignore_errors=True)
         n = self._finish_staged(gen)
         if n:
             self._next_gen += 1

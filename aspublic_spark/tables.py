@@ -174,8 +174,16 @@ def _iceberg_catalog(spark: SparkSession) -> str | None:
     """Name of a configured Iceberg catalog, if any (production path)."""
     try:
         for k, v in spark.sparkContext.getConf().getAll():
-            if k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower():
-                return k.split(".", 3)[3]
+            # only the 4-segment key `spark.sql.catalog.<name>` names the
+            # catalog; sub-keys like `...<name>.catalog-impl` (whose
+            # values also contain 'iceberg') must not match
+            parts = k.split(".")
+            if (
+                len(parts) == 4
+                and k.startswith("spark.sql.catalog.")
+                and "iceberg" in str(v).lower()
+            ):
+                return parts[3]
     except Exception:
         pass
     return None

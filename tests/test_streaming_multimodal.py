@@ -298,3 +298,84 @@ def test_prune_keys_sidecar(spark, workdir):
     assert len(days) == 1
     # recent keys still dedupe
     assert ing.ingest_batch(shifted) == 0
+
+
+def test_ingest_after_compaction_no_resurrection(spark, workdir):
+    """Round-2 review finding: compact() clears per-gen manifests, and
+    recover() used to re-index long-finished staged batches afterwards,
+    double-counting their docs. Staged copies are now removed on
+    completion; the batch AFTER an auto-compaction must leave the index
+    identical to a fresh build over all rows."""
+    from aspublic_spark.index.build import IndexBuilder
+
+    idx = os.path.join(workdir, "nores_idx")
+    ing = StreamingIngest(
+        spark, idx, os.path.join(workdir, "nores_docs"),
+        index_kwargs=dict(n_slices=2, block_size=8), auto_compact_gens=2,
+    )
+    base = synth_transcripts(spark, 72, seed=21)
+    batches = [
+        base.filter((F.col("conv_id") >= f"c{i*3:09d}") & (F.col("conv_id") < f"c{(i+1)*3:09d}"))
+        for i in range(3)
+    ]
+    assert ing.ingest_batch(batches[0]) == 24
+    assert ing.ingest_batch(batches[1]) == 24  # triggers compaction
+    assert ing.ingest_batch(batches[2]) == 24  # must not resurrect 1+2
+    eng = SearchEngine(spark, idx)
+    assert eng.n_docs == 72
+
+    fresh = os.path.join(workdir, "nores_fresh")
+    IndexBuilder(
+        spark, fresh, key_cols=["conv_id", "turn_idx"], text_col="text",
+        meta_cols=["role", "tool", "ts"], n_slices=2, block_size=8,
+    ).build(base)
+    got = [
+        (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+        for r in eng.search("the", k=100).df.collect()
+    ]
+    want = [
+        (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+        for r in SearchEngine(spark, fresh).search("the", k=100).df.collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_compact_heals_late_duplicates(spark, workdir):
+    """A key re-ingested outside the dedup horizon exists twice under
+    the same doc_id (documented TTL semantics); compaction is the
+    exact-once repair pass — afterwards the index equals a fresh build
+    over the unique latest rows."""
+    from aspublic_spark.index.build import IndexBuilder
+
+    idx = os.path.join(workdir, "heal_idx")
+    docs = os.path.join(workdir, "heal_docs")
+    ing = StreamingIngest(
+        spark, idx, docs, index_kwargs=dict(n_slices=2, block_size=8),
+        dedup_horizon_days=2,
+    )
+    base = fixture_transcripts(spark)
+    assert ing.ingest_batch(base) == 6
+    late_dup = base.withColumn("ts", F.col("ts") + F.expr("interval 30 days"))
+    assert ing.ingest_batch(late_dup) == 6  # outside horizon: re-accepted
+    # duplicates are visible pre-compaction (scores double-counted)
+    assert SearchEngine(spark, idx).n_docs == 12
+
+    res = ing.builder.compact()
+    assert res["compacted"]
+    eng = SearchEngine(spark, idx)
+    assert eng.n_docs == 6  # one copy per key survives (the latest)
+
+    fresh = os.path.join(workdir, "heal_fresh")
+    IndexBuilder(
+        spark, fresh, key_cols=["conv_id", "turn_idx"], text_col="text",
+        meta_cols=["role", "tool", "ts"], n_slices=2, block_size=8,
+    ).build(late_dup)  # the kept copies are the LATER ones
+    got = [
+        (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+        for r in eng.search("sample status", k=100).df.collect()
+    ]
+    want = [
+        (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+        for r in SearchEngine(spark, fresh).search("sample status", k=100).df.collect()
+    ]
+    assert got == want and len(got) > 0
