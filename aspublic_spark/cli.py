@@ -81,11 +81,21 @@ def cmd_search(args) -> int:
     spark = _spark(args)
     eng = SearchEngine(spark, args.index)
     fw = [float(x) for x in args.field_weights.split(",")] if args.field_weights else None
+    # facet input validation, the analog of the reference's domain-facet
+    # normalize+reject (db_sqlite.py:107-117: strip, lowercase, reject
+    # separator/escape characters). `startswith` is a literal predicate
+    # (no LIKE metacharacters to escape), so this is a sanity guard on
+    # the API surface, not an injection fix.
+    conv_prefix = args.conv_prefix
+    if conv_prefix is not None:
+        conv_prefix = conv_prefix.strip()
+        if not conv_prefix or any(ch in conv_prefix for ch in ' \t\n;%&"'):
+            raise SystemExit("invalid --conv-prefix")
     res = eng.search(
         args.q,
         k=args.k,
         role=args.role,
-        conv_prefix=args.conv_prefix,
+        conv_prefix=conv_prefix,
         order=args.order,
         parser=parse_websearch if args.websearch else parse_query,
         field_weights=fw,

@@ -205,7 +205,19 @@ def _pack_partition_arrow_factory(
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
             if isinstance(arr, pa.ChunkedArray):  # older pyarrow returns ChunkedArray
-                arr = arr.chunk(0)
+                if arr.num_chunks > 1:
+                    # a >2GB binary column that cannot combine into one
+                    # chunk must fail loudly: silently packing chunk 0
+                    # only would corrupt the index at exactly the scale
+                    # this module targets. Remedy: more shuffle
+                    # partitions / lower salt_max_postings.
+                    raise RuntimeError(
+                        "pack partition column exceeds single-chunk Arrow "
+                        f"limit ({arr.num_chunks} chunks); increase "
+                        "spark.sql.shuffle.partitions or lower "
+                        "salt_max_postings"
+                    )
+                arr = arr.chunk(0) if arr.num_chunks else pa.array([], type=arr.type)
             return arr
 
         tdict = _one_chunk(tbl.column("term").dictionary_encode())
@@ -872,12 +884,22 @@ class IndexBuilder:
         for g in gens:
             docs_g = self.spark.read.parquet(self._p("docs", f"gen={g}"))
             mm = docs_g.agg(
-                F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+                F.min(ts_col).alias("lo"),
+                F.max(ts_col).alias("hi"),
+                F.sum(F.col(ts_col).isNull().cast("long")).alias("n_null"),
             ).collect()[0]
             if mm["hi"] is None:
                 continue  # all-NULL timestamps: no evidence of age, keep
             if mm["hi"] < cutoff_ts:
-                drop.append(g)
+                # fast whole-gen drop is only safe when the generation
+                # holds NO undated docs — retention must never delete
+                # what it cannot date, and min/max ignore NULLs, so a
+                # gen of old+NULL rows routes through the rewrite path
+                # (whose filter keeps ts IS NULL)
+                if mm["n_null"]:
+                    rewrite.append(g)
+                else:
+                    drop.append(g)
             elif mm["lo"] >= cutoff_ts:
                 continue
             else:

@@ -229,6 +229,21 @@ class SearchEngine:
         return blocks.select(*cols).mapInPandas(_unpack_factory(with_positions), schema)
 
     # -- structured predicates (Q6-Q8) ---------------------------------
+    @staticmethod
+    def _coerce_endpoint(v, side: str):
+        """Reference date-endpoint coercion (db_sqlite.py:85-98,
+        db_postgres.py:75-88): a pure ``date`` for ``before`` becomes
+        that day's midnight (datetime.min.time()) and for ``after``
+        becomes that day's end (datetime.max.time()); comparisons stay
+        strict, so a pure-date range EXCLUDES both endpoint days —
+        exactly the reference's observable behavior."""
+        import datetime as _dt
+
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            t = _dt.datetime.min.time() if side == "before" else _dt.datetime.max.time()
+            return _dt.datetime.combine(v, t)
+        return v
+
     def filtered_docs(
         self,
         role: str | None = None,
@@ -248,9 +263,13 @@ class SearchEngine:
                 d = d.filter(F.col("tool").isNull())
         if "ts" in d.columns:
             if after is not None:
-                d = d.filter(F.col("ts") > F.lit(after))  # strict, viewer semantics
+                d = d.filter(  # strict, viewer semantics
+                    F.col("ts") > F.lit(self._coerce_endpoint(after, "after"))
+                )
             if before is not None:
-                d = d.filter(F.col("ts") < F.lit(before))
+                d = d.filter(
+                    F.col("ts") < F.lit(self._coerce_endpoint(before, "before"))
+                )
         if conv_prefix is not None and "conv_id" in d.columns:
             d = d.filter(F.col("conv_id").startswith(conv_prefix))
         if extra_filter is not None:
@@ -300,6 +319,41 @@ class SearchEngine:
                 .filter(F.size("_vp") > 0)
             )
         return cur.select("doc_id").distinct()
+
+    def _coarse_intervals(self, rare: DataFrame, nbuck: int) -> DataFrame:
+        """Coarsen a term's (min_doc, max_doc) block intervals to at most
+        ``nbuck`` covering intervals, fully distributed: uniform-width
+        contiguous buckets over the doc-id span + one groupBy with
+        map-side partial aggregation. No window function — the previous
+        ntile().over(Window.orderBy(...)) funneled every metadata row of
+        a dense (Zipf-head) term through a single task. doc_ids are
+        xxhash64 outputs, so uniform-width buckets are uniformly filled;
+        skewed external ids merely coarsen unevenly, and coarse
+        intervals are a SUPERSET of the exact union either way, so the
+        downstream semi-join prune stays lossless."""
+        span = rare.agg(
+            F.min("min_doc").alias("lo"), F.max("max_doc").alias("hi")
+        ).collect()[0]
+        if span["lo"] is None:
+            return rare
+        # doc ids are xxhash64 outputs spanning the FULL signed-64 range,
+        # so (hi - lo) and width can exceed int64 — bucket in double
+        # space (monotonic; float rounding only nudges bucket
+        # boundaries, which cannot break the covering-superset property)
+        lo = float(int(span["lo"]))
+        width = float(max((int(span["hi"]) - int(span["lo"])) // nbuck + 1, 1))
+        return (
+            rare.groupBy(
+                ((F.col("min_doc").cast("double") - F.lit(lo)) / F.lit(width))
+                .cast("long")
+                .alias("_b")
+            )
+            .agg(
+                F.min("min_doc").alias("min_doc"),
+                F.max("max_doc").alias("max_doc"),
+            )
+            .drop("_b")
+        )
 
     # -- block pruning (north_rule: block-max WAND) ----------------------
     def _prune_blocks(
@@ -358,24 +412,20 @@ class SearchEngine:
             )
             # Driver-safety: for a dense rarest term, collecting every
             # block interval is an unbounded driver materialization.
-            # Coarsen distributed first — ntile buckets over min_doc,
-            # one covering interval per bucket. Coarse intervals are a
-            # SUPERSET of the exact union, so the semi-join prune stays
-            # lossless (it only keeps more blocks, never fewer).
+            # Coarsen distributed first: uniform-width contiguous buckets
+            # over the doc-id span, one covering interval per bucket —
+            # a plain groupBy (map-side partial agg, no window), unlike
+            # the previous ntile().over(Window.orderBy(...)) which
+            # funneled every metadata row through ONE task. doc_ids are
+            # xxhash64 outputs, so uniform-width buckets are also
+            # uniformly filled; for skewed external single-key ids the
+            # buckets merely coarsen unevenly. Coarse intervals are a
+            # SUPERSET of the exact union either way, so the semi-join
+            # prune stays lossless (keeps more blocks, never fewer).
             est_blocks = df_of(rarest) / max(self.block_size, 1) + 1
             if est_blocks > self.max_intervals_collect:
-                from pyspark.sql import Window
-
-                nbuck = min(256, self.max_intervals_collect)
-                rare = (
-                    rare.withColumn(
-                        "_b", F.ntile(nbuck).over(Window.orderBy("min_doc"))
-                    )
-                    .groupBy("_b")
-                    .agg(
-                        F.min("min_doc").alias("min_doc"),
-                        F.max("max_doc").alias("max_doc"),
-                    )
+                rare = self._coarse_intervals(
+                    rare, min(256, self.max_intervals_collect)
                 )
             ivals = rare.collect()
             merged = []
@@ -619,25 +669,33 @@ class SearchEngine:
                 pos_blocks, not_blocks, pq, scaled_map, k, docs_f, has_doc_filters, stats
             )
 
-        need_pos = bool(pq.phrases)
-        if (need_pos or live_nphrases) and not self.store_positions:
+        if (pq.phrases or live_nphrases) and not self.store_positions:
             raise ValueError(
                 "phrase queries need positions, but this index was built "
                 "with store_positions=False"
             )
-        unpacked = self.unpack(pos_blocks, with_positions=need_pos)
-        scored = self._score(
-            unpacked.select("term", "fld", "doc_id", "tf", "dl"), scaled_map
-        )
+        # Scoring NEVER needs positions: unpack positionless (the varint
+        # positions payload — the largest column in the index — is
+        # column-pruned away at the parquet scan and never decoded).
+        # Positions are decoded separately below, only for blocks of
+        # terms that actually appear in a phrase.
+        unpacked = self.unpack(pos_blocks)
+        scored = self._score(unpacked, scaled_map)
         cand = self._qualify(scored, pq).drop("_terms")
 
-        for ph in pq.phrases:
-            cand = cand.join(
-                self._phrase_docs(ph, unpacked, stats), "doc_id", "left_semi"
+        if pq.phrases:
+            ph_terms = sorted({t for ph in pq.phrases for t in ph})
+            unp_pos = self.unpack(
+                pos_blocks.filter(F.col("term").isin(ph_terms)),
+                with_positions=True,
             )
+            for ph in pq.phrases:
+                cand = cand.join(
+                    self._phrase_docs(ph, unp_pos, stats), "doc_id", "left_semi"
+                )
 
         if not_blocks is not None:
-            unp_not = self.unpack(not_blocks, with_positions=bool(live_nphrases))
+            unp_not = self.unpack(not_blocks)
             if not_single:
                 nd = (
                     unp_not.filter(F.col("term").isin(not_single))
@@ -655,10 +713,18 @@ class SearchEngine:
                     .select("doc_id")
                 )
                 cand = cand.join(gd, "doc_id", "left_anti")
-            for ph in live_nphrases:
-                cand = cand.join(
-                    self._phrase_docs(ph, unp_not, ng_stats), "doc_id", "left_anti"
+            if live_nphrases:
+                nph_terms = sorted({t for ph in live_nphrases for t in ph})
+                unp_not_pos = self.unpack(
+                    not_blocks.filter(F.col("term").isin(nph_terms)),
+                    with_positions=True,
                 )
+                for ph in live_nphrases:
+                    cand = cand.join(
+                        self._phrase_docs(ph, unp_not_pos, ng_stats),
+                        "doc_id",
+                        "left_anti",
+                    )
 
         out = (
             cand.join(docs_f.select("doc_id", *key_meta), "doc_id")

@@ -183,7 +183,12 @@ class StreamingIngest:
                 from datetime import timedelta
 
                 horizon = (mn - timedelta(days=self.dedup_horizon_days)).date()
-                existing = existing.filter(F.col("day") >= F.lit(horizon))
+                # NULL-ts keys land in the null day partition; they have
+                # no date to age out by, so they stay in-scope forever —
+                # otherwise a redelivered NULL-ts doc would double-index
+                existing = existing.filter(
+                    (F.col("day") >= F.lit(horizon)) | F.col("day").isNull()
+                )
         elif os.path.isdir(self.docs_dir):
             # legacy layout without the sidecar: full-history scan
             existing = self.spark.read.parquet(self.docs_dir)
