@@ -11,8 +11,10 @@ set of explicit columnar tables, built by DataFrame jobs:
                                  positions (varint BINARY, pre-encoded)
     postings/gen=G/slice=S/      packed blocks (codec.py)
     dictionary_gens/gen=G/       per-gen (term, fld) -> df/cf/max_tf/min_dl
-    dictionary/          merged (term, fld) aggregates
-    stats/               one row per fld: n_docs, avgdl, total_tokens
+    dictionary_v/v=N/    merged (term, fld) aggregates (reached through
+                         the dictionary_CURRENT.json pointer; a single
+                         live generation is pointed at directly)
+    stats.json           one row per fld: n_docs, avgdl, total_tokens
     manifest/            one JSON per (stage, gen, slice): status + lineage
                          + metrics (terms/postings/bytes/seconds)
 
@@ -39,11 +41,28 @@ Scale design (the part that must survive 1000 executors / 100 TB):
   dictionaries — per-batch cost independent of corpus history;
 - `compact()` merges generations and `prune_index(cutoff)` drops/
   rewrites them by time, both behind crash-safe pending markers.
+
+Commit protocol (object-store-safe — see fsio.py for the exact two
+guarantees it relies on; the reference gets this from sqlite
+transactions, db_sqlite.py:28-41):
+
+- a generation is LIVE iff its ``raw`` manifest file exists; data
+  directories without that manifest are invisible garbage (GC'd by
+  ``repair()``). Readers (engine, refresh_global, compact) enumerate
+  generations from the manifest, never by listing data directories;
+- every manifest/marker is a single atomically-written file; there is
+  NO directory rename anywhere in the lifecycle. Compaction and
+  retention-rewrite write their output directly to a fresh generation
+  id and flip liveness by committing manifests (Iceberg-style
+  new-snapshot, never mutate-in-place);
+- the global dictionary is reached through a pointer file
+  (``dictionary_CURRENT.json``) naming either a per-gen dictionary
+  (single-generation fast path, zero copies) or a merged
+  ``dictionary_v/v=N`` version; stats are one atomic ``stats.json``.
 """
 
 from __future__ import annotations
 
-import json
 import os
 import time
 
@@ -53,6 +72,7 @@ from pyspark.sql import functions as F
 
 from aspublic_spark import BM25_B, BM25_K1
 from aspublic_spark.index import codec
+from aspublic_spark.index.fsio import FileSystem, LocalFS, fs_for
 
 BLOCK_SCHEMA = (
     "slice int, term string, fld int, salt int, block_id int, n int, "
@@ -70,6 +90,47 @@ RAW_SCHEMA = (
     "slice int, doc_id long, fld int, dl int, term string, tf int, positions binary"
 )
 RAW_FORMAT = 3
+
+
+# -- snapshot readers (shared by IndexBuilder and SearchEngine) ----------
+def live_gens(index_dir: str, fs: FileSystem | None = None) -> list[int]:
+    """Generations whose raw manifest is committed — the ONLY definition
+    of liveness. Data directories are never trusted as evidence."""
+    fs = fs or LocalFS()
+    gens = []
+    for name in fs.listdir(os.path.join(index_dir, "manifest")):
+        if name.startswith("raw_g") and name.endswith(".json"):
+            body = name[len("raw_g") : -len(".json")]
+            if body.isdigit():
+                gens.append(int(body))
+    return sorted(gens)
+
+
+def live_gen_paths(
+    index_dir: str, sub: str, fs: FileSystem | None = None
+) -> list[str]:
+    """Existing data directories of live generations under ``sub``
+    (a live gen may not have packed postings yet — filtered out)."""
+    fs = fs or LocalFS()
+    root = os.path.join(index_dir, sub)
+    return [
+        os.path.join(root, f"gen={g}")
+        for g in live_gens(index_dir, fs)
+        if fs.isdir(os.path.join(root, f"gen={g}"))
+    ]
+
+
+def dictionary_location(index_dir: str, fs: FileSystem | None = None) -> str:
+    """Resolve the dictionary pointer file to the current parquet dir."""
+    fs = fs or LocalFS()
+    ptr = fs.read_json(os.path.join(index_dir, "dictionary_CURRENT.json"))
+    return os.path.join(index_dir, ptr["path"])
+
+
+def read_stats(index_dir: str, fs: FileSystem | None = None) -> list[dict]:
+    """Per-field corpus stats rows: [{fld, n_docs, avgdl, total_tokens}]."""
+    fs = fs or LocalFS()
+    return fs.read_json(os.path.join(index_dir, "stats.json"))["by_fld"]
 
 
 def _raw_postings_arrow_factory(
@@ -353,6 +414,7 @@ class IndexBuilder:
         salt_max_postings: int = 100_000,
         text_cols: list[str] | None = None,
         analyzer: str = "fts5",
+        fs: FileSystem | None = None,
     ):
         """``text_cols`` indexes multiple columns as FTS5 fields (the
         reference indexes BOTH text and subject, db_sqlite.py:27-41);
@@ -372,13 +434,13 @@ class IndexBuilder:
         self.store_positions = store_positions
         self.salt_max_postings = salt_max_postings
         self.analyzer = analyzer
+        self.fs = fs or fs_for(index_dir, spark)
         # reopening an existing index: the stored layout wins — building
         # a new generation with different slicing/fields/block size
         # would silently corrupt the segment set
         meta_path = os.path.join(index_dir, "index_meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                m = json.load(f)
+        if self.fs.exists(meta_path):
+            m = self.fs.read_json(meta_path)
             self.key_cols = m["key_cols"]
             self.meta_cols = m["meta_cols"]
             self.text_cols = m.get("text_cols", [m.get("text_col", "text")])
@@ -388,7 +450,7 @@ class IndexBuilder:
             self.store_positions = m.get("store_positions", store_positions)
             self.salt_max_postings = m.get("salt_max_postings", salt_max_postings)
             self.analyzer = m.get("analyzer", "fts5")
-        os.makedirs(os.path.join(index_dir, "manifest"), exist_ok=True)
+        self.fs.makedirs(os.path.join(index_dir, "manifest"))
 
     # -- paths -------------------------------------------------------
     def _p(self, *parts) -> str:
@@ -399,7 +461,7 @@ class IndexBuilder:
         return self._p("manifest", name + ".json")
 
     def _manifest_done(self, stage: str, gen: int, slice_id: int | None = None) -> bool:
-        return os.path.exists(self._manifest_path(stage, gen, slice_id))
+        return self.fs.exists(self._manifest_path(stage, gen, slice_id))
 
     def _commit(self, stage: str, gen: int, slice_id: int | None, metrics: dict):
         rec = {
@@ -410,21 +472,43 @@ class IndexBuilder:
             "app_id": self.spark.sparkContext.applicationId,
             **metrics,
         }
-        path = self._manifest_path(stage, gen, slice_id)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(rec, f)
-        os.replace(tmp, path)  # atomic commit
+        # single-file atomic write: the ONLY commit primitive (fsio.py)
+        self.fs.write_json_atomic(self._manifest_path(stage, gen, slice_id), rec)
 
     def manifest(self) -> list[dict]:
         out = []
         mdir = self._p("manifest")
-        for name in sorted(os.listdir(mdir)):
+        for name in self.fs.listdir(mdir):
             # *_pending.json are crash-recovery markers, not stage records
-            if name.endswith(".json") and not name.endswith("_pending.json"):
-                with open(os.path.join(mdir, name)) as f:
-                    out.append(json.load(f))
+            if name.endswith(".json") and not name.endswith("_pending.json") and not name.endswith(".tmp"):
+                out.append(self.fs.read_json(os.path.join(mdir, name)))
         return out
+
+    def _live_gens(self) -> list[int]:
+        return live_gens(self.index_dir, self.fs)
+
+    def _clear_gen_manifests(self, gen: int, stages=("raw", "gendict", "pack")):
+        """Remove one generation's stage manifests (used when dropping a
+        generation or before re-writing its raw output, so stale derived
+        state can never be mistaken for committed)."""
+        mdir = self._p("manifest")
+        for name in self.fs.listdir(mdir):
+            for st in stages:
+                if name == f"{st}_g{gen}.json" or name.startswith(f"{st}_g{gen}_s"):
+                    self.fs.delete(os.path.join(mdir, name))
+
+    def _next_gen_id(self) -> int:
+        """A generation id not colliding with any live gen OR any
+        leftover data directory (an orphan from a crashed compaction or
+        prune that repair() has not collected yet)."""
+        mx = -1
+        for g in self._live_gens():
+            mx = max(mx, g)
+        for sub in ("docs", "postings_raw", "postings", "dictionary_gens"):
+            for name in self.fs.listdir(self._p(sub)):
+                if name.startswith("gen=") and name[4:].isdigit():
+                    mx = max(mx, int(name[4:]))
+        return mx + 1
 
     # -- doc identity ------------------------------------------------
     def doc_id_col(self):
@@ -442,9 +526,8 @@ class IndexBuilder:
         """Full build of one generation; per-stage/per-slice resumable."""
         t0 = time.time()
         meta_path = self._p("index_meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                existing = json.load(f)
+        if self.fs.exists(meta_path):
+            existing = self.fs.read_json(meta_path)
             if existing.get("raw_format", 1) != RAW_FORMAT:
                 raise ValueError(
                     f"index at {self.index_dir} uses raw postings format "
@@ -452,22 +535,21 @@ class IndexBuilder:
                     f"{RAW_FORMAT}; rebuild into a fresh directory"
                 )
         else:
-            with open(meta_path, "w") as f:
-                json.dump(
-                    {
-                        "raw_format": RAW_FORMAT,
-                        "analyzer": self.analyzer,
-                        "key_cols": self.key_cols,
-                        "meta_cols": self.meta_cols,
-                        "text_col": self.text_col,
-                        "text_cols": self.text_cols,
-                        "block_size": self.block_size,
-                        "n_slices": self.n_slices,
-                        "store_positions": self.store_positions,
-                        "salt_max_postings": self.salt_max_postings,
-                    },
-                    f,
-                )
+            self.fs.write_json_atomic(
+                meta_path,
+                {
+                    "raw_format": RAW_FORMAT,
+                    "analyzer": self.analyzer,
+                    "key_cols": self.key_cols,
+                    "meta_cols": self.meta_cols,
+                    "text_col": self.text_col,
+                    "text_cols": self.text_cols,
+                    "block_size": self.block_size,
+                    "n_slices": self.n_slices,
+                    "store_positions": self.store_positions,
+                    "salt_max_postings": self.salt_max_postings,
+                },
+            )
         if not (resume and self._manifest_done("raw", gen)):
             self._stage_raw(df, gen)
         if not (resume and self._manifest_done("gendict", gen)):
@@ -497,6 +579,13 @@ class IndexBuilder:
         only real shuffle of the whole build is the pack stage's
         repartition(term, salt)."""
         t0 = time.time()
+        # (re)writing this generation's raw output invalidates ALL of its
+        # manifests first: a crashed earlier attempt must not leave a
+        # 'live' or derived marker over data about to be replaced
+        # (otherwise repair() could commit a dictionary over partial raw
+        # output, or a resumed build could skip gendict for rebuilt
+        # postings — ADVICE r2)
+        self._clear_gen_manifests(gen)
         doc_id = self.doc_id_col()
         slice_col = F.pmod(F.xxhash64(F.lit(7), F.col("doc_id")), F.lit(self.n_slices)).cast("int")
         # docs table: no tokenization needed (doc lengths live inline in
@@ -576,38 +665,49 @@ class IndexBuilder:
         )
 
     def _write_stats(self, n_docs: int, tok_by_fld: dict[int, int]):
-        """One tiny row per field — written driver-side with pyarrow
-        (readable by spark.read.parquet) instead of paying a Spark job
-        per refresh. avgdl is per FIELD (FTS5 computes per-column
-        average lengths the same way), denominated over ALL docs."""
-        import shutil
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
+        """One atomic JSON file with one row per field. avgdl is per
+        FIELD (FTS5 computes per-column average lengths the same way),
+        denominated over ALL docs. A single-file atomic write is the
+        strongest commit primitive every target filesystem has, so the
+        stats flip is crash-safe on POSIX, HDFS and object stores
+        alike (the old layout swapped a parquet dir via os.rename)."""
         flds = sorted(tok_by_fld) or [0]
-        tbl = pa.table(
+        self.fs.write_json_atomic(
+            self._p("stats.json"),
             {
-                "fld": pa.array(flds, type=pa.int32()),
-                "n_docs": pa.array([n_docs] * len(flds), type=pa.int64()),
-                "avgdl": pa.array(
-                    [
-                        (tok_by_fld.get(f, 0) / n_docs) if n_docs else 0.0
-                        for f in flds
-                    ],
-                    type=pa.float64(),
-                ),
-                "total_tokens": pa.array(
-                    [tok_by_fld.get(f, 0) for f in flds], type=pa.int64()
-                ),
-            }
+                "by_fld": [
+                    {
+                        "fld": f,
+                        "n_docs": n_docs,
+                        "avgdl": (tok_by_fld.get(f, 0) / n_docs) if n_docs else 0.0,
+                        "total_tokens": tok_by_fld.get(f, 0),
+                    }
+                    for f in flds
+                ]
+            },
         )
-        new = self._p("stats.new")
-        shutil.rmtree(new, ignore_errors=True)
-        os.makedirs(new)
-        pq.write_table(tbl, os.path.join(new, "part-0.parquet"))
-        shutil.rmtree(self._p("stats"), ignore_errors=True)
-        os.rename(new, self._p("stats"))
+
+    def _set_dictionary_ptr(self, rel_path: str):
+        """Flip the global-dictionary pointer (atomic single file), then
+        GC superseded merged versions. Readers resolve the pointer at
+        snapshot time (SearchEngine caches per refresh())."""
+        self.fs.write_json_atomic(
+            self._p("dictionary_CURRENT.json"), {"path": rel_path}
+        )
+        keep = rel_path.split("/")[-1] if rel_path.startswith("dictionary_v/") else None
+        for name in self.fs.listdir(self._p("dictionary_v")):
+            if name.startswith("v=") and name != keep:
+                self.fs.delete(self._p("dictionary_v", name), recursive=True)
+
+    def _next_dict_version(self) -> int:
+        mx = -1
+        for name in self.fs.listdir(self._p("dictionary_v")):
+            if name.startswith("v=") and name[2:].isdigit():
+                mx = max(mx, int(name[2:]))
+        return mx + 1
+
+    def dictionary_df(self) -> DataFrame:
+        return self.spark.read.parquet(dictionary_location(self.index_dir, self.fs))
 
     def _gen_manifests(self, stage: str) -> dict[int, dict]:
         out = {}
@@ -628,24 +728,23 @@ class IndexBuilder:
         gen), never the raw postings — per-batch cost is independent of
         corpus size. n_docs counts ALL docs including token-less ones
         (summed from per-gen counters), so avgdl = total_tokens / n_docs
-        matches the naive definition exactly."""
+        matches the naive definition exactly. The result becomes
+        visible by atomically flipping the dictionary pointer + writing
+        stats.json — no directory swap."""
         t0 = time.time()
-        gd_root = self._p("dictionary_gens")
-        live_gens = sorted(
-            int(n.split("=")[1])
-            for n in (os.listdir(gd_root) if os.path.isdir(gd_root) else [])
-            if n.startswith("gen=")
-        )
+        gens = self._live_gens()
         per_gen = self._gen_manifests("gendict")
-        missing = [g for g in live_gens if g not in per_gen]
+        missing = [g for g in gens if g not in per_gen]
         if missing:
             raise RuntimeError(f"gendict manifest missing for generations {missing}")
-        if not live_gens:
-            # fully pruned corpus: empty dictionary, zeroed stats
+        if not gens:
+            # fully pruned corpus: empty dictionary version, zeroed stats
+            v = self._next_dict_version()
             empty = self.spark.createDataFrame(
                 [], "term string, fld int, df long, cf long, max_tf int, min_dl int"
             )
-            empty.write.mode("overwrite").parquet(self._p("dictionary"))
+            empty.write.mode("overwrite").parquet(self._p("dictionary_v", f"v={v}"))
+            self._set_dictionary_ptr(f"dictionary_v/v={v}")
             self._write_stats(0, {})
             self._commit(
                 "global", 0, None,
@@ -653,20 +752,17 @@ class IndexBuilder:
                  "seconds": time.time() - t0},
             )
             return
-        if len(live_gens) == 1:
+        if len(gens) == 1:
             # single generation: the global dictionary IS the gen
-            # dictionary — swap it in file-level, no Spark job
-            import shutil
-
-            src = self._p("dictionary_gens", f"gen={live_gens[0]}")
-            new = self._p("dictionary.new")
-            shutil.rmtree(new, ignore_errors=True)
-            shutil.copytree(src, new)
-            shutil.rmtree(self._p("dictionary"), ignore_errors=True)
-            os.rename(new, self._p("dictionary"))
+            # dictionary — the pointer references it directly (zero
+            # copies, no Spark job, no rename)
+            self._set_dictionary_ptr(f"dictionary_gens/gen={gens[0]}")
         else:
+            v = self._next_dict_version()
             merged = (
-                self.spark.read.parquet(self._p("dictionary_gens"))
+                self.spark.read.parquet(
+                    *[self._p("dictionary_gens", f"gen={g}") for g in gens]
+                )
                 .groupBy("term", "fld")
                 .agg(
                     F.sum("df").alias("df"),
@@ -675,11 +771,12 @@ class IndexBuilder:
                     F.min("min_dl").alias("min_dl"),
                 )
             )
-            merged.write.mode("overwrite").parquet(self._p("dictionary"))
-        n_docs = sum(per_gen[g]["n_docs"] for g in live_gens)
-        n_postings = sum(per_gen[g]["n_postings"] for g in live_gens)
+            merged.write.mode("overwrite").parquet(self._p("dictionary_v", f"v={v}"))
+            self._set_dictionary_ptr(f"dictionary_v/v={v}")
+        n_docs = sum(per_gen[g]["n_docs"] for g in gens)
+        n_postings = sum(per_gen[g]["n_postings"] for g in gens)
         tok_by_fld: dict[int, int] = {}
-        for g in live_gens:
+        for g in gens:
             for f, v in per_gen[g]["total_tokens_by_fld"].items():
                 tok_by_fld[int(f)] = tok_by_fld.get(int(f), 0) + v
         total_tokens = sum(tok_by_fld.values())
@@ -693,13 +790,15 @@ class IndexBuilder:
 
     def _stage_pack(self, gen: int, resume: bool = True):
         """Shuffle-merge raw postings by (term, fld, salt) into packed blocks."""
-        stats_rows = self.spark.read.parquet(self._p("stats")).collect()
-        avgdl_by_fld = {int(r["fld"]): float(r["avgdl"] or 1.0) for r in stats_rows}
+        avgdl_by_fld = {
+            int(r["fld"]): float(r["avgdl"] or 1.0)
+            for r in read_stats(self.index_dir, self.fs)
+        }
         # Heavy-hitter salting plan: a tiny (term, fld -> n_salts) table,
         # broadcast-joined so the salt assignment stays JVM-side (only
         # terms with df > salt_max — a handful even on Zipfian corpora).
         heavy_df = (
-            self.spark.read.parquet(self._p("dictionary"))
+            self.dictionary_df()
             .filter(F.col("df") > self.salt_max_postings)
             .select(
                 "term",
@@ -782,33 +881,41 @@ class IndexBuilder:
 
 
     def repair(self) -> dict:
-        """Finish any generation whose derived state is incomplete:
-        missing per-gen dictionary (e.g. a compact interrupted after its
-        marker cleared but before the target's gendict ran) or missing/
-        damaged packed slices. Cheap when healthy — manifest-existence
-        checks only, no Spark jobs."""
+        """Roll pending compaction/prune markers forward, garbage-collect
+        orphan generation directories (data written by a crashed job
+        that never committed its raw manifest — invisible by the
+        liveness rule, reclaimed here), then finish any LIVE generation
+        whose derived state is incomplete: missing per-gen dictionary or
+        missing/damaged packed slices. Cheap when healthy —
+        manifest-existence checks only, no Spark jobs. Generations
+        without a raw manifest are never dictionary'd or packed
+        (a crashed _stage_raw must not get derived state committed
+        over partial output — ADVICE r2)."""
         self._finish_pending_compaction()
         self._apply_pending_prune()
-        praw = self._p("postings_raw")
-        if not os.path.isdir(praw):
-            return {"repaired": []}
-        gens = sorted(
-            int(n.split("=")[1]) for n in os.listdir(praw) if n.startswith("gen=")
-        )
+        live = set(self._live_gens())
+        gc: list[str] = []
+        for sub in ("docs", "postings_raw", "postings", "dictionary_gens"):
+            for name in self.fs.listdir(self._p(sub)):
+                if not (name.startswith("gen=") and name[4:].isdigit()):
+                    continue
+                if int(name[4:]) not in live:
+                    self.fs.delete(self._p(sub, name), recursive=True)
+                    gc.append(f"{sub}/{name}")
         touched = []
-        for g in gens:
+        for g in sorted(live):
             if not self._manifest_done("gendict", g):
                 self._stage_gen_dict(g)
                 self.refresh_global()
                 touched.append(g)
-        for g in gens:
+        for g in sorted(live):
             if not all(
                 self._manifest_done("pack", g, s) for s in range(self.n_slices)
             ):
                 self._stage_pack(g)  # per-slice resume redoes only gaps
                 if g not in touched:
                     touched.append(g)
-        return {"repaired": touched}
+        return {"repaired": touched, "gc": gc}
 
     def _compact_marker(self) -> str:
         return self._p("manifest", "compact_pending.json")
@@ -818,42 +925,34 @@ class IndexBuilder:
         return self._p("manifest", "prune_pending.json")
 
     def _apply_pending_prune(self):
-        """Roll a persisted prune decision forward (idempotent): drop
-        whole generations, swap in pre-written filtered copies for
-        boundary generations, rebuild their derived state, refresh."""
-        import glob
-        import shutil
-
+        """Roll a persisted prune decision forward (idempotent): dropped
+        generations lose their manifests then their data; rewritten
+        generations' filtered copies — already fully written to their
+        FINAL new-generation directories before the marker committed —
+        become live by manifest commit, the originals are retired, and
+        derived state is rebuilt. No directory is ever renamed."""
         marker = self._prune_marker()
-        if not os.path.exists(marker):
+        if not self.fs.exists(marker):
             return
-        with open(marker) as f:
-            pend = json.load(f)
+        pend = self.fs.read_json(marker)
+        subs = ("docs", "postings_raw", "postings", "dictionary_gens")
         for g in pend["drop"]:
-            for d in ("docs", "postings_raw", "postings", "dictionary_gens"):
-                shutil.rmtree(self._p(d, f"gen={g}"), ignore_errors=True)
-            for pat in (f"raw_g{g}.json", f"gendict_g{g}.json", f"pack_g{g}_s*.json"):
-                for m in glob.glob(self._p("manifest", pat)):
-                    os.remove(m)
-        for g in pend["rewrite"]:
-            for sub in ("docs", "postings_raw"):
-                tmp = self._p(f"{sub}_pruning", f"gen={g}")
-                target = self._p(sub, f"gen={g}")
-                if os.path.isdir(tmp):
-                    shutil.rmtree(target, ignore_errors=True)
-                    os.rename(tmp, target)
-            shutil.rmtree(self._p("postings", f"gen={g}"), ignore_errors=True)
-            for pat in (f"gendict_g{g}.json", f"pack_g{g}_s*.json"):
-                for m in glob.glob(self._p("manifest", pat)):
-                    os.remove(m)
-        for g in pend["rewrite"]:
-            self._stage_gen_dict(g)
+            self._clear_gen_manifests(g)
+            for d in subs:
+                self.fs.delete(self._p(d, f"gen={g}"), recursive=True)
+        for g, tgt in pend["rewrite"]:
+            self._clear_gen_manifests(g)
+            for d in subs:
+                self.fs.delete(self._p(d, f"gen={g}"), recursive=True)
+            # liveness flip: the filtered copy becomes the generation
+            self._commit("raw", tgt, None, {"seconds": 0.0, "pruned_from": g})
+        for _g, tgt in pend["rewrite"]:
+            if not self._manifest_done("gendict", tgt):
+                self._stage_gen_dict(tgt)
         self.refresh_global()
-        for g in pend["rewrite"]:
-            self._stage_pack(g, resume=False)
-        shutil.rmtree(self._p("docs_pruning"), ignore_errors=True)
-        shutil.rmtree(self._p("postings_raw_pruning"), ignore_errors=True)
-        os.remove(marker)
+        for _g, tgt in pend["rewrite"]:
+            self._stage_pack(tgt)
+        self.fs.delete(marker)
 
     def prune_index(self, cutoff_ts, ts_col: str = "ts") -> dict:
         """Drop index segments older than ``cutoff_ts`` (docs with
@@ -862,24 +961,20 @@ class IndexBuilder:
         `DELETE FROM statuses WHERE created < cutoff` (db_sqlite.py:
         46-52), where the FTS5 delete-triggers prune postings in step.
 
-        Whole generations past the cutoff are dropped O(1) (directory
-        removal — the Iceberg `days(ts)` partition-drop analog);
-        boundary generations are rewritten: filtered docs + raw
-        postings, regenerated per-gen dictionary, repacked. Crash-safe:
-        filtered copies are fully written before a marker commits the
-        decision; `_apply_pending_prune` rolls forward on any rerun.
-        Offline op, like compact()."""
-        import shutil
-
+        Whole generations past the cutoff are dropped O(1) (manifest +
+        directory removal — the Iceberg `days(ts)` partition-drop
+        analog); boundary generations are rewritten as NEW generations:
+        filtered docs + raw postings land directly in fresh gen
+        directories (invisible until their manifest commits), then a
+        single atomic marker records the drop/rewrite decision and
+        `_apply_pending_prune` rolls it forward — on this call or, after
+        a crash at ANY point, on the next one. Offline op, like
+        compact()."""
         t0 = time.time()
         self._apply_pending_prune()
         if ts_col not in self.meta_cols:
             raise ValueError(f"retention prune needs '{ts_col}' in meta_cols")
-        gens = sorted(
-            int(n.split("=")[1])
-            for n in os.listdir(self._p("docs"))
-            if n.startswith("gen=")
-        )
+        gens = self._live_gens()
         drop, rewrite = [], []
         for g in gens:
             docs_g = self.spark.read.parquet(self._p("docs", f"gen={g}"))
@@ -906,85 +1001,77 @@ class IndexBuilder:
                 rewrite.append(g)
         if not drop and not rewrite:
             return {"pruned": False, "dropped": [], "rewritten": []}
-        shutil.rmtree(self._p("docs_pruning"), ignore_errors=True)
-        shutil.rmtree(self._p("postings_raw_pruning"), ignore_errors=True)
+        # rewritten content goes straight to FRESH generation ids: the
+        # data is complete on disk before the marker commits, and the
+        # new gens stay invisible (no raw manifest) until roll-forward
+        next_id = self._next_gen_id()
+        pairs = []
         for g in rewrite:
+            tgt, next_id = next_id, next_id + 1
             docs_g = self.spark.read.parquet(self._p("docs", f"gen={g}"))
             # NULL-ts docs are not "older than cutoff" — retention must
             # never delete what it cannot date
             kept = docs_g.filter(
                 (F.col(ts_col) >= F.lit(cutoff_ts)) | F.col(ts_col).isNull()
             )
-            kept.write.mode("overwrite").parquet(self._p("docs_pruning", f"gen={g}"))
+            kept.write.mode("overwrite").parquet(self._p("docs", f"gen={tgt}"))
             raw_g = self.spark.read.parquet(self._p("postings_raw", f"gen={g}"))
             kept_ids = self.spark.read.parquet(
-                self._p("docs_pruning", f"gen={g}")
+                self._p("docs", f"gen={tgt}")
             ).select("doc_id")
             raw_g.join(kept_ids, "doc_id", "left_semi").select(
                 "slice", "doc_id", "fld", "dl", "term", "tf", "positions"
             ).write.mode("overwrite").partitionBy("slice").parquet(
-                self._p("postings_raw_pruning", f"gen={g}")
+                self._p("postings_raw", f"gen={tgt}")
             )
-        with open(self._prune_marker() + ".tmp", "w") as f:
-            json.dump({"drop": drop, "rewrite": rewrite}, f)
-        os.replace(self._prune_marker() + ".tmp", self._prune_marker())
+            pairs.append([g, tgt])
+        self.fs.write_json_atomic(
+            self._prune_marker(), {"drop": drop, "rewrite": pairs}
+        )
         self._apply_pending_prune()
         return {
             "pruned": True,
             "dropped": drop,
             "rewritten": rewrite,
+            "rewritten_to": [t for _, t in pairs],
             "seconds": time.time() - t0,
         }
 
     def _finish_pending_compaction(self):
         """Crash recovery: complete (or roll back) an interrupted compact.
 
-        Source generations are only deleted AFTER the merged copies
-        (raw postings AND docs) are renamed into place, so no state
-        between crash points loses data; this replays the rename/
-        delete/cleanup half if the marker survives."""
-        import glob
-        import shutil
-
+        The merged output was written DIRECTLY to the target generation's
+        final directories before the marker committed (invisible — no
+        raw manifest). Roll-forward: retire the sources (manifests then
+        data), flip the target live by committing its raw manifest,
+        clear the marker. Every step is an idempotent atomic file write
+        or delete; a replay from any crash point converges."""
         marker = self._compact_marker()
-        if not os.path.exists(marker):
+        if not self.fs.exists(marker):
             return
-        with open(marker) as f:
-            pend = json.load(f)
-        praw, pdocs = self._p("postings_raw"), self._p("docs")
-        tmp_raw = self._p("postings_raw_compacting")
-        tmp_docs = self._p("docs_compacting")
-        t_raw = os.path.join(praw, f"gen={pend['target']}")
-        t_docs = os.path.join(pdocs, f"gen={pend['target']}")
-        raw_ok = os.path.isdir(t_raw) or (
-            os.path.isdir(tmp_raw) and os.path.exists(os.path.join(tmp_raw, "_SUCCESS"))
-        )
-        docs_ok = os.path.isdir(t_docs) or (
-            os.path.isdir(tmp_docs) and os.path.exists(os.path.join(tmp_docs, "_SUCCESS"))
-        )
-        if not (raw_ok and docs_ok):
-            # copies incomplete: roll back (sources are still intact)
-            shutil.rmtree(tmp_raw, ignore_errors=True)
-            shutil.rmtree(tmp_docs, ignore_errors=True)
-            os.remove(marker)
+        pend = self.fs.read_json(marker)
+        target = pend["target"]
+        t_raw = self._p("postings_raw", f"gen={target}")
+        t_docs = self._p("docs", f"gen={target}")
+        committed = self._manifest_done("raw", target)
+        raw_ok = self.fs.exists(os.path.join(t_raw, "_SUCCESS"))
+        docs_ok = self.fs.exists(os.path.join(t_docs, "_SUCCESS"))
+        if not committed and not (raw_ok and docs_ok):
+            # merged copies incomplete (crash mid-write... but the marker
+            # only commits after both writes — this is the defensive
+            # branch): roll back, sources are intact
+            self.fs.delete(t_raw, recursive=True)
+            self.fs.delete(t_docs, recursive=True)
+            self.fs.delete(marker)
             return
-        if not os.path.isdir(t_raw):
-            os.rename(tmp_raw, t_raw)
-        if not os.path.isdir(t_docs):
-            os.rename(tmp_docs, t_docs)
         for g in pend["sources"]:
-            shutil.rmtree(os.path.join(praw, f"gen={g}"), ignore_errors=True)
-            shutil.rmtree(os.path.join(pdocs, f"gen={g}"), ignore_errors=True)
-            shutil.rmtree(self._p("postings", f"gen={g}"), ignore_errors=True)
-            shutil.rmtree(self._p("dictionary_gens", f"gen={g}"), ignore_errors=True)
-        for m in (
-            glob.glob(self._p("manifest", "pack_g*.json"))
-            + glob.glob(self._p("manifest", "raw_g*.json"))
-            + glob.glob(self._p("manifest", "gendict_g*.json"))
-        ):
-            os.remove(m)
-        self._commit("raw", pend["target"], None, {"seconds": 0.0, "compacted_from": pend["sources"]})
-        os.remove(marker)
+            self._clear_gen_manifests(g)
+            for sub in ("docs", "postings_raw", "postings", "dictionary_gens"):
+                self.fs.delete(self._p(sub, f"gen={g}"), recursive=True)
+        self._commit(
+            "raw", target, None, {"seconds": 0.0, "compacted_from": pend["sources"]}
+        )
+        self.fs.delete(marker)
 
     def compact(self) -> dict:
         """Merge all generations into a single segment set.
@@ -992,26 +1079,24 @@ class IndexBuilder:
         The Lucene-merge analog for the incremental path: many small
         per-batch generations make query-side scans open many files;
         compaction rewrites the raw postings AND docs as one NEW
-        generation and repacks. Crash-safe ordering: (1) write merged
-        copies to side directories, (2) persist a pending-marker,
-        (3) rename the copies into place, (4) delete sources, (5) clear
-        marker — a crash at any point either rolls back or is completed
-        by `_finish_pending_compaction` on the next call. Offline op:
-        run it when no queries are in flight."""
-        import shutil
-
+        generation and repacks. Crash-safe ordering: (1) write the
+        merged copies directly to the target generation's directories
+        (invisible — liveness is manifest-based, never directory-based),
+        (2) persist the pending marker (one atomic file), (3) retire
+        sources + commit the target's raw manifest + clear the marker —
+        a crash at any point either rolls back or is completed by
+        `_finish_pending_compaction` / `repair()` on the next call.
+        No directory renames, so the ordering holds on HDFS/S3 too.
+        Offline op: run it when no queries are in flight."""
         t0 = time.time()
         self._finish_pending_compaction()
-        praw = self._p("postings_raw")
-        gens = sorted(
-            int(n.split("=")[1]) for n in os.listdir(praw) if n.startswith("gen=")
-        )
+        gens = self._live_gens()
         if len(gens) <= 1:
             # a crash between marker-clear and the target's gendict/pack
             # leaves one raw gen without derived state: finish it here
             self.repair()
             return {"compacted": False, "gens": len(gens)}
-        target = max(gens) + 1
+        target = self._next_gen_id()
         # Late-duplicate healing: a key re-ingested after the streaming
         # dedup horizon expired exists in TWO generations under the same
         # doc_id (the reference's DB unique constraint has no analog in
@@ -1020,7 +1105,9 @@ class IndexBuilder:
         # generation's postings.
         from pyspark.sql import Window
 
-        docs_all = self.spark.read.parquet(self._p("docs"))  # + gen partition col
+        docs_all = self.spark.read.option("basePath", self._p("docs")).parquet(
+            *[self._p("docs", f"gen={g}") for g in gens]
+        )  # + gen partition col (live gens only)
         w = Window.partitionBy("doc_id").orderBy(F.col("gen").desc())
         docs_kept = (
             docs_all.withColumn("_rn", F.row_number().over(w))
@@ -1028,22 +1115,26 @@ class IndexBuilder:
             .drop("_rn")
         )
         raw = (
-            self.spark.read.parquet(praw)
+            self.spark.read.option("basePath", self._p("postings_raw")).parquet(
+                *[self._p("postings_raw", f"gen={g}") for g in gens]
+            )
             .join(
                 docs_kept.select("doc_id", "gen"), ["doc_id", "gen"], "left_semi"
             )
             .select("slice", "term", "fld", "doc_id", "tf", "positions", "dl")
         )
-        tmp_raw = self._p("postings_raw_compacting")
-        shutil.rmtree(tmp_raw, ignore_errors=True)
-        raw.write.mode("overwrite").partitionBy("slice").parquet(tmp_raw)
-        tmp_docs = self._p("docs_compacting")
-        shutil.rmtree(tmp_docs, ignore_errors=True)
-        docs_kept.drop("gen").write.mode("overwrite").parquet(tmp_docs)
-        with open(self._compact_marker() + ".tmp", "w") as f:
-            json.dump({"sources": gens, "target": target}, f)
-        os.replace(self._compact_marker() + ".tmp", self._compact_marker())
-        self._finish_pending_compaction()  # renames + deletes + cleanup
+        # direct write to the FINAL directories: invisible until the
+        # roll-forward commits the target's raw manifest
+        raw.write.mode("overwrite").partitionBy("slice").parquet(
+            self._p("postings_raw", f"gen={target}")
+        )
+        docs_kept.drop("gen").write.mode("overwrite").parquet(
+            self._p("docs", f"gen={target}")
+        )
+        self.fs.write_json_atomic(
+            self._compact_marker(), {"sources": gens, "target": target}
+        )
+        self._finish_pending_compaction()  # retire sources + flip liveness
         self._stage_gen_dict(target)
         self.refresh_global()
         self._stage_pack(target, resume=False)

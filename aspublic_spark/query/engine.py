@@ -33,7 +33,6 @@ lossless: results are identical to the exhaustive plan (tested).
 
 from __future__ import annotations
 
-import json
 import math
 import os
 from dataclasses import dataclass
@@ -45,7 +44,13 @@ from pyspark.sql import functions as F
 
 from aspublic_spark import BM25_B, BM25_K1
 from aspublic_spark.index import codec
-from aspublic_spark.index.build import bm25_weight_col
+from aspublic_spark.index.build import (
+    bm25_weight_col,
+    dictionary_location,
+    live_gen_paths,
+    read_stats,
+)
+from aspublic_spark.index.fsio import fs_for
 from aspublic_spark.query.parser import ParsedQuery, parse_query
 
 _UNPACK_SCHEMA = "term string, fld int, doc_id long, tf int, dl int"
@@ -139,8 +144,10 @@ class SearchEngine:
         self._docs_df = None
         self._dict_df = None
         self._blocks_df = None
-        with open(os.path.join(index_dir, "index_meta.json")) as f:
-            meta = json.load(f)
+        # same filesystem seam as the builder: plain paths -> LocalFS,
+        # URIs (hdfs://, s3a://, ...) -> the Hadoop client
+        self.fs = fs_for(index_dir, spark)
+        meta = self.fs.read_json(os.path.join(index_dir, "index_meta.json"))
         self.key_cols: list[str] = meta["key_cols"]
         self.meta_cols: list[str] = meta["meta_cols"]
         self.store_positions: bool = meta["store_positions"]
@@ -152,7 +159,7 @@ class SearchEngine:
 
         self.analyzer: str = meta.get("analyzer", "fts5")
         self._tok = get_analyzer(self.analyzer)
-        st_rows = spark.read.parquet(os.path.join(index_dir, "stats")).collect()
+        st_rows = read_stats(index_dir, self.fs)
         self.n_docs = int(st_rows[0]["n_docs"])
         # per-field average length (FTS5 per-column norms); fields with
         # no postings anywhere fall back to 1.0
@@ -162,15 +169,31 @@ class SearchEngine:
         self.avgdl = self.avgdl_by_fld.get(0, 1.0)
 
     # -- raw table access ---------------------------------------------
+    def _live(self, sub: str) -> DataFrame:
+        """Read only LIVE generations (raw manifest committed) — a
+        half-written compaction/prune/build output directory is never
+        visible to queries. Snapshot semantics: the path list is pinned
+        until refresh()."""
+        paths = live_gen_paths(self.index_dir, sub, self.fs)
+        if not paths:
+            raise FileNotFoundError(
+                f"index at {self.index_dir} has no live generations with {sub}"
+            )
+        return self.spark.read.option(
+            "basePath", os.path.join(self.index_dir, sub)
+        ).parquet(*paths)
+
     def docs(self) -> DataFrame:
         if self._docs_df is None:
-            df = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+            df = self._live("docs")
             self._docs_df = df.cache() if self._cache else df
         return self._docs_df
 
     def dictionary(self) -> DataFrame:
         if self._dict_df is None:
-            df = self.spark.read.parquet(os.path.join(self.index_dir, "dictionary"))
+            df = self.spark.read.parquet(
+                dictionary_location(self.index_dir, self.fs)
+            )
             self._dict_df = df.cache() if self._cache else df
         return self._dict_df
 
@@ -180,9 +203,7 @@ class SearchEngine:
             # built once, not re-listed per search. The engine is a
             # point-in-time snapshot (like the viewer's sqlite handle) —
             # call refresh() after new generations land.
-            self._blocks_df = self.spark.read.parquet(
-                os.path.join(self.index_dir, "postings")
-            )
+            self._blocks_df = self._live("postings")
         return self._blocks_df.filter(F.col("term").isin(list(terms)))  # pushed to scan
 
     def refresh(self):
@@ -191,7 +212,7 @@ class SearchEngine:
             if df is not None and self._cache:
                 df.unpersist()
         self._docs_df = self._dict_df = self._blocks_df = None
-        st_rows = self.spark.read.parquet(os.path.join(self.index_dir, "stats")).collect()
+        st_rows = read_stats(self.index_dir, self.fs)
         self.n_docs = int(st_rows[0]["n_docs"])
         self.avgdl_by_fld = {int(r["fld"]): float(r["avgdl"] or 1.0) for r in st_rows}
         self.avgdl = self.avgdl_by_fld.get(0, 1.0)

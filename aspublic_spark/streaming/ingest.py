@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aspublic_spark.index.build import IndexBuilder
+from aspublic_spark.index.fsio import fs_for
 from aspublic_spark.operators.filters import FilterPolicy, anti_join_existing, apply_policies
 from aspublic_spark.tables import TRANSCRIPTS_SCHEMA
 
@@ -71,16 +72,12 @@ class StreamingIngest:
         # offline-op constraint holds during the stream)
         self.auto_compact_gens = auto_compact_gens
         self.builder = IndexBuilder(spark, index_dir, **(index_kwargs or {}))
+        # docs_dir may live on a different store than the index
+        self.fs = fs_for(docs_dir, spark)
         self._next_gen = self._detect_next_gen()
 
     def _detect_next_gen(self) -> int:
-        praw = os.path.join(self.index_dir, "postings_raw")
-        if not os.path.isdir(praw):
-            return 0
-        gens = [
-            int(n.split("=")[1]) for n in os.listdir(praw) if n.startswith("gen=")
-        ]
-        return (max(gens) + 1) if gens else 0
+        return self.builder._next_gen_id()
 
     # -- batch core (shared by the streaming sink and batch backfill) ----
     def _staging_dir(self, gen: int) -> str:
@@ -91,33 +88,31 @@ class StreamingIngest:
         the docs append is guarded by a marker (Spark's output commit
         makes the append itself all-or-nothing), and add_documents
         resumes from its per-slice manifests."""
-        import shutil
-
         staged = self._staging_dir(gen)
         new = self.spark.read.parquet(staged)
         n = new.count()
         if not n:
-            shutil.rmtree(staged, ignore_errors=True)
+            self.fs.delete(staged, recursive=True)
             return 0
         marker = os.path.join(staged, "_DOCS_APPENDED")
-        if not os.path.exists(marker):
+        if not self.fs.exists(marker):
             new.write.mode("append").parquet(self.docs_dir)
-            open(marker, "w").close()
+            self.fs.write_file_atomic(marker, "")
         kmarker = os.path.join(staged, "_KEYS_APPENDED")
-        if not os.path.exists(kmarker):
+        if not self.fs.exists(kmarker):
             # day-partitioned key sidecar: the dedup anti-join reads
             # only recent partitions (partition pruning on `day`)
             new.select(
                 "conv_id", "turn_idx", F.to_date("ts").alias("day")
             ).write.mode("append").partitionBy("day").parquet(self.keys_dir)
-            open(kmarker, "w").close()
+            self.fs.write_file_atomic(kmarker, "")
         self.builder.add_documents(new, gen=gen)
         # the staged copy exists ONLY for crash recovery; once the
         # generation is fully committed it must go — otherwise a later
         # compact()/prune_index() (which clears per-gen manifests)
         # would make recover() re-index long-finished batches and
         # double-count every doc in them
-        shutil.rmtree(staged, ignore_errors=True)
+        self.fs.delete(staged, recursive=True)
         return n
 
     def recover(self):
@@ -125,21 +120,26 @@ class StreamingIngest:
         (at-least-once delivery + this recovery = effectively-once), and
         repair index generations with missing derived state (damaged
         pack output, compact/prune interrupted after their markers)."""
-        import shutil
-
         root = self.docs_dir + "_staging"
-        if os.path.isdir(root):
-            for name in sorted(os.listdir(root)):
-                if not name.startswith("gen_"):
-                    continue
-                if name.endswith("_pre"):
-                    # pre-dedup scratch from an interrupted batch: the
-                    # source will redeliver it (at-least-once), discard
-                    shutil.rmtree(os.path.join(root, name), ignore_errors=True)
-                    continue
-                gen = int(name.split("_")[1])
-                self._finish_staged(gen)
-                self._next_gen = max(self._next_gen, gen + 1)
+        for name in self.fs.listdir(root):
+            if not name.startswith("gen_"):
+                continue
+            path = os.path.join(root, name)
+            if name.endswith("_pre"):
+                # pre-dedup scratch from an interrupted batch: the
+                # source will redeliver it (at-least-once), discard
+                self.fs.delete(path, recursive=True)
+                continue
+            if not self.fs.exists(os.path.join(path, "_SUCCESS")):
+                # the staging WRITE itself was interrupted (only Spark's
+                # _temporary scratch inside): unreadable and incomplete —
+                # discard like the _pre dirs, the at-least-once source
+                # redelivers the batch (ADVICE r2)
+                self.fs.delete(path, recursive=True)
+                continue
+            gen = int(name.split("_")[1])
+            self._finish_staged(gen)
+            self._next_gen = max(self._next_gen, gen + 1)
         self.builder.repair()
         self._next_gen = max(self._next_gen, self._detect_next_gen())
 
@@ -159,8 +159,6 @@ class StreamingIngest:
         # on-disk state this batch will append to, and a later
         # re-evaluation of an un-severed plan would anti-join the new
         # rows against themselves.
-        import shutil
-
         from pyspark.sql import Observation
 
         gen = self._next_gen
@@ -177,7 +175,7 @@ class StreamingIngest:
         # day-partitioned key sidecar pruned to the dedup horizon, so
         # this scan does NOT grow with corpus history.
         existing = None
-        if os.path.isdir(self.keys_dir):
+        if self.fs.isdir(self.keys_dir):
             existing = self.spark.read.parquet(self.keys_dir)
             if self.dedup_horizon_days is not None and mn is not None:
                 from datetime import timedelta
@@ -189,7 +187,7 @@ class StreamingIngest:
                 existing = existing.filter(
                     (F.col("day") >= F.lit(horizon)) | F.col("day").isNull()
                 )
-        elif os.path.isdir(self.docs_dir):
+        elif self.fs.isdir(self.docs_dir):
             # legacy layout without the sidecar: full-history scan
             existing = self.spark.read.parquet(self.docs_dir)
         new = staged_pre
@@ -198,14 +196,12 @@ class StreamingIngest:
                 new, existing.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"]
             )
         new.write.mode("overwrite").parquet(self._staging_dir(gen))
-        shutil.rmtree(pre_dir, ignore_errors=True)
+        self.fs.delete(pre_dir, recursive=True)
         n = self._finish_staged(gen)
         if n:
             self._next_gen += 1
         if self.auto_compact_gens and self._next_gen and n:
-            praw = os.path.join(self.index_dir, "postings_raw")
-            gens = [g for g in os.listdir(praw) if g.startswith("gen=")]
-            if len(gens) >= self.auto_compact_gens:
+            if len(self.builder._live_gens()) >= self.auto_compact_gens:
                 self.builder.compact()
                 self._next_gen = self._detect_next_gen()
         return n
@@ -214,15 +210,13 @@ class StreamingIngest:
         """Drop key-sidecar day partitions older than ``older_than`` (a
         date): they are never read once outside every future batch's
         dedup horizon — directory-level delete, no Spark job. Returns
-        the number of partitions removed."""
-        import shutil
+        the number of partitions removed. The NULL day partition is
+        never pruned (NULL-ts keys stay dedup-visible forever)."""
         from datetime import date
 
-        if not os.path.isdir(self.keys_dir):
-            return 0
         cutoff = older_than if isinstance(older_than, date) else older_than.date()
         removed = 0
-        for name in os.listdir(self.keys_dir):
+        for name in self.fs.listdir(self.keys_dir):
             if not name.startswith("day="):
                 continue
             try:
@@ -230,7 +224,7 @@ class StreamingIngest:
             except ValueError:
                 continue
             if d < cutoff:
-                shutil.rmtree(os.path.join(self.keys_dir, name), ignore_errors=True)
+                self.fs.delete(os.path.join(self.keys_dir, name), recursive=True)
                 removed += 1
         return removed
 

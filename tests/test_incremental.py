@@ -28,14 +28,18 @@ def _builder(spark, idx):
 
 
 def _dict_rows(spark, idx):
+    from aspublic_spark.index.build import dictionary_location
+
     return sorted(
         (r["term"], r["df"], r["cf"], r["max_tf"], r["min_dl"])
-        for r in spark.read.parquet(os.path.join(idx, "dictionary")).collect()
+        for r in spark.read.parquet(dictionary_location(idx)).collect()
     )
 
 
 def _stats_row(spark, idx):
-    r = spark.read.parquet(os.path.join(idx, "stats")).collect()[0]
+    from aspublic_spark.index.build import read_stats
+
+    r = read_stats(idx)[0]
     return (r["n_docs"], round(r["avgdl"], 12), r["total_tokens"])
 
 
@@ -162,19 +166,21 @@ def test_prune_crash_recovery_rolls_forward(spark, workdir):
     b.add_documents(_mk_rows(spark, "cMID", 8, 2_000_000 - 4, "boundary bravo words"), gen=1)
 
     cutoff = datetime.fromtimestamp(2_000_000, tz=timezone.utc).replace(tzinfo=None)
-    # simulate the crash point: filtered copies + marker exist, no swap.
+    # simulate the crash point: the rewritten generation's data is fully
+    # written to its FINAL new-gen directories and the marker committed,
+    # but the roll-forward (manifest flips, derived state) never ran.
     g1_docs = spark.read.parquet(os.path.join(idx, "docs", "gen=1"))
     kept = g1_docs.filter(F.col("ts") >= F.lit(cutoff))
-    kept.write.mode("overwrite").parquet(os.path.join(idx, "docs_pruning", "gen=1"))
+    kept.write.mode("overwrite").parquet(os.path.join(idx, "docs", "gen=2"))
     raw1 = spark.read.parquet(os.path.join(idx, "postings_raw", "gen=1"))
     kept_ids = kept.select("doc_id")
     raw1.join(kept_ids, "doc_id", "left_semi").select(
         "slice", "doc_id", "fld", "dl", "term", "tf", "positions"
     ).write.mode("overwrite").partitionBy("slice").parquet(
-        os.path.join(idx, "postings_raw_pruning", "gen=1")
+        os.path.join(idx, "postings_raw", "gen=2")
     )
     with open(os.path.join(idx, "manifest", "prune_pending.json"), "w") as f:
-        json.dump({"drop": [0], "rewrite": [1]}, f)
+        json.dump({"drop": [0], "rewrite": [[1, 2]]}, f)
 
     # next prune call first rolls the pending decision forward
     res = b.prune_index(cutoff)
