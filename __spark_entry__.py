@@ -98,7 +98,7 @@ def _build_cached_engine(
 
 def _documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _build_cached_engine(
-        spark, sf_dir, "v4",
+        spark, sf_dir, "v5",
         lambda d: d,
         dict(key_cols=["doc_id"], text_col="text",
              meta_cols=["lang", "source", "n_chars"], n_slices=4),
@@ -110,7 +110,7 @@ def _documents_engine_2f(spark: SparkSession, sf_dir: str) -> SearchEngine:
     (source + lang), matching the reference's fts5(text, subject)
     two-column index (common/db_sqlite.py:27-41)."""
     return _build_cached_engine(
-        spark, sf_dir, "2f_v2",
+        spark, sf_dir, "2f_v3",
         lambda d: d.withColumn("subject", F.concat_ws(" ", "source", "lang")),
         dict(key_cols=["doc_id"], text_cols=["text", "subject"],
              meta_cols=["lang", "source", "n_chars"], n_slices=4),
@@ -152,10 +152,15 @@ def _bm25_sql(
     not_terms: list[str] | None = None,
     not_groups: list[list[str]] | None = None,
     phrase: list[str] | None = None,
+    or_mixed: list[tuple[list[str], list[list[str]]]] | None = None,
     doc_filter: str | None = None,
     k: int = 20,
 ) -> str:
-    """DuckDB SQL computing the exact same BM25 top-k as the engine."""
+    """DuckDB SQL computing the exact same BM25 top-k as the engine.
+
+    ``or_mixed``: OR groups whose alternatives include ADJACENT phrases
+    — (term_alternatives, phrase_alternatives) per group, the oracle
+    for parser.py's or_groups/or_phrase_groups pairs."""
     all_pos = sorted(set(terms))
     in_list = ",".join(f"'{t}'" for t in all_pos)
     and_terms = and_terms or []
@@ -185,21 +190,33 @@ def _bm25_sql(
             f" and s.doc_id not in (select doc_id from tok where term in ({gl})"
             f" group by doc_id having count(distinct term) = {len(gset)})"
         )
-    phrase_sql = ""
-    if phrase:
+    def _phrase_subq(ph: list[str]) -> str:
         conds = " and ".join(
-            f"p{i}.term = '{t}' and p{i}.pos = p0.pos + {i}" for i, t in enumerate(phrase) if i > 0
+            f"p{i}.term = '{t}' and p{i}.pos = p0.pos + {i}"
+            for i, t in enumerate(ph)
+            if i > 0
         )
         joins = " ".join(
-            f"join tokpos p{i} on p{i}.doc_id = p0.doc_id" for i in range(1, len(phrase))
+            f"join tokpos p{i} on p{i}.doc_id = p0.doc_id" for i in range(1, len(ph))
         )
-        phrase_sql = (
-            "and s.doc_id in (select distinct p0.doc_id from tokpos p0 "
+        return (
+            "select distinct p0.doc_id from tokpos p0 "
             + joins
-            + f" where p0.term = '{phrase[0]}' and "
+            + f" where p0.term = '{ph[0]}' and "
             + conds
-            + ")"
         )
+
+    phrase_sql = ""
+    if phrase:
+        phrase_sql = f"and s.doc_id in ({_phrase_subq(phrase)})"
+    for tg, pgs in or_mixed or []:
+        parts = []
+        if tg:
+            gl = ",".join(f"'{t}'" for t in sorted(set(tg)))
+            parts.append(f"s.doc_id in (select doc_id from tok where term in ({gl}))")
+        for ph in pgs:
+            parts.append(f"s.doc_id in ({_phrase_subq(ph)})")
+        phrase_sql += " and (" + " or ".join(parts) + ")"
     filt = f"and {doc_filter}" if doc_filter else ""
     return f"""
 with tokpos as (
@@ -317,6 +334,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf, "dup OR vector", k=20, parser=parse_websearch
     )
     q["fts_phrase"] = lambda spark, sf: _fts(spark, sf, '"hash join"', k=20)
+    # phrase ALTERNATIVE inside an OR group keeps adjacency
+    # (websearch_to_tsquery `a <-> b` inside OR, db_postgres.py:114)
+    q["fts_or_phrase"] = lambda spark, sf: _fts(
+        spark, sf, '"hash join" OR dup', k=20, parser=parse_websearch
+    )
     q["fts_not_group"] = lambda spark, sf: _fts(spark, sf, 'table !"hash join"', k=20)
     # two-field index (text + derived subject): 'src3' only exists in
     # the subject field, so the AND can only be satisfied cross-field
@@ -545,6 +567,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["fts_not_group"] = _bm25_sql(
         ["table"], and_terms=["table"], not_groups=[["hash", "join"]]
+    )
+    o["fts_or_phrase"] = _bm25_sql(
+        ["hash", "join", "dup"], or_mixed=[(["dup"], [["hash", "join"]])]
     )
     o["fts_two_field"] = _bm25_two_field_sql(["table", "src3"], k=20)
     o["fts_filtered"] = _bm25_sql(["table"], and_terms=["table"], doc_filter="d.lang = 'en'")

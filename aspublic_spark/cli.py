@@ -116,6 +116,7 @@ def cmd_search(args) -> int:
                         "not_groups": res.parsed.not_groups,
                         "not_phrases": res.parsed.not_phrases,
                         "or": res.parsed.or_groups,
+                        "or_phrases": res.parsed.or_phrase_groups,
                     },
                     "pruning": res.pruning,
                 },

@@ -16,6 +16,21 @@ training-data pipeline needs at 100 TB:
 Everything is DataFrame ops (shuffles only where a groupBy/join is
 semantically required); MinHash permutation hashes use md5-derived
 32-bit values so the DuckDB oracle can reproduce signatures bit-exactly.
+
+Degenerate-bucket contract (the one quadratic risk at web scale): a
+real corpus has MASS exact duplicates — every copy of a viral document
+lands in the same LSH band bucket, and a bucket self-join is quadratic
+in the bucket (10^5 copies -> 10^10 candidate rows). Two defenses,
+both on by default:
+
+1. run ``exact_dedup`` FIRST — near-dup LSH is defined over exact-unique
+   content, and this removes the degenerate mass outright;
+2. every bucket self-join caps candidates per bucket
+   (``bucket_cap``, window + row_number, smallest ids kept
+   deterministically). Truncation is never silent: the dropped-row
+   count and max bucket size ride the same job as a named
+   ``Observation`` exposed on the result as ``df.bucket_overflow``
+   (read ``.get`` after any action).
 """
 
 from __future__ import annotations
@@ -28,6 +43,43 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MERSENNE_P = (1 << 31) - 1
+
+# default per-bucket candidate cap: a healthy LSH bucket holds tens of
+# rows; 256 is generous headroom while bounding the self-join at
+# ~32k pairs per degenerate bucket
+DEFAULT_BUCKET_CAP = 256
+
+
+def _cap_buckets(banded: DataFrame, keys: list[str], order_col: str,
+                 bucket_cap: int, name: str):
+    """Bound every (keys) bucket to its ``bucket_cap`` smallest
+    ``order_col`` rows. Returns (capped_df, Observation) — the
+    observation reports rows dropped and the largest bucket seen, so a
+    cap that actually bit is visible in the job's metrics, not silent.
+    Both window functions share one partition spec: a single extra
+    shuffle+sort on the same keys the self-join shuffles on anyway."""
+    from pyspark.sql import Observation, Window
+
+    w_rank = Window.partitionBy(*keys).orderBy(order_col)
+    w_all = Window.partitionBy(*keys)
+    obs = Observation(name)
+    capped = (
+        banded.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_bn", F.count("*").over(w_all))
+        .observe(
+            obs,
+            F.sum(
+                F.when(
+                    F.col("_rn") == 1,
+                    F.greatest(F.col("_bn") - bucket_cap, F.lit(0)),
+                ).otherwise(0)
+            ).alias("dropped_rows"),
+            F.max("_bn").alias("max_bucket"),
+        )
+        .filter(F.col("_rn") <= bucket_cap)
+        .drop("_rn", "_bn")
+    )
+    return capped, obs
 
 
 def normalized_text(text: Column) -> Column:
@@ -103,13 +155,21 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 8, n_hashes: int | None = None
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    n_hashes: int | None = None,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Band the signatures, bucket-join: pairs sharing >=1 identical band.
 
-    At scale the bucket self-join is the only quadratic risk; bucket
-    sizes are bounded by banding (r = H/bands rows per band), and the
-    join is an equi-join Catalyst executes as a shuffle hash join."""
+    The bucket self-join is the only quadratic risk at scale: healthy
+    buckets are bounded by banding (r = H/bands rows per band), but a
+    degenerate bucket (mass duplicates — run ``exact_dedup`` first, see
+    module contract) is capped at ``bucket_cap`` rows (smallest ids
+    kept; dropped counts observable via ``df.bucket_overflow``).
+    ``bucket_cap=None`` disables the cap (oracle-exact mode for small
+    corpora)."""
     if n_hashes is None:
         first = sigs.select("sig").first()
         if first is None:  # empty corpus -> no pairs
@@ -127,9 +187,14 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bhash"),
     )
+    obs = None
+    if bucket_cap is not None:
+        banded, obs = _cap_buckets(
+            banded, ["band", "bhash"], id_col, bucket_cap, "lsh_bucket_overflow"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -139,6 +204,8 @@ def lsh_candidate_pairs(
         .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
         .distinct()
     )
+    out.bucket_overflow = obs
+    return out
 
 
 def ngram_jaccard(
@@ -314,11 +381,16 @@ def simhash_mapside(
 
 
 def simhash_near_pairs(
-    fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Candidate generation by 16-bit band equality (any doc pair within
     Hamming distance 3 of 64 bits shares at least one of 4 bands), then
-    exact bit_count verification."""
+    exact bit_count verification. Degenerate band buckets (mass
+    duplicates — exact-dedup first, see module contract) are capped at
+    ``bucket_cap`` rows; overflow observable via ``df.bucket_overflow``."""
     bands = fps.select(
         F.col(id_col),
         F.col("simhash"),
@@ -331,6 +403,11 @@ def simhash_near_pairs(
             )
         ).alias("band", "bval"),
     )
+    obs = None
+    if bucket_cap is not None:
+        bands, obs = _cap_buckets(
+            bands, ["band", "bval"], id_col, bucket_cap, "simhash_bucket_overflow"
+        )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -346,4 +423,6 @@ def simhash_near_pairs(
         )
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= max_hamming)
+    out = cand.filter(F.col("hamming") <= max_hamming)
+    out.bucket_overflow = obs
+    return out

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from aspublic_spark.operators.dedup import DEFAULT_BUCKET_CAP, _cap_buckets
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -253,14 +255,26 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 10,
     seed: int = 7,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-duplicate vector pairs: LSH bucket self-join candidates,
-    exact cosine verification >= threshold."""
+    exact cosine verification >= threshold.
+
+    ``bucket_cap`` bounds the per-bucket self-join against degenerate
+    buckets (mass-duplicate embeddings); None disables. Same contract
+    as the text LSH family: run exact dedup over the vectors first, the
+    cap is the backstop (overflow observable via
+    ``df.bucket_overflow``)."""
     dim = len(emb.select(vec_col).first()[0])
     planes = _planes(dim, n_planes, seed)
     b = emb.select(
         F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("_bucket")
     )
+    obs = None
+    if bucket_cap is not None:
+        b, obs = _cap_buckets(
+            b, ["_bucket"], id_col, bucket_cap, "embdup_bucket_overflow"
+        )
     l, r = b.alias("l"), b.alias("r")
     cand = l.join(
         r,
@@ -274,4 +288,6 @@ def embedding_near_dup_pairs(
             5,
         ).alias("cosine"),
     )
-    return cand.filter(F.col("cosine") >= threshold)
+    out = cand.filter(F.col("cosine") >= threshold)
+    out.bucket_overflow = obs
+    return out

@@ -493,7 +493,11 @@ class SearchEngine:
             )
             phase1 = self.unpack(top_blocks)
             scored1 = self._score(phase1, scaled_map)
-            qual1 = self._qualify(scored1, pq)
+            # phrase alternatives dropped from OR groups: conservative
+            # subset -> theta stays a valid lower bound (see _qualify)
+            qual1 = self._qualify(
+                scored1, pq.and_terms, [tg for tg, _ in pq.or_operands()]
+            )
             if not_blocks is not None:
                 nd = self.unpack(not_blocks).select("doc_id").distinct()
                 qual1 = qual1.join(nd, "doc_id", "left_anti")
@@ -564,15 +568,26 @@ class SearchEngine:
             )
         )
 
-    def _qualify(self, scored: DataFrame, pq: ParsedQuery) -> DataFrame:
+    def _qualify(
+        self,
+        scored: DataFrame,
+        and_terms: list[str],
+        or_term_groups: list[list[str]],
+    ) -> DataFrame:
+        """Term-level qualification: every AND term present, and at least
+        one alternative of each group in ``or_term_groups``. Groups with
+        phrase alternatives are applied by the caller (they need the
+        positional phrase-doc sets); passing only their term
+        alternatives here yields a conservative SUBSET — which is
+        exactly what the theta-probe phase needs for a safe bound."""
         out = scored
-        need = sorted(set(pq.and_terms))
+        need = sorted(set(and_terms))
         if need:
             cond = F.lit(True)
             for t in need:
                 cond = cond & F.array_contains("_terms", t)
             out = out.filter(cond)
-        for g in pq.or_groups:
+        for g in or_term_groups:
             gcond = F.lit(False)
             for t in sorted(set(g)):
                 gcond = gcond | F.array_contains("_terms", t)
@@ -643,13 +658,20 @@ class SearchEngine:
                 "doc_id", *key_meta, "score"
             )
             return SearchResult(empty, pq, {"empty": True})
-        # OR groups where no alternative exists -> unsatisfiable
-        for g in pq.or_groups:
-            if not any(t in stats for t in g):
-                empty = docs_f.limit(0).withColumn("score", F.lit(0.0)).select(
-                    "doc_id", *key_meta, "score"
-                )
-                return SearchResult(empty, pq, {"empty": True})
+        # OR groups where no alternative exists -> unsatisfiable (a
+        # phrase alternative is live only if ALL its terms exist)
+        or_ops = [
+            (
+                [t for t in tg if t in stats],
+                [ph for ph in pg if all(t in stats for t in ph)],
+            )
+            for tg, pg in pq.or_operands()
+        ]
+        if any(not tg and not pg for tg, pg in or_ops):
+            empty = docs_f.limit(0).withColumn("score", F.lit(0.0)).select(
+                "doc_id", *key_meta, "score"
+            )
+            return SearchResult(empty, pq, {"empty": True})
 
         live_terms = [t for t in pos_terms if t in stats]
         fw = list(field_weights) if field_weights is not None else []
@@ -690,7 +712,7 @@ class SearchEngine:
                 pos_blocks, not_blocks, pq, scaled_map, k, docs_f, has_doc_filters, stats
             )
 
-        if (pq.phrases or live_nphrases) and not self.store_positions:
+        if (pq.phrases or pq.or_phrase_groups or live_nphrases) and not self.store_positions:
             raise ValueError(
                 "phrase queries need positions, but this index was built "
                 "with store_positions=False"
@@ -702,18 +724,41 @@ class SearchEngine:
         # terms that actually appear in a phrase.
         unpacked = self.unpack(pos_blocks)
         scored = self._score(unpacked, scaled_map)
-        cand = self._qualify(scored, pq).drop("_terms")
+        # pure-term OR groups qualify here; groups with live phrase
+        # alternatives need the positional phrase-doc sets below
+        mixed_groups = [(tg, pg) for tg, pg in or_ops if pg]
+        cand = self._qualify(
+            scored, pq.and_terms, [tg for tg, pg in or_ops if not pg]
+        )
 
-        if pq.phrases:
-            ph_terms = sorted({t for ph in pq.phrases for t in ph})
+        all_phrases = list(pq.phrases) + [ph for _, pg in mixed_groups for ph in pg]
+        unp_pos = None
+        if all_phrases:
+            ph_terms = sorted({t for ph in all_phrases for t in ph})
             unp_pos = self.unpack(
                 pos_blocks.filter(F.col("term").isin(ph_terms)),
                 with_positions=True,
             )
-            for ph in pq.phrases:
-                cand = cand.join(
-                    self._phrase_docs(ph, unp_pos, stats), "doc_id", "left_semi"
-                )
+        for ph in pq.phrases:
+            cand = cand.join(
+                self._phrase_docs(ph, unp_pos, stats), "doc_id", "left_semi"
+            )
+        for tg, pg in mixed_groups:
+            # satisfied by any term alternative OR any adjacent phrase
+            # alternative (websearch `"a b" OR c` keeps adjacency)
+            tcond = F.lit(False)
+            for t in sorted(set(tg)):
+                tcond = tcond | F.array_contains("_terms", t)
+            phd = self._phrase_docs(pg[0], unp_pos, stats)
+            for ph in pg[1:]:
+                phd = phd.unionByName(self._phrase_docs(ph, unp_pos, stats))
+            phd = phd.distinct().withColumn("_pm", F.lit(1))
+            cand = (
+                cand.join(phd, "doc_id", "left")
+                .filter(tcond | F.col("_pm").isNotNull())
+                .drop("_pm")
+            )
+        cand = cand.drop("_terms")
 
         if not_blocks is not None:
             unp_not = self.unpack(not_blocks)

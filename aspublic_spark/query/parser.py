@@ -56,6 +56,25 @@ class ParsedQuery:
     # which at least one must match (websearch extension; empty for the
     # sqlite-style parser)
     or_groups: list[list[str]] = field(default_factory=list)
+    # phrase ALTERNATIVES inside OR groups, aligned by group index with
+    # ``or_groups``: group i is satisfied by any term of or_groups[i] OR
+    # any ADJACENT occurrence of a phrase in or_phrase_groups[i] —
+    # websearch_to_tsquery keeps `<->` adjacency inside OR
+    # (db_postgres.py:114), so `"a b" OR c` must not match a doc that
+    # has a and b non-adjacently and lacks c
+    or_phrase_groups: list[list[list[str]]] = field(default_factory=list)
+
+    def or_operands(self) -> list[tuple[list[str], list[list[str]]]]:
+        """(term_alternatives, phrase_alternatives) per OR group, padded
+        so the two aligned lists can differ in length."""
+        n = max(len(self.or_groups), len(self.or_phrase_groups))
+        return [
+            (
+                self.or_groups[i] if i < len(self.or_groups) else [],
+                self.or_phrase_groups[i] if i < len(self.or_phrase_groups) else [],
+            )
+            for i in range(n)
+        ]
 
     @property
     def positive_terms(self) -> list[str]:
@@ -69,10 +88,16 @@ class ParsedQuery:
         for g in self.or_groups:
             for t in g:
                 seen.setdefault(t)
+        for g in self.or_phrase_groups:
+            for ph in g:
+                for t in ph:
+                    seen.setdefault(t)
         return list(seen)
 
     def is_empty(self) -> bool:
-        return not (self.and_terms or self.phrases or self.or_groups)
+        return not (
+            self.and_terms or self.phrases or self.or_groups or self.or_phrase_groups
+        )
 
 
 def _tok1(word: str) -> list[str]:
@@ -151,16 +176,24 @@ def parse_websearch(q: str, tok=tokenize) -> ParsedQuery:
                 out.not_phrases.append(payload)  # !(a <-> b), adjacency
         elif kind in ("phrase", "word"):
             # gather an OR chain; operands may be words or phrases. A
-            # phrase inside an OR group degrades to its terms (any-of
-            # qualification, adjacency not enforced) — documented
-            # approximation of websearch_to_tsquery's phrase-in-OR.
-            group = list(payload)
+            # phrase operand keeps its ADJACENCY requirement (matching
+            # websearch_to_tsquery's `a <-> b` inside OR,
+            # db_postgres.py:114); a single-token phrase is just a term.
+            operands = [(kind, payload)]
             j = i
             while j + 2 < len(items) and items[j + 1][0] == "or" and items[j + 2][0] in ("word", "phrase"):
-                group.extend(items[j + 2][1])
+                operands.append(items[j + 2])
                 j += 2
             if j > i:
-                out.or_groups.append(group)
+                terms: list[str] = []
+                phrases: list[list[str]] = []
+                for k2, p in operands:
+                    if k2 == "phrase" and len(p) > 1:
+                        phrases.append(p)
+                    else:
+                        terms.extend(p)
+                out.or_groups.append(terms)
+                out.or_phrase_groups.append(phrases)
                 i = j
             elif kind == "phrase":
                 out.phrases.append(payload)

@@ -76,11 +76,19 @@ def test_positive_terms_dedup_ordered():
 
 
 def test_websearch_or_with_phrase_operand():
-    # phrase in an OR chain degrades to its terms as group alternatives
-    # (any-of), and must NOT silently become a required conjunct
+    # a phrase in an OR chain stays a phrase ALTERNATIVE with adjacency
+    # (websearch_to_tsquery keeps `<->` inside OR, db_postgres.py:114),
+    # and must NOT silently become a required conjunct
     p = parse_websearch('cat OR "big dog"')
-    assert p.or_groups == [["cat", "big", "dog"]]
+    assert p.or_groups == [["cat"]]
+    assert p.or_phrase_groups == [[["big", "dog"]]]
     assert p.and_terms == [] and p.phrases == []
     p2 = parse_websearch('"big dog" OR cat fish')
-    assert p2.or_groups == [["big", "dog", "cat"]]
+    assert p2.or_groups == [["cat"]]
+    assert p2.or_phrase_groups == [[["big", "dog"]]]
     assert p2.and_terms == ["fish"]
+    # single-token phrase operand is just a term alternative
+    p3 = parse_websearch('"cat" OR dog')
+    assert p3.or_groups == [["cat", "dog"]]
+    assert p3.or_phrase_groups == [[]]
+    assert p3.positive_terms == ["cat", "dog"]

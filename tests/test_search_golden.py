@@ -238,3 +238,21 @@ def test_interval_coarsening_plan_is_distributed(engine):
     plan = coarse._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_or_group_phrase_alternative_keeps_adjacency(engine):
+    """`"sample status" OR keyword`: turn 2 ("sample media status") has
+    both phrase terms NON-adjacently and no 'keyword' — it must NOT
+    match (websearch_to_tsquery keeps `<->` adjacency inside OR,
+    db_postgres.py:114; the old behavior degraded the phrase to any-of
+    terms and wrongly matched turns 2 and 3)."""
+    from aspublic_spark.query.parser import parse_websearch
+
+    res = engine.search('"sample status" OR keyword', parser=parse_websearch)
+    assert _turns(res) == [0, 5]
+    # phrase-only OR operand (single alternative group)
+    res2 = engine.search('"sample status" OR zzzmissing', parser=parse_websearch)
+    assert _turns(res2) == [0]
+    # group with a dead phrase alternative still satisfiable via term
+    res3 = engine.search('"zzz yyy" OR keyword', parser=parse_websearch)
+    assert _turns(res3) == [5]
