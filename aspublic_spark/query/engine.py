@@ -107,6 +107,88 @@ def _unpack_factory(with_positions: bool):
     return unpack
 
 
+def _phrase_match_factory(phrase: list[str]):
+    """mapInPandas fn over PACKED blocks of the phrase's terms (one
+    partition holds complete doc-hash slices): emit doc_ids where the
+    phrase occurs adjacently within a single field.
+
+    Fully vectorized: per block, positions decode in one varint pass
+    with record boundaries derived from the tfs column (record k is
+    [n=tf_k, first, deltas...]), absolute positions via grouped cumsum;
+    per partition, each term's (doc, fld, pos-offset) triples pack into
+    int64 keys (doc ordinal << 32 | fld << 24 | pos) and the phrase
+    match is a chain of np.intersect1d — no per-posting Python, no
+    decoded-array shuffle. A doc's blocks for ALL terms share its slice
+    (slice = hash(doc_id)), so matches never span partitions and the
+    output needs no distinct."""
+    terms = list(phrase)
+
+    def run(batches):
+        from collections import defaultdict
+
+        per = defaultdict(lambda: ([], [], []))  # term -> (docs, flds, pos)
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                r = row._asdict()
+                ids = codec.delta_decode_docs(r["doc_gaps"])
+                if ids.size == 0:
+                    continue
+                tfs = codec.decode_varints(r["tfs"]).astype(np.int64)
+                flat = codec.decode_varints(r["positions"]).astype(np.int64)
+                # vectorized record split: header positions from tfs
+                lens = tfs + 1
+                hstart = np.zeros(lens.size, dtype=np.int64)
+                np.cumsum(lens[:-1], out=hstart[1:])
+                keep = np.ones(flat.size, dtype=bool)
+                keep[hstart] = False  # drop the n_pos headers
+                vals = flat[keep]
+                c = np.cumsum(vals)
+                vstart = np.zeros(tfs.size, dtype=np.int64)
+                np.cumsum(tfs[:-1], out=vstart[1:])
+                base = np.where(vstart > 0, c[vstart - 1], 0)
+                abs_pos = c - np.repeat(base, tfs)  # grouped cumsum
+                if abs_pos.size and int(abs_pos.max()) >= (1 << 24):
+                    raise RuntimeError(
+                        "position exceeds 2^24 (16M tokens in one field "
+                        "of one doc) — phrase key packing would overflow"
+                    )
+                d, f, p = per[r["term"]]
+                d.append(np.repeat(ids, tfs))
+                f.append(np.full(abs_pos.size, int(r["fld"]), dtype=np.int64))
+                p.append(abs_pos)
+        empty = pd.DataFrame({"doc_id": np.empty(0, dtype=np.int64)})
+        if any(t not in per for t in set(terms)):
+            yield empty
+            return
+        cat = {
+            t: tuple(np.concatenate(x) for x in per[t]) for t in set(terms)
+        }
+        alldocs = np.unique(np.concatenate([cat[t][0] for t in set(terms)]))
+
+        def keys(t: str, off: int) -> np.ndarray:
+            d, f, p = cat[t]
+            ok = p >= off
+            o = np.searchsorted(alldocs, d[ok])
+            return np.unique((o << 32) | (f[ok] << 24) | (p[ok] - off))
+
+        ks = sorted(
+            (keys(t, off) for off, t in enumerate(terms)), key=lambda a: a.size
+        )
+        cur = ks[0]
+        for nxt in ks[1:]:
+            if cur.size == 0:
+                break
+            cur = np.intersect1d(cur, nxt, assume_unique=True)
+        docs = (
+            alldocs[np.unique(cur >> 32)]
+            if cur.size
+            else np.empty(0, dtype=np.int64)
+        )
+        yield pd.DataFrame({"doc_id": docs})
+
+    return run
+
+
 @dataclass
 class SearchResult:
     df: DataFrame
@@ -144,6 +226,12 @@ class SearchEngine:
         self._docs_df = None
         self._dict_df = None
         self._blocks_df = None
+        # driver-side (term, fld)->dictionary-row cache: repeat query
+        # terms skip the dictionary lookup JOB entirely (the full
+        # dictionary can be 10^8 terms — never materialized; only terms
+        # actually queried are cached, negative lookups included)
+        self._term_cache: dict[str, dict[int, dict]] = {}
+        self._term_cache_max = 1_000_000
         # same filesystem seam as the builder: plain paths -> LocalFS,
         # URIs (hdfs://, s3a://, ...) -> the Hadoop client
         self.fs = fs_for(index_dir, spark)
@@ -212,6 +300,7 @@ class SearchEngine:
             if df is not None and self._cache:
                 df.unpersist()
         self._docs_df = self._dict_df = self._blocks_df = None
+        self._term_cache.clear()
         st_rows = read_stats(self.index_dir, self.fs)
         self.n_docs = int(st_rows[0]["n_docs"])
         self.avgdl_by_fld = {int(r["fld"]): float(r["avgdl"] or 1.0) for r in st_rows}
@@ -219,14 +308,23 @@ class SearchEngine:
 
     def term_stats(self, terms: list[str]) -> dict[str, dict[int, dict]]:
         """{term: {fld: dictionary row}} — a term exists if it appears
-        in ANY indexed field."""
+        in ANY indexed field. Cached per term on the driver (the
+        reference's sqlite page cache keeps the FTS5 term btree warm the
+        same way): one dictionary-scan JOB per NEW term set, zero for
+        repeats."""
         if not terms:
             return {}
-        rows = self.dictionary().filter(F.col("term").isin(list(terms))).collect()
-        out: dict[str, dict[int, dict]] = {}
-        for r in rows:
-            out.setdefault(r["term"], {})[int(r["fld"])] = r.asDict()
-        return out
+        missing = sorted({t for t in terms if t not in self._term_cache})
+        if missing:
+            rows = self.dictionary().filter(F.col("term").isin(missing)).collect()
+            found: dict[str, dict[int, dict]] = {}
+            for r in rows:
+                found.setdefault(r["term"], {})[int(r["fld"])] = r.asDict()
+            if len(self._term_cache) + len(missing) > self._term_cache_max:
+                self._term_cache.clear()  # crude but bounds driver memory
+            for t in missing:
+                self._term_cache[t] = found.get(t, {})  # {} = negative entry
+        return {t: self._term_cache[t] for t in terms if self._term_cache.get(t)}
 
     def idf(self, df_t: int) -> float:
         return math.log((self.n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
@@ -298,48 +396,25 @@ class SearchEngine:
         return d
 
     # -- phrase evaluation (Q4) ----------------------------------------
-    def _phrase_docs(
-        self, phrase: list[str], unp_pos: DataFrame, stats: dict | None = None
-    ) -> DataFrame:
+    def _phrase_docs(self, phrase: list[str], blocks: DataFrame) -> DataFrame:
         """Docs where the phrase occurs adjacently within a SINGLE field
         (FTS5 phrases never span columns).
 
-        Evaluated WITHOUT exploding positions: starting from the rarest
-        term's position array (smallest intermediate), each further term
-        joins on (doc, fld) and intersects its offset-shifted array —
-        `array_intersect(cur, transform(pos_i, p -> p - rel_offset))`,
-        all JVM higher-order functions. A doc survives while the set of
-        viable anchor positions stays non-empty; per-row work is
-        O(positions), and the join rows stay one-per-(doc, fld) instead
-        of one-per-position."""
-        if stats is None:  # standalone use; search() passes its stats
-            stats = self.term_stats(list(set(phrase)))
-        df_of = lambda t: sum(s["df"] for s in stats.get(t, {}).values())  # noqa: E731
-        anchor = min(range(len(phrase)), key=lambda i: df_of(phrase[i]))
-        cur = unp_pos.filter(F.col("term") == phrase[anchor]).select(
-            "fld", "doc_id", F.col("positions").alias("_vp")
+        Evaluated over the PACKED blocks: the phrase terms' blocks are
+        shuffled by ``slice`` (the doc-hash partition of the index, so
+        every term's postings for one doc land in the same task) still
+        varint-COMPRESSED — the heaviest column in the index never
+        crosses an exchange decoded — and one mapInPandas decodes +
+        intersects positions entirely in vectorized numpy. This
+        replaced a per-(doc,fld) DataFrame self-join of decoded
+        array<int> position columns (Arrow list transfer + join shuffle
+        of the arrays dominated q_phrase, ~2.6x q_and at sf0.1)."""
+        pb = blocks.filter(F.col("term").isin(sorted(set(phrase)))).select(
+            "slice", "term", "fld", "doc_gaps", "tfs", "positions"
         )
-        for i, t in enumerate(phrase):
-            if i == anchor:
-                continue
-            off = i - anchor  # term i sits `off` tokens after the anchor
-            nxt = unp_pos.filter(F.col("term") == t).select(
-                F.col("fld").alias("_f"),
-                F.col("doc_id").alias("_d"),
-                F.col("positions").alias("_pn"),
-            )
-            cur = (
-                cur.join(nxt, (cur.doc_id == nxt._d) & (cur.fld == nxt._f))
-                .select(
-                    "fld",
-                    "doc_id",
-                    F.array_intersect(
-                        "_vp", F.transform("_pn", lambda p: p - off)
-                    ).alias("_vp"),
-                )
-                .filter(F.size("_vp") > 0)
-            )
-        return cur.select("doc_id").distinct()
+        return pb.repartition("slice").mapInPandas(
+            _phrase_match_factory(list(phrase)), "doc_id long"
+        )
 
     def _coarse_intervals(self, rare: DataFrame, nbuck: int) -> DataFrame:
         """Coarsen a term's (min_doc, max_doc) block intervals to at most
@@ -650,6 +725,13 @@ class SearchEngine:
             return SearchResult(out, pq, {})
 
         pos_terms = pq.positive_terms
+        # ONE dictionary lookup job for the whole query: positive terms
+        # + NOT-group/NOT-phrase terms together (both term_stats calls
+        # below hit the per-term cache)
+        ng_all = {t for g in pq.not_groups for t in g} | {
+            t for ph in pq.not_phrases for t in ph
+        }
+        self.term_stats(list(dict.fromkeys(pos_terms)) + sorted(ng_all))
         stats = self.term_stats(pos_terms)
         # an AND/phrase term absent from the corpus -> empty result
         required = set(pq.and_terms) | {t for ph in pq.phrases for t in ph}
@@ -723,25 +805,39 @@ class SearchEngine:
         # Positions are decoded separately below, only for blocks of
         # terms that actually appear in a phrase.
         unpacked = self.unpack(pos_blocks)
-        scored = self._score(unpacked, scaled_map)
-        # pure-term OR groups qualify here; groups with live phrase
-        # alternatives need the positional phrase-doc sets below
         mixed_groups = [(tg, pg) for tg, pg in or_ops if pg]
-        cand = self._qualify(
-            scored, pq.and_terms, [tg for tg, pg in or_ops if not pg]
-        )
-
-        all_phrases = list(pq.phrases) + [ph for _, pg in mixed_groups for ph in pg]
-        unp_pos = None
-        if all_phrases:
-            ph_terms = sorted({t for ph in all_phrases for t in ph})
-            unp_pos = self.unpack(
-                pos_blocks.filter(F.col("term").isin(ph_terms)),
-                with_positions=True,
+        if (
+            len(scaled_map) == 1
+            and not pq.phrases
+            and not or_ops
+            and len(set(pq.and_terms)) <= 1
+        ):
+            # single (term, field): each doc appears exactly once in the
+            # unpacked postings, so the groupBy-and-fold of _score is a
+            # pure pass-through — score directly, one less exchange.
+            # Bit-identical to the fold (0.0 + w == w in IEEE754) and
+            # qualification is trivially satisfied.
+            ((_t, f), v) = next(iter(scaled_map.items()))
+            cand = unpacked.select(
+                "doc_id",
+                (
+                    F.lit(v)
+                    * bm25_weight_col(
+                        F.col("tf"), F.col("dl"), self.avgdl_by_fld.get(f, 1.0)
+                    )
+                ).alias("score"),
             )
+        else:
+            scored = self._score(unpacked, scaled_map)
+            # pure-term OR groups qualify here; groups with live phrase
+            # alternatives need the positional phrase-doc sets below
+            cand = self._qualify(
+                scored, pq.and_terms, [tg for tg, pg in or_ops if not pg]
+            )
+
         for ph in pq.phrases:
             cand = cand.join(
-                self._phrase_docs(ph, unp_pos, stats), "doc_id", "left_semi"
+                self._phrase_docs(ph, pos_blocks), "doc_id", "left_semi"
             )
         for tg, pg in mixed_groups:
             # satisfied by any term alternative OR any adjacent phrase
@@ -749,9 +845,9 @@ class SearchEngine:
             tcond = F.lit(False)
             for t in sorted(set(tg)):
                 tcond = tcond | F.array_contains("_terms", t)
-            phd = self._phrase_docs(pg[0], unp_pos, stats)
+            phd = self._phrase_docs(pg[0], pos_blocks)
             for ph in pg[1:]:
-                phd = phd.unionByName(self._phrase_docs(ph, unp_pos, stats))
+                phd = phd.unionByName(self._phrase_docs(ph, pos_blocks))
             phd = phd.distinct().withColumn("_pm", F.lit(1))
             cand = (
                 cand.join(phd, "doc_id", "left")
@@ -779,18 +875,10 @@ class SearchEngine:
                     .select("doc_id")
                 )
                 cand = cand.join(gd, "doc_id", "left_anti")
-            if live_nphrases:
-                nph_terms = sorted({t for ph in live_nphrases for t in ph})
-                unp_not_pos = self.unpack(
-                    not_blocks.filter(F.col("term").isin(nph_terms)),
-                    with_positions=True,
+            for ph in live_nphrases:
+                cand = cand.join(
+                    self._phrase_docs(ph, not_blocks), "doc_id", "left_anti"
                 )
-                for ph in live_nphrases:
-                    cand = cand.join(
-                        self._phrase_docs(ph, unp_not_pos, ng_stats),
-                        "doc_id",
-                        "left_anti",
-                    )
 
         out = (
             cand.join(docs_f.select("doc_id", *key_meta), "doc_id")
