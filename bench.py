@@ -280,28 +280,39 @@ def _write_baseline_md(result: dict):
     for k, v in result["queries"].items():
         lines.append(f"- {k}: {v}")
     if sc:
-        n, n4 = sc["n"], sc["4n"]
         lines += [
             "",
-            "## Scaling (north_rule: >=0.8 efficiency from N to 4N)",
+            "## Scaling (north_rule: >=0.8 efficiency from N to 4N, two cluster-size points)",
             "",
             "Same pre-materialized parquet input, same job, two parallelism",
             "levels in separate processes, each PINNED to exactly that many",
             "cores with taskset (otherwise the 1-core JVM's GC/IO helper",
             "threads borrow idle cores and overstate the baseline). Python",
             "UDF workers are warmed before the timed section (on a real",
-            "cluster executor pools are long-lived).",
+            "cluster executor pools are long-lived). Measured at TWO pair",
+            "points: 1->4 cores and 2->8 cores (larger corpus for the bigger",
+            "pair so the per-job serial floor stays negligible).",
             "",
-            f"- local[{n}]:  {sc[f'local[{n}]']['turns_per_sec']:.0f} turns/sec "
-            f"({sc[f'local[{n}]']['seconds']:.1f} s, {SCALING_TURNS} turns)",
-            f"- local[{n4}]: {sc[f'local[{n4}]']['turns_per_sec']:.0f} turns/sec "
-            f"({sc[f'local[{n4}]']['seconds']:.1f} s)",
-            f"- **scaling efficiency ({n} -> {n4} cores): {sc['efficiency_n_to_4n']}**"
-            " (capped at 1.0)",
-            f"- all back-to-back pair efficiencies: {sc.get('all_pair_efficiencies')}",
+        ]
+        for pr in sc.get("pairs", [sc]):
+            n, n4 = pr["n"], pr["4n"]
+            turns = pr.get("turns", SCALING_TURNS)
+            lines += [
+                f"### {n} -> {n4} cores ({turns} turns)",
+                "",
+                f"- local[{n}]:  {pr[f'local[{n}]']['turns_per_sec']:.0f} turns/sec "
+                f"({pr[f'local[{n}]']['seconds']:.1f} s)",
+                f"- local[{n4}]: {pr[f'local[{n4}]']['turns_per_sec']:.0f} turns/sec "
+                f"({pr[f'local[{n4}]']['seconds']:.1f} s)",
+                f"- **scaling efficiency ({n} -> {n4} cores): {pr['efficiency_n_to_4n']}**"
+                " (capped at 1.0)",
+                f"- all back-to-back pair efficiencies: {pr.get('all_pair_efficiencies')}",
+                "",
+            ]
+        lines += [
             "- a raw pair value > 1.0 means the N-core baseline run of that",
             "  pair was itself degraded by external load (which INFLATES the",
-            "  pair's ratio); the headline number is therefore capped at 1.0",
+            "  pair's ratio); the headline numbers are therefore capped at 1.0",
             "",
             "The sandbox host is time-shared (identical runs vary ~2x minutes",
             "apart), so N and 4N are measured as adjacent pairs. External load",
@@ -316,6 +327,9 @@ def _write_baseline_md(result: dict):
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--scaling-worker":
-        scaling_worker(int(sys.argv[2]))
+        scaling_worker(
+            int(sys.argv[2]),
+            int(sys.argv[3]) if len(sys.argv) > 3 else SCALING_TURNS,
+        )
     else:
         main()
