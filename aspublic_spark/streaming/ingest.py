@@ -94,10 +94,14 @@ class StreamingIngest:
         if not n:
             self.fs.delete(staged, recursive=True)
             return 0
-        marker = os.path.join(staged, "_DOCS_APPENDED")
-        if not self.fs.exists(marker):
-            new.write.mode("append").parquet(self.docs_dir)
-            self.fs.write_file_atomic(marker, "")
+        # row store lands in a per-generation partition via OVERWRITE —
+        # a replayed recovery rewrites the same directory instead of
+        # appending twice (the old append had a duplicate window between
+        # job commit and its marker write). Readers see a `gen` int
+        # partition column (the Iceberg-snapshot analog).
+        new.write.mode("overwrite").parquet(
+            os.path.join(self.docs_dir, f"gen={gen}")
+        )
         kmarker = os.path.join(staged, "_KEYS_APPENDED")
         if not self.fs.exists(kmarker):
             # day-partitioned key sidecar: the dedup anti-join reads
