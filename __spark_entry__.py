@@ -98,7 +98,7 @@ def _build_cached_engine(
 
 def _documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _build_cached_engine(
-        spark, sf_dir, "v5",
+        spark, sf_dir, "v6",
         lambda d: d,
         dict(key_cols=["doc_id"], text_col="text",
              meta_cols=["lang", "source", "n_chars"], n_slices=4),
@@ -110,7 +110,7 @@ def _documents_engine_2f(spark: SparkSession, sf_dir: str) -> SearchEngine:
     (source + lang), matching the reference's fts5(text, subject)
     two-column index (common/db_sqlite.py:27-41)."""
     return _build_cached_engine(
-        spark, sf_dir, "2f_v3",
+        spark, sf_dir, "2f_v4",
         lambda d: d.withColumn("subject", F.concat_ws(" ", "source", "lang")),
         dict(key_cols=["doc_id"], text_cols=["text", "subject"],
              meta_cols=["lang", "source", "n_chars"], n_slices=4),

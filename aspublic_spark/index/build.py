@@ -1,4 +1,4 @@
-"""Inverted-index build: tokenize -> per-slice postings -> packed blocks.
+"""Inverted-index build: ONE pass tokenize -> shuffle -> packed blocks.
 
 Spark-native analog of the reference's index-maintenance path, where
 every ingested row is tokenized and merged into an FTS5 inverted index
@@ -7,40 +7,55 @@ column + GIN index (common/db_postgres.py:29-31). Here the index is a
 set of explicit columnar tables, built by DataFrame jobs:
 
     docs/gen=G/          doc_id, <key cols>, <meta cols>
-    postings_raw/gen=G/slice=S/  fld, term, doc_id, tf, dl,
-                                 positions (varint BINARY, pre-encoded)
     postings/gen=G/slice=S/      packed blocks (codec.py)
     dictionary_gens/gen=G/       per-gen (term, fld) -> df/cf/max_tf/min_dl
     dictionary_v/v=N/    merged (term, fld) aggregates (reached through
                          the dictionary_CURRENT.json pointer; a single
                          live generation is pointed at directly)
     stats.json           one row per fld: n_docs, avgdl, total_tokens
-    manifest/            one JSON per (stage, gen, slice): status + lineage
+    manifest/            one JSON per (stage, gen): status + lineage
                          + metrics (terms/postings/bytes/seconds)
 
 Scale design (the part that must survive 1000 executors / 100 TB):
 
-- the tokenize+raw-postings pass is ONE mapInArrow scan of the input
-  (linear in tokens; positions leave already varint-encoded), written
-  partitioned by a deterministic hash slice of doc_id — no per-slice
-  re-scans, and the pack shuffle moves compressed bytes;
-- the pack stage shuffles by (slice, term, fld, salt): heavy-hitter
-  terms (df above ``salt_max_postings``) are split across
-  ``ceil(df/salt_max)`` salts keyed by doc hash, so no single reducer
-  ever materializes a full Zipf-head posting list (north_rule's
-  explicit skew handling);
-- blocks carry (min_doc, max_doc, block_max_w, max_tf, min_dl) so the
-  query side can do block-max WAND pruning and doc-range intersection
-  without touching the packed bytes;
-- the pack stage is per-(gen, slice) resumable: each slice commits an
-  atomic manifest JSON after its output is written; re-running `build`
-  skips committed slices (north_rule resumability);
+- the whole build is ONE pass over the corpus: a mapInArrow
+  tokenize (linear in tokens; positions leave the Python worker
+  already varint-encoded) feeds the pack shuffle DIRECTLY — no
+  intermediate raw-postings table is ever written or re-read, and the
+  packed blocks are the ONLY stored copy of the postings (~half the
+  index storage of a raw+packed layout);
+- the pack shuffle keys on (slice, term, fld, salt): heavy-hitter
+  terms are split across ``ceil(df/salt_max)`` salts keyed by doc
+  hash, so no single reducer ever materializes a full Zipf-head
+  posting list (north_rule's explicit skew handling). The salt plan
+  needs term df BEFORE the shuffle: incremental generations read it
+  from the current global dictionary (exact for the existing corpus,
+  a predictor for the batch); a first build estimates it from a 1%
+  token sample. The plan is a pure PERFORMANCE hint — any term can
+  be salted or not without affecting query results;
+- blocks carry (min_doc, max_doc, max_tf, min_dl, sum_tf) so the
+  query side can do block-max WAND pruning (score bounds computed at
+  QUERY time from max_tf/min_dl under the then-current avgdl — safe
+  under cross-generation avgdl drift) and doc-range intersection
+  without touching the packed bytes, and so the per-gen dictionary
+  aggregates over block METADATA (O(blocks) rows), never re-reading
+  postings;
+- a generation commits all-or-nothing: its raw manifest is written
+  LAST, after docs, packed postings and dictionary are all on disk.
+  Executor/task faults are retried by Spark inside the job; a driver
+  crash leaves only invisible directories (GC'd by ``repair()``) and
+  the generation is rebuilt idempotently from its source batch. Bulk
+  loads chunk the corpus into several generations + ``compact()``
+  for coarse-grained resume;
 - incremental ingest = a new generation directory (the batch analog of
   the FTS5 trigger firing per insert); dictionary/stats quantities are
   all DECOMPOSABLE, so `refresh_global` merges the small per-gen
   dictionaries — per-batch cost independent of corpus history;
 - `compact()` merges generations and `prune_index(cutoff)` drops/
-  rewrites them by time, both behind crash-safe pending markers.
+  rewrites them by time, both behind crash-safe pending markers; both
+  reconstruct shuffle-ready postings from the packed blocks with a
+  fully vectorized unpacker (position payloads are re-SLICED per
+  posting, never decoded).
 
 Commit protocol (object-store-safe — see fsio.py for the exact two
 guarantees it relies on; the reference gets this from sqlite
@@ -78,18 +93,20 @@ BLOCK_SCHEMA = (
     "slice int, term string, fld int, salt int, block_id int, n int, "
     "min_doc long, max_doc long, "
     "doc_gaps binary, tfs binary, dls binary, positions binary, "
-    "block_max_w double, max_tf int, min_dl int"
+    "sum_tf long, max_tf int, min_dl int"
 )
 
-# raw postings: one row per (doc, field, term); positions already
-# varint-encoded ([n, first, deltas...] — codec.encode_grouped_records)
-# so the pack shuffle moves compressed bytes, not array<int>. `fld` is
+# shuffle-time postings schema: one row per (doc, field, term);
+# positions already varint-encoded ([n, first, deltas...] —
+# codec.encode_grouped_records) so the pack shuffle moves compressed
+# bytes, not array<int>. This schema only exists IN FLIGHT (tokenizer
+# output / compaction unpack output); it is never persisted. `fld` is
 # the indexed-column ordinal (FTS5 indexes N columns per row,
 # `fts5(text, subject, ...)`, reference common/db_sqlite.py:27).
 RAW_SCHEMA = (
     "slice int, doc_id long, fld int, dl int, term string, tf int, positions binary"
 )
-RAW_FORMAT = 3
+RAW_FORMAT = 4
 
 
 # -- snapshot readers (shared by IndexBuilder and SearchEngine) ----------
@@ -232,9 +249,7 @@ def bm25_weight_col(tf_col, dl_col, avgdl: float):
     return tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
 
 
-def _pack_partition_arrow_factory(
-    block_size: int, avgdl_by_fld: dict[int, float], store_positions: bool
-):
+def _pack_partition_arrow_factory(block_size: int, store_positions: bool):
     """mapInArrow fn: pack one shuffle partition of raw postings into blocks.
 
     The partition holds complete (slice, term, salt) groups (guaranteed
@@ -343,13 +358,6 @@ def _pack_partition_arrow_factory(
         ends = np.append(starts[1:], n)
 
         blk = codec.pack_all_blocks(doc_s, tf_s, dl_s, starts)
-        # per-row avgdl by field (FTS5-style per-column length norms)
-        max_f = int(fld_s.max()) if n else 0
-        lut = np.ones(max_f + 1, dtype=np.float64)
-        for f, a in avgdl_by_fld.items():
-            if int(f) <= max_f:
-                lut[int(f)] = a or 1.0
-        avgdl_rows = lut[fld_s]
         if store_positions:
             blk_positions = [
                 pos_bytes_sorted[pos_cum[s] : pos_cum[e]].tobytes()
@@ -357,8 +365,9 @@ def _pack_partition_arrow_factory(
             ]
         else:
             blk_positions = [b""] * len(starts)
-        w = bm25_weight_np(tf_s, dl_s, avgdl_rows)
-        block_max_w = np.maximum.reduceat(w, starts)
+        # per-block tf sum: lets the dictionary's cf/total-token
+        # aggregates run over block METADATA instead of postings
+        sum_tf = np.add.reduceat(tf_s, starts)
         # block_id = index of block within its group
         blk_group = group_id[starts]
         first_blk_of_group = np.zeros(len(starts), dtype=np.int64)
@@ -384,18 +393,126 @@ def _pack_partition_arrow_factory(
                 pa.array(blk["tfs"], type=pa.binary()),
                 pa.array(blk["dls"], type=pa.binary()),
                 pa.array(blk_positions, type=pa.binary()),
-                pa.array(block_max_w, type=pa.float64()),
+                pa.array(sum_tf.astype(np.int64), type=pa.int64()),
                 pa.array(blk["max_tf"].astype(np.int32), type=pa.int32()),
                 pa.array(blk["min_dl"].astype(np.int32), type=pa.int32()),
             ],
             names=[
                 "slice", "term", "fld", "salt", "block_id", "n", "min_doc", "max_doc",
-                "doc_gaps", "tfs", "dls", "positions", "block_max_w", "max_tf", "min_dl",
+                "doc_gaps", "tfs", "dls", "positions", "sum_tf", "max_tf", "min_dl",
             ],
         )
         yield out
 
     return pack
+
+
+def _unpack_blocks_to_raw_factory(store_positions: bool, with_gen: bool = True):
+    """mapInArrow fn: packed blocks -> shuffle-ready raw postings rows.
+
+    The inverse of the pack stage, used by compact()/prune_index() to
+    reconstruct postings for re-packing WITHOUT a stored raw table.
+    Fully vectorized per batch: every block's doc_gaps/tfs/dls byte
+    payloads concatenate into one stream per column and decode in ONE
+    varint pass (varints are self-delimiting), per-block absolute doc
+    ids come from a grouped cumsum, and the positions payload is never
+    decoded at all — per-posting boundaries are found by a single
+    varint-end scan (posting k's record spans tf_k + 1 varints) and the
+    compressed bytes are re-sliced verbatim, so a pack->unpack->pack
+    round trip is bit-identical.
+    """
+    import pyarrow as pa
+
+    def run(batches):
+        for batch in batches:
+            nb = batch.num_rows
+            if nb == 0:
+                continue
+            n_np = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            total = int(n_np.sum())
+            if total == 0:
+                continue
+            starts = np.zeros(nb, dtype=np.int64)
+            np.cumsum(n_np[:-1], out=starts[1:])
+            blk_of_post = np.repeat(np.arange(nb, dtype=np.int64), n_np)
+
+            def _concat_bytes(name):
+                col = batch.column(name)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                voff = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+                    col.offset : col.offset + len(col) + 1
+                ].astype(np.int64)
+                dbuf = col.buffers()[2]
+                data = (
+                    np.frombuffer(dbuf, dtype=np.uint8)
+                    if dbuf is not None
+                    else np.empty(0, dtype=np.uint8)
+                )
+                # per-row payloads are adjacent in arrow binary storage
+                return data[voff[0] : voff[-1]], voff - voff[0]
+
+            # --- doc ids: one varint pass, zigzag firsts, grouped cumsum
+            gbytes, _ = _concat_bytes("doc_gaps")
+            enc = codec.decode_varints(gbytes.tobytes())
+            firsts = codec._unzigzag(enc[starts]).view(np.uint64)
+            enc[starts] = firsts
+            csum = np.cumsum(enc, dtype=np.uint64)
+            base = csum[starts] - enc[starts]
+            doc_ids = (csum - np.repeat(base, n_np)).view(np.int64)
+
+            tbytes, _ = _concat_bytes("tfs")
+            tfs = codec.decode_varints(tbytes.tobytes()).astype(np.int64)
+            dbytes_, _ = _concat_bytes("dls")
+            dls = codec.decode_varints(dbytes_.tobytes()).astype(np.int64)
+
+            term_col = batch.column("term")
+            if isinstance(term_col, pa.ChunkedArray):
+                term_col = term_col.combine_chunks()
+            terms_out = term_col.take(pa.array(blk_of_post))
+            slice_np = batch.column("slice").to_numpy(zero_copy_only=False).astype(np.int32)
+            fld_np = batch.column("fld").to_numpy(zero_copy_only=False).astype(np.int32)
+            cols = [
+                pa.array(slice_np[blk_of_post], type=pa.int32()),
+                pa.array(doc_ids, type=pa.int64()),
+                pa.array(fld_np[blk_of_post], type=pa.int32()),
+                pa.array(dls.astype(np.int32), type=pa.int32()),
+                terms_out,
+                pa.array(tfs.astype(np.int32), type=pa.int32()),
+            ]
+            names = ["slice", "doc_id", "fld", "dl", "term", "tf"]
+
+            if store_positions:
+                pbytes, _ = _concat_bytes("positions")
+                is_end = (pbytes & 0x80) == 0
+                elem_ends = np.flatnonzero(is_end)
+                elem_starts = np.empty_like(elem_ends)
+                if elem_ends.size:
+                    elem_starts[0] = 0
+                    elem_starts[1:] = elem_ends[:-1] + 1
+                # posting k's record is [n=tf_k, first, deltas...]:
+                # tf_k + 1 varint elements
+                rec_first = np.zeros(total, dtype=np.int64)
+                np.cumsum(tfs[:-1] + 1, out=rec_first[1:])
+                rec_last = rec_first + tfs
+                byte_s = elem_starts[rec_first]
+                byte_e = elem_ends[rec_last] + 1
+                pview = pbytes.tobytes()
+                payloads = [pview[s:e] for s, e in zip(byte_s, byte_e)]
+                cols.append(pa.array(payloads, type=pa.binary()))
+            else:
+                cols.append(
+                    pa.array(np.full(total, b"", dtype=object), type=pa.binary())
+                )
+            names.append("positions")
+
+            if with_gen:
+                gen_np = batch.column("gen").to_numpy(zero_copy_only=False).astype(np.int32)
+                cols.append(pa.array(gen_np[blk_of_post], type=pa.int32()))
+                names.append("gen")
+            yield pa.record_batch(cols, names=names)
+
+    return run
 
 
 class IndexBuilder:
@@ -523,7 +640,14 @@ class IndexBuilder:
 
     # -- stages ------------------------------------------------------
     def build(self, df: DataFrame, gen: int = 0, resume: bool = True) -> dict:
-        """Full build of one generation; per-stage/per-slice resumable."""
+        """Build one generation in ONE pass over ``df``.
+
+        tokenize -> salt -> shuffle -> pack, writing docs + packed
+        postings + per-gen dictionary, then committing the generation's
+        raw manifest LAST (the all-or-nothing liveness flip). If the
+        generation is already live and ``resume`` is set, only the
+        global refresh runs (idempotent replay after a crash between
+        liveness commit and refresh)."""
         t0 = time.time()
         meta_path = self._p("index_meta.json")
         if self.fs.exists(meta_path):
@@ -550,12 +674,22 @@ class IndexBuilder:
                     "salt_max_postings": self.salt_max_postings,
                 },
             )
-        if not (resume and self._manifest_done("raw", gen)):
-            self._stage_raw(df, gen)
-        if not (resume and self._manifest_done("gendict", gen)):
-            self._stage_gen_dict(gen)
+        if resume and self._manifest_done("raw", gen):
+            # generation fully committed — only the global view may be
+            # stale (crash between liveness flip and refresh)
+            self._stage_global(resume=resume)
+            return {"seconds": time.time() - t0, "manifest": self.manifest()}
+        # (re)building this generation invalidates any sub-stage state a
+        # crashed earlier attempt left behind — stale derived markers
+        # must never survive over data about to be replaced
+        self._clear_gen_manifests(gen)
+        n_docs = self._stage_docs(df, gen)
+        self._stage_pack_fused(df, gen)
+        self._stage_gen_dict(gen, n_docs=n_docs)
+        # liveness flip: the generation becomes visible only now, with
+        # every piece of its state already on disk
+        self._commit("raw", gen, None, {"n_docs": n_docs})
         self._stage_global(resume=resume)
-        self._stage_pack(gen, resume=resume)
         return {"seconds": time.time() - t0, "manifest": self.manifest()}
 
     def add_documents(self, df: DataFrame, gen: int, resume: bool = True) -> dict:
@@ -568,44 +702,48 @@ class IndexBuilder:
         """
         return self.build(df, gen=gen, resume=resume)
 
-    def _stage_raw(self, df: DataFrame, gen: int):
-        """Input scan -> docs + raw postings partitioned by slice.
+    def _slice_col(self):
+        return F.pmod(
+            F.xxhash64(F.lit(7), F.col("doc_id")), F.lit(self.n_slices)
+        ).cast("int")
 
-        The postings pass is ONE mapInArrow over (slice, doc_id, text):
-        tokenize, group term->positions linearly (batch-level factorize
-        + lexsort, no per-doc Python beyond the tokenizer), and emit
-        positions already varint-encoded. NO shuffle: the postings
-        write is partitionBy(slice) file routing, not an exchange. The
-        only real shuffle of the whole build is the pack stage's
-        repartition(term, salt)."""
-        t0 = time.time()
-        # (re)writing this generation's raw output invalidates ALL of its
-        # manifests first: a crashed earlier attempt must not leave a
-        # 'live' or derived marker over data about to be replaced
-        # (otherwise repair() could commit a dictionary over partial raw
-        # output, or a resumed build could skip gendict for rebuilt
-        # postings — ADVICE r2)
-        self._clear_gen_manifests(gen)
+    def _stage_docs(self, df: DataFrame, gen: int) -> int:
+        """Write the docs table for one generation; returns its row
+        count (observed on the write itself — no extra job). No
+        tokenization here: doc lengths live inline in the postings and
+        corpus stats derive from packed block metadata."""
+        from pyspark.sql import Observation
+
         doc_id = self.doc_id_col()
-        slice_col = F.pmod(F.xxhash64(F.lit(7), F.col("doc_id")), F.lit(self.n_slices)).cast("int")
-        # docs table: no tokenization needed (doc lengths live inline in
-        # the postings; corpus stats derive from the dictionary)
         docs = df.select(
             doc_id.alias("doc_id"),
             *[F.col(c) for c in self.key_cols if c != "doc_id"],
             *[F.col(c) for c in self.meta_cols],
-        ).withColumn("slice", slice_col)
-        # per-generation subdir + overwrite => a crashed-and-retried raw
-        # stage is idempotent (append would duplicate the docs rows and
+        ).withColumn("slice", self._slice_col())
+        obs = Observation(f"docs_g{gen}_{time.time_ns()}")
+        # per-generation subdir + overwrite => a crashed-and-retried
+        # build is idempotent (append would duplicate the docs rows and
         # silently inflate N/avgdl)
-        docs.write.mode("overwrite").parquet(self._p("docs", f"gen={gen}"))
+        docs.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(self._p("docs", f"gen={gen}"))
+        return int(obs.get["n"] or 0)
 
-        raw = (
+    def _tokenized(self, df: DataFrame) -> DataFrame:
+        """Input scan -> shuffle-ready raw postings (IN FLIGHT only).
+
+        ONE mapInArrow over (slice, doc_id, text): tokenize, group
+        term->positions linearly (batch-level factorize + lexsort, no
+        per-doc Python beyond the tokenizer), emit positions already
+        varint-encoded. No action of its own — this plan feeds the
+        pack shuffle directly."""
+        doc_id = self.doc_id_col()
+        return (
             df.select(
                 doc_id.alias("doc_id"),
                 *[F.col(c).alias(f"f{i}") for i, c in enumerate(self.text_cols)],
             )
-            .withColumn("slice", slice_col)
+            .withColumn("slice", self._slice_col())
             .select("slice", "doc_id", *[f"f{i}" for i in range(len(self.text_cols))])
             .mapInArrow(
                 _raw_postings_arrow_factory(
@@ -614,33 +752,95 @@ class IndexBuilder:
                 RAW_SCHEMA,
             )
         )
-        raw.write.mode("overwrite").partitionBy("slice").parquet(
-            self._p("postings_raw", f"gen={gen}")
-        )
-        self._commit("raw", gen, None, {"seconds": time.time() - t0})
 
-    def _stage_gen_dict(self, gen: int):
-        """Per-generation dictionary: aggregate THIS generation's raw
-        postings only (term -> df, cf, max_tf, min_dl) plus per-gen
-        corpus counters. This is the piece that makes incremental ingest
+    def _salt_plan(self, df: DataFrame | None) -> DataFrame:
+        """Heavy-hitter salting plan: a tiny (term, fld, n_salts) table,
+        broadcast-joined pre-shuffle so no reducer materializes a full
+        Zipf-head posting list. df(term) must be known BEFORE the
+        shuffle: with live generations the current global dictionary
+        gives it exactly (for past data — a near-perfect predictor of
+        one more batch); a first build estimates it from a ~1% sample
+        of the input's tokens (occurrence counts upper-bound doc
+        counts, so estimation errs toward MORE salts). The plan is a
+        performance hint only: any term may be salted or not without
+        affecting packed-block or query correctness."""
+        if self._live_gens():
+            return (
+                self.dictionary_df()
+                .filter(F.col("df") > self.salt_max_postings)
+                .select(
+                    "term",
+                    "fld",
+                    F.ceil(F.col("df") / self.salt_max_postings)
+                    .cast("int")
+                    .alias("n_salts"),
+                )
+            )
+        frac = 0.01
+        from aspublic_spark.functions.stemmer import get_analyzer
+
+        analyzer = self.analyzer
+        tokenize_name = analyzer
+
+        from pyspark.sql.functions import pandas_udf
+
+        def _tok_fn(s):
+            tok = get_analyzer(tokenize_name)
+            return s.map(lambda t: tok(t) if t else [])
+
+        _tok = pandas_udf(_tok_fn, "array<string>")
+
+        parts = []
+        for i, c in enumerate(self.text_cols):
+            parts.append(
+                df.sample(fraction=frac, seed=42)
+                .select(F.explode(_tok(F.col(c))).alias("term"))
+                .withColumn("fld", F.lit(i))
+            )
+        sampled = parts[0]
+        for p in parts[1:]:
+            sampled = sampled.unionByName(p)
+        est = (
+            sampled.groupBy("term", "fld")
+            .agg((F.count(F.lit(1)) / F.lit(frac)).alias("est_df"))
+            .filter(F.col("est_df") > self.salt_max_postings / 2)
+            .select(
+                "term",
+                "fld",
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(F.col("est_df") / self.salt_max_postings).cast("int"),
+                ).alias("n_salts"),
+            )
+        )
+        return est
+
+    def _stage_gen_dict(self, gen: int, n_docs: int | None = None):
+        """Per-generation dictionary: aggregate THIS generation's packed
+        block METADATA (term, fld, n, sum_tf, max_tf, min_dl — an
+        O(blocks) scan that never touches the packed byte payloads)
+        into (term, fld) -> df/cf/max_tf/min_dl, plus per-gen corpus
+        counters. This is the piece that makes incremental ingest
         O(batch), not O(corpus): every dictionary/stats quantity is
         decomposable (df/cf/total additive, max_tf max, min_dl min), so
         the global refresh merges these small per-gen tables instead of
-        re-shuffling every generation's postings per batch."""
+        re-aggregating every generation's postings per batch."""
         t0 = time.time()
-        raw = self.spark.read.parquet(self._p("postings_raw", f"gen={gen}"))
-        gdict = raw.groupBy("term", "fld").agg(
-            F.count("*").alias("df"),
-            F.sum("tf").alias("cf"),
-            F.max("tf").alias("max_tf"),
-            F.min("dl").alias("min_dl"),
+        blocks = self.spark.read.parquet(self._p("postings", f"gen={gen}")).select(
+            "term", "fld", "n", "sum_tf", "max_tf", "min_dl"
+        )
+        gdict = blocks.groupBy("term", "fld").agg(
+            F.sum("n").alias("df"),
+            F.sum("sum_tf").alias("cf"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
         )
         # per-field totals ride the SAME write action as observed
         # metrics (no read-back aggregation job); fld ordinals are tiny,
         # so fixed per-fld conditional sums cover them
         from pyspark.sql import Observation
 
-        obs = Observation(f"gendict_g{gen}")
+        obs = Observation(f"gendict_g{gen}_{time.time_ns()}")
         n_fld = len(self.text_cols)
         metrics = [F.sum("df").alias("n_postings")]
         for f in range(n_fld):
@@ -652,7 +852,8 @@ class IndexBuilder:
         )
         got = obs.get
         by_fld = {str(f): int(got[f"tok{f}"] or 0) for f in range(n_fld)}
-        n_docs = self.spark.read.parquet(self._p("docs", f"gen={gen}")).count()
+        if n_docs is None:
+            n_docs = self.spark.read.parquet(self._p("docs", f"gen={gen}")).count()
         self._commit(
             "gendict", gen, None,
             {
@@ -788,36 +989,16 @@ class IndexBuilder:
              "n_postings": n_postings, "seconds": time.time() - t0},
         )
 
-    def _stage_pack(self, gen: int, resume: bool = True):
-        """Shuffle-merge raw postings by (term, fld, salt) into packed blocks."""
-        avgdl_by_fld = {
-            int(r["fld"]): float(r["avgdl"] or 1.0)
-            for r in read_stats(self.index_dir, self.fs)
-        }
-        # Heavy-hitter salting plan: a tiny (term, fld -> n_salts) table,
-        # broadcast-joined so the salt assignment stays JVM-side (only
-        # terms with df > salt_max — a handful even on Zipfian corpora).
-        heavy_df = (
-            self.dictionary_df()
-            .filter(F.col("df") > self.salt_max_postings)
-            .select(
-                "term",
-                "fld",
-                F.ceil(F.col("df") / self.salt_max_postings).cast("int").alias("n_salts"),
-            )
-        )
-        pending = [
-            s for s in range(self.n_slices)
-            if not (resume and self._manifest_done("pack", gen, s))
-        ]
-        if not pending:
-            return
+    def _pack_and_write(self, raw_df: DataFrame, gen: int, heavy_df: DataFrame):
+        """Shared pack tail: salt-assign, shuffle by (slice, term, fld,
+        salt), pack into blocks, write ``postings/gen=G`` and commit the
+        gen-level pack manifest with per-slice metrics. ``raw_df`` is
+        any RAW_SCHEMA plan (the fused tokenizer for a build, the block
+        unpacker for compact/prune) — the salt join stays JVM-side via
+        broadcast of the tiny heavy-term plan."""
         t0 = time.time()
-        raw = self.spark.read.parquet(self._p("postings_raw", f"gen={gen}"))
-        if len(pending) < self.n_slices:
-            raw = raw.filter(F.col("slice").isin(pending))
         raw = (
-            raw.join(F.broadcast(heavy_df), ["term", "fld"], "left")
+            raw_df.join(F.broadcast(heavy_df), ["term", "fld"], "left")
             .withColumn(
                 "salt",
                 F.pmod(
@@ -829,27 +1010,17 @@ class IndexBuilder:
         )
         n_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         packed = raw.repartition(n_shuffle, "slice", "term", "fld", "salt").mapInArrow(
-            _pack_partition_arrow_factory(self.block_size, avgdl_by_fld, self.store_positions),
+            _pack_partition_arrow_factory(self.block_size, self.store_positions),
             BLOCK_SCHEMA,
         )
-        # dynamic partition overwrite: one job packs every pending slice,
-        # committed per-slice below (resume granularity stays per slice);
-        # the session conf is restored — leaking 'dynamic' would silently
-        # change overwrite semantics of unrelated writes on this session
-        prev_mode = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            packed.write.mode("overwrite").partitionBy("slice").parquet(
-                self._p("postings", f"gen={gen}")
-            )
-        finally:
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-        w = self.spark.read.parquet(self._p("postings", f"gen={gen}")).filter(
-            F.col("slice").isin(pending)
+        packed.write.mode("overwrite").partitionBy("slice").parquet(
+            self._p("postings", f"gen={gen}")
         )
-        mrows = {
-            int(r["slice"]): r
-            for r in w.groupBy("slice")
+        # metrics: an O(blocks) metadata scan (payload columns pruned)
+        mrows = [
+            r.asDict()
+            for r in self.spark.read.parquet(self._p("postings", f"gen={gen}"))
+            .groupBy("slice")
             .agg(
                 F.countDistinct("term").alias("n_terms"),
                 F.sum("n").alias("n_postings"),
@@ -862,35 +1033,61 @@ class IndexBuilder:
                 F.count("*").alias("n_blocks"),
             )
             .collect()
-        }
-        secs = time.time() - t0
-        for s in pending:
-            m = mrows.get(s)
-            self._commit(
-                "pack",
-                gen,
-                s,
-                {
-                    "n_terms": int(m["n_terms"]) if m else 0,
-                    "n_postings": int(m["n_postings"]) if m else 0,
-                    "bytes_packed": int(m["bytes_packed"]) if m else 0,
-                    "n_blocks": int(m["n_blocks"]) if m else 0,
-                    "seconds": secs / len(pending),
+        ]
+        self._commit(
+            "pack",
+            gen,
+            None,
+            {
+                "seconds": time.time() - t0,
+                "n_postings": sum(int(m["n_postings"]) for m in mrows),
+                "n_blocks": sum(int(m["n_blocks"]) for m in mrows),
+                "bytes_packed": sum(int(m["bytes_packed"]) for m in mrows),
+                "slices": {
+                    str(int(m["slice"])): {
+                        k: int(m[k])
+                        for k in ("n_terms", "n_postings", "bytes_packed", "n_blocks")
+                    }
+                    for m in mrows
                 },
-            )
+            },
+        )
+
+    def _stage_pack_fused(self, df: DataFrame, gen: int):
+        """tokenize -> salt -> shuffle -> pack, in ONE job (the only
+        pass over the corpus text and the only data shuffle of the
+        build)."""
+        self._pack_and_write(self._tokenized(df), gen, self._salt_plan(df))
+
+    def _unpacked_postings(self, gens: list[int]) -> DataFrame:
+        """Shuffle-ready postings reconstructed from the packed blocks
+        of ``gens`` (with a ``gen`` column), for compaction/retention
+        rewrites. Position payloads are re-sliced, never decoded."""
+        blocks = self.spark.read.option("basePath", self._p("postings")).parquet(
+            *[self._p("postings", f"gen={g}") for g in gens]
+        ).select(
+            "slice", "term", "fld", "n", "doc_gaps", "tfs", "dls", "positions", "gen"
+        )
+        return blocks.mapInArrow(
+            _unpack_blocks_to_raw_factory(self.store_positions, with_gen=True),
+            RAW_SCHEMA + ", gen int",
+        )
 
 
     def repair(self) -> dict:
         """Roll pending compaction/prune markers forward, garbage-collect
-        orphan generation directories (data written by a crashed job
-        that never committed its raw manifest — invisible by the
-        liveness rule, reclaimed here), then finish any LIVE generation
-        whose derived state is incomplete: missing per-gen dictionary or
-        missing/damaged packed slices. Cheap when healthy —
-        manifest-existence checks only, no Spark jobs. Generations
-        without a raw manifest are never dictionary'd or packed
-        (a crashed _stage_raw must not get derived state committed
-        over partial output — ADVICE r2)."""
+        orphan generation state (data/manifests written by a crashed
+        build that never committed its raw manifest — invisible by the
+        liveness rule, reclaimed here), rebuild any live generation's
+        missing dictionary from its packed metadata, and refresh the
+        global view if it lags the live set. Cheap when healthy —
+        manifest-existence checks only, no Spark jobs.
+
+        A generation's raw manifest commits only AFTER docs + packed
+        postings + per-gen dictionary are all on disk, so a LIVE
+        generation with missing packed data can only mean external
+        damage — that is surfaced as an error (restore from snapshot or
+        re-ingest the batch), never silently dropped."""
         self._finish_pending_compaction()
         self._apply_pending_prune()
         live = set(self._live_gens())
@@ -902,20 +1099,45 @@ class IndexBuilder:
                 if int(name[4:]) not in live:
                     self.fs.delete(self._p(sub, name), recursive=True)
                     gc.append(f"{sub}/{name}")
+        # stale sub-stage manifests of crashed (non-live) builds
+        for name in self.fs.listdir(self._p("manifest")):
+            for st in ("pack", "gendict"):
+                if name.startswith(f"{st}_g") and name.endswith(".json"):
+                    body = name[len(st) + 2 : -len(".json")].split("_")[0]
+                    if body.isdigit() and int(body) not in live:
+                        self.fs.delete(self._p("manifest", name))
+                        gc.append(f"manifest/{name}")
         touched = []
         for g in sorted(live):
+            if not self.fs.exists(
+                os.path.join(self._p("postings", f"gen={g}"), "_SUCCESS")
+            ):
+                raise RuntimeError(
+                    f"generation {g} is live but its packed postings are "
+                    "missing or incomplete — the index is externally "
+                    "damaged; restore from a snapshot or re-ingest the "
+                    "generation's source batch"
+                )
             if not self._manifest_done("gendict", g):
                 self._stage_gen_dict(g)
-                self.refresh_global()
                 touched.append(g)
-        for g in sorted(live):
-            if not all(
-                self._manifest_done("pack", g, s) for s in range(self.n_slices)
-            ):
-                self._stage_pack(g)  # per-slice resume redoes only gaps
-                if g not in touched:
-                    touched.append(g)
+        if touched or self._global_stale():
+            self.refresh_global()
         return {"repaired": touched, "gc": gc}
+
+    def _global_stale(self) -> bool:
+        """True when the committed global stats lag the live generation
+        set (crash between a generation's liveness flip and its
+        refresh). Manifest reads only — no Spark jobs."""
+        live = self._live_gens()
+        per_gen = self._gen_manifests("gendict")
+        if any(g not in per_gen for g in live):
+            return True
+        expected = sum(per_gen[g]["n_docs"] for g in live)
+        for rec in self.manifest():
+            if rec["stage"] == "global":
+                return int(rec.get("n_docs", -1)) != expected
+        return bool(live) or expected > 0
 
     def _compact_marker(self) -> str:
         return self._p("manifest", "compact_pending.json")
@@ -927,10 +1149,11 @@ class IndexBuilder:
     def _apply_pending_prune(self):
         """Roll a persisted prune decision forward (idempotent): dropped
         generations lose their manifests then their data; rewritten
-        generations' filtered copies — already fully written to their
-        FINAL new-generation directories before the marker committed —
-        become live by manifest commit, the originals are retired, and
-        derived state is rebuilt. No directory is ever renamed."""
+        generations' filtered copies — fully written (docs, packed
+        postings, dictionary) to their FINAL new-generation directories
+        before the marker committed — become live by raw-manifest
+        commit and the originals are retired. No directory is ever
+        renamed."""
         marker = self._prune_marker()
         if not self.fs.exists(marker):
             return
@@ -944,14 +1167,12 @@ class IndexBuilder:
             self._clear_gen_manifests(g)
             for d in subs:
                 self.fs.delete(self._p(d, f"gen={g}"), recursive=True)
+            if not self._manifest_done("gendict", tgt):
+                # defensive: derivable from the packed copy
+                self._stage_gen_dict(tgt)
             # liveness flip: the filtered copy becomes the generation
             self._commit("raw", tgt, None, {"seconds": 0.0, "pruned_from": g})
-        for _g, tgt in pend["rewrite"]:
-            if not self._manifest_done("gendict", tgt):
-                self._stage_gen_dict(tgt)
         self.refresh_global()
-        for _g, tgt in pend["rewrite"]:
-            self._stage_pack(tgt)
         self.fs.delete(marker)
 
     def prune_index(self, cutoff_ts, ts_col: str = "ts") -> dict:
@@ -1015,15 +1236,16 @@ class IndexBuilder:
                 (F.col(ts_col) >= F.lit(cutoff_ts)) | F.col(ts_col).isNull()
             )
             kept.write.mode("overwrite").parquet(self._p("docs", f"gen={tgt}"))
-            raw_g = self.spark.read.parquet(self._p("postings_raw", f"gen={g}"))
             kept_ids = self.spark.read.parquet(
                 self._p("docs", f"gen={tgt}")
             ).select("doc_id")
-            raw_g.join(kept_ids, "doc_id", "left_semi").select(
-                "slice", "doc_id", "fld", "dl", "term", "tf", "positions"
-            ).write.mode("overwrite").partitionBy("slice").parquet(
-                self._p("postings_raw", f"gen={tgt}")
+            filtered = (
+                self._unpacked_postings([g])
+                .drop("gen")
+                .join(kept_ids, "doc_id", "left_semi")
             )
+            self._pack_and_write(filtered, tgt, self._salt_plan(None))
+            self._stage_gen_dict(tgt)
             pairs.append([g, tgt])
         self.fs.write_json_atomic(
             self._prune_marker(), {"drop": drop, "rewrite": pairs}
@@ -1040,37 +1262,45 @@ class IndexBuilder:
     def _finish_pending_compaction(self):
         """Crash recovery: complete (or roll back) an interrupted compact.
 
-        The merged output was written DIRECTLY to the target generation's
+        The merged output — docs, packed postings AND per-gen
+        dictionary — was written DIRECTLY to the target generation's
         final directories before the marker committed (invisible — no
         raw manifest). Roll-forward: retire the sources (manifests then
         data), flip the target live by committing its raw manifest,
-        clear the marker. Every step is an idempotent atomic file write
-        or delete; a replay from any crash point converges."""
+        refresh the global view, clear the marker. Every step is an
+        idempotent atomic file write or delete; a replay from any crash
+        point converges."""
         marker = self._compact_marker()
         if not self.fs.exists(marker):
             return
         pend = self.fs.read_json(marker)
         target = pend["target"]
-        t_raw = self._p("postings_raw", f"gen={target}")
+        t_packed = self._p("postings", f"gen={target}")
         t_docs = self._p("docs", f"gen={target}")
         committed = self._manifest_done("raw", target)
-        raw_ok = self.fs.exists(os.path.join(t_raw, "_SUCCESS"))
+        packed_ok = self.fs.exists(os.path.join(t_packed, "_SUCCESS"))
         docs_ok = self.fs.exists(os.path.join(t_docs, "_SUCCESS"))
-        if not committed and not (raw_ok and docs_ok):
+        if not committed and not (packed_ok and docs_ok):
             # merged copies incomplete (crash mid-write... but the marker
-            # only commits after both writes — this is the defensive
+            # only commits after the writes — this is the defensive
             # branch): roll back, sources are intact
-            self.fs.delete(t_raw, recursive=True)
+            self.fs.delete(t_packed, recursive=True)
             self.fs.delete(t_docs, recursive=True)
+            self.fs.delete(self._p("dictionary_gens", f"gen={target}"), recursive=True)
+            self._clear_gen_manifests(target)
             self.fs.delete(marker)
             return
         for g in pend["sources"]:
             self._clear_gen_manifests(g)
             for sub in ("docs", "postings_raw", "postings", "dictionary_gens"):
                 self.fs.delete(self._p(sub, f"gen={g}"), recursive=True)
+        if not self._manifest_done("gendict", target):
+            # defensive: derivable from the packed copy
+            self._stage_gen_dict(target)
         self._commit(
             "raw", target, None, {"seconds": 0.0, "compacted_from": pend["sources"]}
         )
+        self.refresh_global()
         self.fs.delete(marker)
 
     def compact(self) -> dict:
@@ -1078,13 +1308,16 @@ class IndexBuilder:
 
         The Lucene-merge analog for the incremental path: many small
         per-batch generations make query-side scans open many files;
-        compaction rewrites the raw postings AND docs as one NEW
-        generation and repacks. Crash-safe ordering: (1) write the
-        merged copies directly to the target generation's directories
-        (invisible — liveness is manifest-based, never directory-based),
-        (2) persist the pending marker (one atomic file), (3) retire
-        sources + commit the target's raw manifest + clear the marker —
-        a crash at any point either rolls back or is completed by
+        compaction unpacks the sources' packed blocks back into
+        shuffle-ready postings (positions re-sliced, never decoded),
+        merges/repacks them with the docs as one NEW generation.
+        Crash-safe ordering: (1) write the merged docs, packed postings
+        and per-gen dictionary directly to the target generation's
+        directories (invisible — liveness is manifest-based, never
+        directory-based), (2) persist the pending marker (one atomic
+        file), (3) retire sources + commit the target's raw manifest +
+        refresh the global view + clear the marker — a crash at any
+        point either rolls back or is completed by
         `_finish_pending_compaction` / `repair()` on the next call.
         No directory renames, so the ordering holds on HDFS/S3 too.
         Offline op: run it when no queries are in flight."""
@@ -1092,8 +1325,8 @@ class IndexBuilder:
         self._finish_pending_compaction()
         gens = self._live_gens()
         if len(gens) <= 1:
-            # a crash between marker-clear and the target's gendict/pack
-            # leaves one raw gen without derived state: finish it here
+            # nothing to merge; still heal any stale global view left
+            # by an interrupted earlier lifecycle op
             self.repair()
             return {"compacted": False, "gens": len(gens)}
         target = self._next_gen_id()
@@ -1114,30 +1347,26 @@ class IndexBuilder:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        raw = (
-            self.spark.read.option("basePath", self._p("postings_raw")).parquet(
-                *[self._p("postings_raw", f"gen={g}") for g in gens]
-            )
-            .join(
-                docs_kept.select("doc_id", "gen"), ["doc_id", "gen"], "left_semi"
-            )
-            .select("slice", "term", "fld", "doc_id", "tf", "positions", "dl")
-        )
         # direct write to the FINAL directories: invisible until the
         # roll-forward commits the target's raw manifest
-        raw.write.mode("overwrite").partitionBy("slice").parquet(
-            self._p("postings_raw", f"gen={target}")
-        )
         docs_kept.drop("gen").write.mode("overwrite").parquet(
             self._p("docs", f"gen={target}")
         )
+        # postings reconstructed from the packed blocks (no raw table);
+        # the (doc_id, gen) semi-join drops superseded duplicates'
+        # postings along with their doc rows
+        merged = (
+            self._unpacked_postings(gens)
+            .join(docs_kept.select("doc_id", "gen"), ["doc_id", "gen"], "left_semi")
+            .drop("gen")
+        )
+        self._pack_and_write(merged, target, self._salt_plan(None))
+        self._stage_gen_dict(target)
         self.fs.write_json_atomic(
             self._compact_marker(), {"sources": gens, "target": target}
         )
-        self._finish_pending_compaction()  # retire sources + flip liveness
-        self._stage_gen_dict(target)
-        self.refresh_global()
-        self._stage_pack(target, resume=False)
+        # retire sources + flip liveness + refresh global view
+        self._finish_pending_compaction()
         return {"compacted": True, "gens_merged": len(gens), "seconds": time.time() - t0}
 
 

@@ -23,9 +23,12 @@ DataFrame plans:
   latent capability of the FTS5 index the reference builds
 
 plus block-max pruning (north_rule): packed blocks carry
-(min_doc, max_doc, max_tf, min_dl, block_max_w); the engine reads block
+(min_doc, max_doc, max_tf, min_dl); the engine reads block
 METADATA first (Parquet column pruning — the varint payloads are not
-touched), establishes a score threshold from a cheap partial pass, and
+touched), computes each block's score upper bound AT QUERY TIME from
+(max_tf, min_dl) under the current per-field avgdl (safe under
+cross-generation avgdl drift — a pack-time bound would go stale),
+establishes a score threshold from a cheap partial pass, and
 drops blocks that provably cannot contribute a top-k document, plus
 doc-range intersection pruning for AND queries. Both prunes are
 lossless: results are identical to the exhaustive plan (tested).
@@ -58,7 +61,7 @@ _UNPACK_POS_SCHEMA = _UNPACK_SCHEMA + ", positions array<int>"
 
 _BLOCK_META_COLS = [
     "term", "fld", "salt", "block_id", "n", "min_doc", "max_doc",
-    "block_max_w", "max_tf", "min_dl",
+    "max_tf", "min_dl",
 ]
 
 # scoring-map keys are "term\x00fld" strings (NUL never survives the

@@ -172,7 +172,7 @@ def test_orphan_generation_dirs_are_garbage_collected(spark, workdir):
     _builder(spark, idx).build(synth_transcripts(spark, 24, seed=3))
     before = _snapshot(spark, idx)
     # fake a crashed writer: partial data for a never-committed gen 7
-    for sub in ("docs", "postings_raw"):
+    for sub in ("docs", "postings"):
         src = os.path.join(idx, sub, "gen=0")
         shutil.copytree(src, os.path.join(idx, sub, "gen=7"))
     assert _snapshot(spark, idx) == before  # invisible to the engine
@@ -184,17 +184,26 @@ def test_orphan_generation_dirs_are_garbage_collected(spark, workdir):
 
 
 def test_repair_skips_uncommitted_raw_stage(spark, workdir):
-    """ADVICE r2: repair() must never build derived state (gendict) over
-    a generation whose raw stage never committed."""
+    """repair() must never build derived state (gendict) over a
+    generation that never committed its raw manifest — a crashed build's
+    packed output and sub-stage manifests are garbage, not a live gen
+    (ADVICE r2 lineage; the raw manifest is now the generation's LAST
+    commit, so stray gendict/pack manifests are reclaimed too)."""
     idx = os.path.join(workdir, "fsio_partial_raw")
     _builder(spark, idx).build(synth_transcripts(spark, 24, seed=5))
     shutil.copytree(
-        os.path.join(idx, "postings_raw", "gen=0"),
-        os.path.join(idx, "postings_raw", "gen=1"),
+        os.path.join(idx, "postings", "gen=0"),
+        os.path.join(idx, "postings", "gen=1"),
+    )
+    # a crashed build may even have committed gen-1 sub-stage manifests
+    shutil.copy(
+        os.path.join(idx, "manifest", "pack_g0.json"),
+        os.path.join(idx, "manifest", "pack_g1.json"),
     )
     rep = _builder(spark, idx).repair()
     assert not os.path.exists(os.path.join(idx, "manifest", "gendict_g1.json"))
-    assert not os.path.isdir(os.path.join(idx, "postings_raw", "gen=1"))
+    assert not os.path.exists(os.path.join(idx, "manifest", "pack_g1.json"))
+    assert not os.path.isdir(os.path.join(idx, "postings", "gen=1"))
     assert any("gen=1" in g for g in rep["gc"])
 
 

@@ -74,15 +74,18 @@ def test_incremental_merge_equals_full_rebuild(spark, workdir):
     assert a == c and len(a) > 0
 
 
-def test_refresh_global_never_reads_raw_postings(spark, workdir):
+def test_refresh_global_never_reads_postings(spark, workdir):
+    """The global dictionary/stats merge reads ONLY the small per-gen
+    dictionary tables + manifests — per-batch cost independent of
+    corpus size. Deleting every packed posting must not change it."""
     idx = os.path.join(workdir, "norew_idx")
     b = _builder(spark, idx)
     b.build(synth_transcripts(spark, 40, seed=7), gen=0)
     b.add_documents(synth_transcripts(spark, 80, seed=7).filter(F.col("conv_id") >= "c000000005"), gen=1)
     before_d, before_s = _dict_rows(spark, idx), _stats_row(spark, idx)
 
-    # delete ALL raw postings: the merge must not notice
-    shutil.rmtree(os.path.join(idx, "postings_raw"))
+    # delete ALL packed postings: the merge must not notice
+    shutil.rmtree(os.path.join(idx, "postings"))
     b.refresh_global()
     assert _dict_rows(spark, idx) == before_d
     assert _stats_row(spark, idx) == before_s
@@ -166,21 +169,29 @@ def test_prune_crash_recovery_rolls_forward(spark, workdir):
     b.add_documents(_mk_rows(spark, "cMID", 8, 2_000_000 - 4, "boundary bravo words"), gen=1)
 
     cutoff = datetime.fromtimestamp(2_000_000, tz=timezone.utc).replace(tzinfo=None)
-    # simulate the crash point: the rewritten generation's data is fully
-    # written to its FINAL new-gen directories and the marker committed,
-    # but the roll-forward (manifest flips, derived state) never ran.
-    g1_docs = spark.read.parquet(os.path.join(idx, "docs", "gen=1"))
-    kept = g1_docs.filter(F.col("ts") >= F.lit(cutoff))
-    kept.write.mode("overwrite").parquet(os.path.join(idx, "docs", "gen=2"))
-    raw1 = spark.read.parquet(os.path.join(idx, "postings_raw", "gen=1"))
-    kept_ids = kept.select("doc_id")
-    raw1.join(kept_ids, "doc_id", "left_semi").select(
-        "slice", "doc_id", "fld", "dl", "term", "tf", "positions"
-    ).write.mode("overwrite").partitionBy("slice").parquet(
-        os.path.join(idx, "postings_raw", "gen=2")
-    )
-    with open(os.path.join(idx, "manifest", "prune_pending.json"), "w") as f:
-        json.dump({"drop": [0], "rewrite": [[1, 2]]}, f)
+    # crash injection at the exact protocol point: the prune decision's
+    # filtered copies (docs + packed postings + dictionary) are fully
+    # written to their FINAL new-gen directories and the marker is
+    # committed, but the roll-forward never runs
+    from aspublic_spark.index.build import IndexBuilder
+
+    orig_apply = IndexBuilder._apply_pending_prune
+
+    def crash_after_marker(self):
+        if self.fs.exists(self._prune_marker()):
+            raise RuntimeError("injected crash after prune marker commit")
+        return orig_apply(self)
+
+    IndexBuilder._apply_pending_prune = crash_after_marker
+    try:
+        try:
+            b.prune_index(cutoff)
+            raise AssertionError("injected crash did not fire")
+        except RuntimeError as e:
+            assert "injected crash" in str(e)
+    finally:
+        IndexBuilder._apply_pending_prune = orig_apply
+    assert os.path.exists(os.path.join(idx, "manifest", "prune_pending.json"))
 
     # next prune call first rolls the pending decision forward
     res = b.prune_index(cutoff)

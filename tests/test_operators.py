@@ -280,7 +280,7 @@ def test_streaming_auto_compact(spark, workdir):
         lo, hi = f"c{i*4:09d}", f"c{(i+1)*4:09d}"
         b = base.filter((F.col("conv_id") >= lo) & (F.col("conv_id") < hi))
         assert ing.ingest_batch(b) > 0
-    gens = [g for g in os.listdir(os.path.join(idx, "postings_raw")) if g.startswith("gen=")]
+    gens = [g for g in os.listdir(os.path.join(idx, "postings")) if g.startswith("gen=")]
     assert len(gens) == 1  # compacted at the threshold
     assert SearchEngine(spark, idx).n_docs == 90
 

@@ -68,8 +68,8 @@ def test_streaming_incremental_generation(spark, workdir):
         for r in eng2.search("the", k=100).df.collect()
     ]
     assert after == before
-    praw = os.path.join(idx, "postings_raw")
-    gens = [n for n in os.listdir(praw) if n.startswith("gen=")]
+    packed = os.path.join(idx, "postings")
+    gens = [n for n in os.listdir(packed) if n.startswith("gen=")]
     assert len(gens) == 1  # single merged generation remains
 
 
@@ -83,13 +83,13 @@ def test_streaming_crash_recovery(spark, workdir):
     ing = StreamingIngest(spark, idx, docs, index_kwargs=dict(n_slices=2, block_size=8))
     assert ing.ingest_batch(fixture_transcripts(spark)) == 6
 
-    # simulate a crash that happened right after the docs append of a
-    # second batch: staged rows + marker exist, but no index generation
+    # simulate a crash that happened right after the row-store write of
+    # a second batch: staged rows + docs gen partition exist, but no
+    # index generation was committed
     batch2 = synth_transcripts(spark, 10, seed=99)
     staged = ing._staging_dir(1)
     batch2.write.mode("overwrite").parquet(staged)
-    batch2.write.mode("append").parquet(docs)
-    open(os.path.join(staged, "_DOCS_APPENDED"), "w").close()
+    batch2.write.mode("overwrite").parquet(os.path.join(docs, "gen=1"))
 
     # redelivery of the same rows: anti-join removes them (n=0), but
     # recover() must index the stranded staged generation first
@@ -98,12 +98,21 @@ def test_streaming_crash_recovery(spark, workdir):
     eng = SearchEngine(spark, idx)
     assert eng.n_docs == 16  # 6 + 10, all searchable
 
-    # and a damaged pack (deleted manifests/output) is re-done on recover
-    shutil.rmtree(os.path.join(idx, "postings", "gen=1"))
-    for s in range(2):
-        os.remove(os.path.join(idx, "manifest", f"pack_g1_s{s}.json"))
+    # a lost per-gen dictionary is rebuilt from packed block metadata
+    os.remove(os.path.join(idx, "manifest", "gendict_g1.json"))
+    shutil.rmtree(os.path.join(idx, "dictionary_gens", "gen=1"))
     ing.recover()
     assert SearchEngine(spark, idx).search("the", k=100).df.count() > 0
+    assert SearchEngine(spark, idx).n_docs == 16
+
+    # externally damaged packed postings of a LIVE generation cannot be
+    # reconstructed (there is no raw copy — by design) and must surface
+    # loudly instead of silently dropping data
+    import pytest as _pytest
+
+    shutil.rmtree(os.path.join(idx, "postings", "gen=1"))
+    with _pytest.raises(RuntimeError, match="externally damaged"):
+        ing.recover()
 
 
 def test_phrase_requires_positions(spark, workdir):
