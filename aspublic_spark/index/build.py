@@ -826,8 +826,12 @@ class IndexBuilder:
         the global refresh merges these small per-gen tables instead of
         re-aggregating every generation's postings per batch."""
         t0 = time.time()
-        blocks = self.spark.read.parquet(self._p("postings", f"gen={gen}")).select(
-            "term", "fld", "n", "sum_tf", "max_tf", "min_dl"
+        # explicit schema: also covers an EMPTY generation (zero-row
+        # input), whose packed dir has no files to infer from
+        blocks = (
+            self.spark.read.schema(BLOCK_SCHEMA)
+            .parquet(self._p("postings", f"gen={gen}"))
+            .select("term", "fld", "n", "sum_tf", "max_tf", "min_dl")
         )
         gdict = blocks.groupBy("term", "fld").agg(
             F.sum("n").alias("df"),
@@ -1019,7 +1023,8 @@ class IndexBuilder:
         # metrics: an O(blocks) metadata scan (payload columns pruned)
         mrows = [
             r.asDict()
-            for r in self.spark.read.parquet(self._p("postings", f"gen={gen}"))
+            for r in self.spark.read.schema(BLOCK_SCHEMA)
+            .parquet(self._p("postings", f"gen={gen}"))
             .groupBy("slice")
             .agg(
                 F.countDistinct("term").alias("n_terms"),
