@@ -257,3 +257,42 @@ def test_hadoop_fs_end_to_end_over_file_uri(spark, workdir):
         (r["conv_id"], r["turn_idx"], round(r["score"], 9))
         for r in eng.search("the", k=100).df.collect()
     )
+
+
+def test_build_crash_sweep(spark, workdir):
+    """Kill an incremental build before EVERY mutating fs operation of
+    the manifest protocol; repair + a retried build must converge to
+    the uninterrupted result (a generation commits all-or-nothing: its
+    raw manifest is written LAST, so every crash point leaves either a
+    fully-live generation or invisible garbage)."""
+    df = synth_transcripts(spark, 30, seed=13)
+    base = df.filter(F.col("conv_id") < "c000000002")
+    batch = df.filter(F.col("conv_id") >= "c000000002")
+
+    ref = os.path.join(workdir, "fsio_build_ref")
+    rb = _builder(spark, ref)
+    rb.build(base, gen=0)
+    rb.add_documents(batch, gen=1)
+    expected = _snapshot(spark, ref)
+
+    budget = 0
+    completed = False
+    while not completed:
+        idx = os.path.join(workdir, "fsio_build_sweep")
+        shutil.rmtree(idx, ignore_errors=True)
+        b = _builder(spark, idx)
+        b.build(base, gen=0)
+        b.fs = FaultInjectingFS(LocalFS(), budget)
+        try:
+            b.add_documents(batch, gen=1)
+            completed = True
+        except CrashError:
+            pass
+        # recovery with a healthy filesystem: repair (GC + heal), retry
+        b2 = _builder(spark, idx)
+        b2.repair()
+        b2.add_documents(batch, gen=1)
+        assert sorted(b2._live_gens()) == [0, 1], f"budget={budget}"
+        assert _snapshot(spark, idx) == expected, f"budget={budget}"
+        budget += 1
+    assert budget >= 4  # sanity: the sweep exercised real crash points
