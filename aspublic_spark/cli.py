@@ -65,7 +65,8 @@ def cmd_build(args) -> int:
         json.dumps(
             {
                 "seconds": round(time.time() - t0, 2),
-                "slices": len(packs),
+                "generations": len(packs),
+                "slices": sum(len(p.get("slices", {})) for p in packs),
                 "postings": sum(p.get("n_postings", 0) for p in packs),
                 "bytes_packed": sum(p.get("bytes_packed", 0) for p in packs),
             }
@@ -139,6 +140,22 @@ def cmd_prune(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from aspublic_spark.index.build import IndexBuilder
+
+    spark = _spark(args)
+    print(json.dumps(IndexBuilder(spark, args.index).compact(), default=str))
+    return 0
+
+
+def cmd_repair(args) -> int:
+    from aspublic_spark.index.build import IndexBuilder
+
+    spark = _spark(args)
+    print(json.dumps(IndexBuilder(spark, args.index).repair(), default=str))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="aspublic_spark")
     p.add_argument("--cpus", type=int, default=0)
@@ -176,10 +193,17 @@ def main(argv=None) -> int:
     pr.add_argument("--cutoff", required=True, help="ISO timestamp; segments older are dropped")
     pr.add_argument("--ts-col", default="ts")
 
+    co = sub.add_parser("compact", help="merge all generations into one segment set")
+    co.add_argument("--index", required=True)
+
+    rp = sub.add_parser("repair", help="roll pending markers forward, GC orphan state")
+    rp.add_argument("--index", required=True)
+
     args = p.parse_args(argv)
     return {
         "package": cmd_package, "build": cmd_build,
         "search": cmd_search, "prune": cmd_prune,
+        "compact": cmd_compact, "repair": cmd_repair,
     }[args.cmd](args)
 
 
