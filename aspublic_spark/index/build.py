@@ -235,13 +235,6 @@ def _raw_postings_arrow_factory(
     return emit
 
 
-def bm25_weight_np(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
-    """Okapi BM25 per-term weight (idf excluded), numpy."""
-    tf = tf.astype(np.float64)
-    dl = dl.astype(np.float64)
-    return tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
-
-
 def bm25_weight_col(tf_col, dl_col, avgdl: float):
     """Same weight as a Catalyst column expression (JVM-side, codegen)."""
     tf = tf_col.cast("double")
@@ -552,6 +545,17 @@ class IndexBuilder:
         self.salt_max_postings = salt_max_postings
         self.analyzer = analyzer
         self.fs = fs or fs_for(index_dir, spark)
+        # The commit protocol reads Spark's per-directory _SUCCESS
+        # markers as write-completeness evidence (compaction/prune
+        # roll-forward validation, repair()'s damage check). Cluster
+        # tuning guides sometimes disable them for S3; the protocol is
+        # NOT safe without them, so pin the setting for this session.
+        try:
+            spark.sparkContext._jsc.hadoopConfiguration().set(
+                "mapreduce.fileoutputcommitter.marksuccessfuljobs", "true"
+            )
+        except Exception:
+            pass  # non-JVM test doubles
         # reopening an existing index: the stored layout wins — building
         # a new generation with different slicing/fields/block size
         # would silently corrupt the segment set
@@ -776,11 +780,21 @@ class IndexBuilder:
                     .alias("n_salts"),
                 )
             )
+        # df(term, fld) is bounded by the input row count: an input
+        # smaller than salt_max cannot contain a heavy term at all, so
+        # skip the sample scan entirely (row-count on a parquet/Iceberg
+        # source is footer metadata, not a data scan). For a huge FIRST
+        # bulk build the sample costs one extra text-column read — chunk
+        # bulk loads into generations + compact() to avoid it (every
+        # generation after the first plans from the dictionary).
+        if df.count() <= self.salt_max_postings:
+            return self.spark.createDataFrame(
+                [], "term string, fld int, n_salts int"
+            )
         frac = 0.01
         from aspublic_spark.functions.stemmer import get_analyzer
 
-        analyzer = self.analyzer
-        tokenize_name = analyzer
+        tokenize_name = self.analyzer
 
         from pyspark.sql.functions import pandas_udf
 
@@ -1135,6 +1149,13 @@ class IndexBuilder:
         set (crash between a generation's liveness flip and its
         refresh). Manifest reads only — no Spark jobs."""
         live = self._live_gens()
+        if live and not (
+            self.fs.exists(self._p("dictionary_CURRENT.json"))
+            and self.fs.exists(self._p("stats.json"))
+        ):
+            # a vanished pointer/stats file (e.g. crash inside a
+            # non-overwrite rename fallback) is re-derivable state
+            return True
         per_gen = self._gen_manifests("gendict")
         if any(g not in per_gen for g in live):
             return True
@@ -1277,7 +1298,7 @@ class IndexBuilder:
         point converges."""
         marker = self._compact_marker()
         if not self.fs.exists(marker):
-            return
+            return None
         pend = self.fs.read_json(marker)
         target = pend["target"]
         t_packed = self._p("postings", f"gen={target}")
@@ -1294,7 +1315,7 @@ class IndexBuilder:
             self.fs.delete(self._p("dictionary_gens", f"gen={target}"), recursive=True)
             self._clear_gen_manifests(target)
             self.fs.delete(marker)
-            return
+            return "rolled_back"
         for g in pend["sources"]:
             self._clear_gen_manifests(g)
             for sub in ("docs", "postings_raw", "postings", "dictionary_gens"):
@@ -1307,6 +1328,7 @@ class IndexBuilder:
         )
         self.refresh_global()
         self.fs.delete(marker)
+        return "completed"
 
     def compact(self) -> dict:
         """Merge all generations into a single segment set.
@@ -1371,7 +1393,14 @@ class IndexBuilder:
             self._compact_marker(), {"sources": gens, "target": target}
         )
         # retire sources + flip liveness + refresh global view
-        self._finish_pending_compaction()
+        status = self._finish_pending_compaction()
+        if status != "completed":
+            # defensive: the merged copies were validated incomplete and
+            # rolled back — report the failure instead of claiming success
+            raise RuntimeError(
+                "compaction output failed completeness validation "
+                "(missing _SUCCESS markers) and was rolled back"
+            )
         return {"compacted": True, "gens_merged": len(gens), "seconds": time.time() - t0}
 
 

@@ -141,9 +141,13 @@ class HadoopFS(FileSystem):
     def __init__(self, spark, root: str):
         jvm = spark.sparkContext._jvm
         self._jvm = jvm
+        self._gateway = spark.sparkContext._gateway
         conf = spark.sparkContext._jsc.hadoopConfiguration()
         uri = jvm.java.net.URI.create(root)
+        self._uri = uri
+        self._conf = conf
         self._fs = jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf)
+        self._fc = None  # FileContext, built lazily for overwrite-rename
         scheme = uri.getScheme()
         self._put_atomic = (scheme or "file") in _PUT_ATOMIC_SCHEMES
 
@@ -171,9 +175,7 @@ class HadoopFS(FileSystem):
     def read_text(self, path: str) -> str:
         stream = self._fs.open(self._p(path))
         try:
-            out = bytearray()
-            buf_cls = self._jvm.java.io.ByteArrayOutputStream
-            bos = buf_cls()
+            bos = self._jvm.java.io.ByteArrayOutputStream()
             self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, bos, 65536, False)
             out = bytes(bos.toByteArray())
             return out.decode("utf-8")
@@ -187,6 +189,19 @@ class HadoopFS(FileSystem):
         finally:
             stream.close()
 
+    def _rename_overwrite(self, src, dst) -> None:
+        """Single atomic overwrite-rename (FileContext supports
+        Options.Rename.OVERWRITE; plain FileSystem.rename does not) —
+        no window where the destination is absent."""
+        if self._fc is None:
+            self._fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._uri, self._conf
+            )
+        rename_cls = self._jvm.org.apache.hadoop.fs.Options.Rename
+        opts = self._gateway.new_array(rename_cls, 1)
+        opts[0] = rename_cls.OVERWRITE
+        self._fc.rename(src, dst, opts)
+
     def write_file_atomic(self, path: str, data: str | bytes) -> None:
         if isinstance(data, str):
             data = data.encode("utf-8")
@@ -195,13 +210,22 @@ class HadoopFS(FileSystem):
             return
         tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
         self._create(tmp, data)
-        # HDFS/file rename is atomic; overwrite-rename needs delete first
         p, t = self._p(path), self._p(tmp)
-        if self._fs.exists(p):
-            self._fs.delete(p, False)
-        if not self._fs.rename(t, p):
-            self._fs.delete(t, False)
-            raise IOError(f"atomic commit rename failed for {path}")
+        try:
+            # HDFS/file: one atomic overwrite-rename, no absent window
+            self._rename_overwrite(t, p)
+        except Exception:
+            # scheme without an AbstractFileSystem binding: fall back to
+            # delete+rename. This opens a crash window where the
+            # destination is briefly absent — readers of protocol files
+            # (_global_stale, repair) treat a MISSING pointer/stats file
+            # as stale state and re-derive it, so the window is healed,
+            # not fatal.
+            if self._fs.exists(p):
+                self._fs.delete(p, False)
+            if not self._fs.rename(t, p):
+                self._fs.delete(t, False)
+                raise IOError(f"atomic commit rename failed for {path}")
 
     def delete(self, path: str, recursive: bool = False) -> None:
         p = self._p(path)

@@ -59,11 +59,6 @@ from aspublic_spark.query.parser import ParsedQuery, parse_query
 _UNPACK_SCHEMA = "term string, fld int, doc_id long, tf int, dl int"
 _UNPACK_POS_SCHEMA = _UNPACK_SCHEMA + ", positions array<int>"
 
-_BLOCK_META_COLS = [
-    "term", "fld", "salt", "block_id", "n", "min_doc", "max_doc",
-    "max_tf", "min_dl",
-]
-
 # scoring-map keys are "term\x00fld" strings (NUL never survives the
 # FTS5 tokenizer, so the concatenation is unambiguous)
 def _tf_key(term: str, fld: int) -> str:
@@ -123,7 +118,16 @@ def _phrase_match_factory(phrase: list[str]):
     match is a chain of np.intersect1d — no per-posting Python, no
     decoded-array shuffle. A doc's blocks for ALL terms share its slice
     (slice = hash(doc_id)), so matches never span partitions and the
-    output needs no distinct."""
+    output needs no distinct.
+
+    Scale note: slice is the ONLY co-location key derivable from block
+    metadata (doc ids are hashes, so block doc-ranges span the whole
+    id space and cannot sub-partition), which makes n_slices the
+    phrase-match parallelism ceiling AND the per-task memory unit
+    (~24B per phrase-term posting occurrence in the slice). Size
+    n_slices at build time so one slice's Zipf-head positions fit an
+    executor: hundreds-to-thousands of slices at 100 TB, not the
+    single-digit defaults used for local tests."""
     terms = list(phrase)
 
     def run(batches):
@@ -797,7 +801,12 @@ class SearchEngine:
                 pos_blocks, not_blocks, pq, scaled_map, k, docs_f, has_doc_filters, stats
             )
 
-        if (pq.phrases or pq.or_phrase_groups or live_nphrases) and not self.store_positions:
+        mixed_groups = [(tg, pg) for tg, pg in or_ops if pg]
+        # positions are required only for phrase work that can actually
+        # run: LIVE alternatives/NOT-phrases (a dead phrase — one whose
+        # terms are absent from the corpus — never evaluates positions,
+        # so a positionless index answers the rest of the query fine)
+        if (pq.phrases or mixed_groups or live_nphrases) and not self.store_positions:
             raise ValueError(
                 "phrase queries need positions, but this index was built "
                 "with store_positions=False"
@@ -808,7 +817,6 @@ class SearchEngine:
         # Positions are decoded separately below, only for blocks of
         # terms that actually appear in a phrase.
         unpacked = self.unpack(pos_blocks)
-        mixed_groups = [(tg, pg) for tg, pg in or_ops if pg]
         if (
             len(scaled_map) == 1
             and not pq.phrases

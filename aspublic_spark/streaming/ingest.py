@@ -74,6 +74,22 @@ class StreamingIngest:
         self.builder = IndexBuilder(spark, index_dir, **(index_kwargs or {}))
         # docs_dir may live on a different store than the index
         self.fs = fs_for(docs_dir, spark)
+        # the row store is gen=N partitioned (idempotent per-batch
+        # overwrite). A docs_dir with FLAT parquet files at its root is
+        # a pre-gen-layout deployment: writing gen dirs next to flat
+        # files would duplicate rows AND break partition discovery for
+        # every reader, so refuse loudly before any write happens.
+        if self.fs.isdir(docs_dir):
+            flat = [
+                n for n in self.fs.listdir(docs_dir)
+                if not n.startswith(("gen=", "_", "."))
+            ]
+            if flat:
+                raise ValueError(
+                    f"docs_dir {docs_dir} holds a flat (pre-generation) "
+                    "row-store layout; migrate by moving the existing "
+                    f"files into {docs_dir}/gen=0/ before ingesting"
+                )
         self._next_gen = self._detect_next_gen()
 
     def _detect_next_gen(self) -> int:

@@ -127,6 +127,13 @@ def test_phrase_requires_positions(spark, workdir):
     assert sorted(r["turn_idx"] for r in eng.search("example").df.collect()) == [4, 5]
     with _pytest.raises(ValueError, match="store_positions"):
         eng.search('"sample status"')
+    # a DEAD phrase alternative inside OR (its terms absent from the
+    # corpus) never evaluates positions — the positionless index must
+    # answer via the live term alternative instead of raising
+    from aspublic_spark.query.parser import parse_websearch
+
+    rows = eng.search('"zzzqq yyqq" OR example', parser=parse_websearch).df.collect()
+    assert sorted(r["turn_idx"] for r in rows) == [4, 5]
 
 
 def test_observe_ingest(spark):
