@@ -266,10 +266,15 @@ def cluster_down():
     _daemon("stop", "org.apache.spark.deploy.master.Master", 10)
 
 
-def _run_pair(label: str, n: int, n4: int, turns: int, leg_fn, input_dir: str) -> dict:
+def _run_pair(
+    label: str, n: int, n4: int, turns: int, leg_fn, input_dir: str,
+    deadline: float | None = None,
+) -> dict:
     """One N vs 4N pair: legs interleaved, min time per leg over
     SCALING_RUNS rounds (external load only slows a run, so minima are
-    the clean-host estimates)."""
+    the clean-host estimates). ``deadline`` bounds extra rounds so a
+    degraded host cannot push the whole bench past the driver's
+    timeout — the first round always runs."""
     runs_n, runs_4n = [], []
     for _ in range(SCALING_RUNS):
         runs_n.append(leg_fn(n, turns, input_dir))
@@ -279,6 +284,8 @@ def _run_pair(label: str, n: int, n4: int, turns: int, leg_fn, input_dir: str) -
         eff = round((best_4n / best_n) / 4.0, 3)
         if eff >= 0.8:
             break  # criterion demonstrated; save the wall clock
+        if deadline is not None and time.time() > deadline:
+            break  # out of wall-clock budget; report what we have
     return {
         "label": label,
         "n": n,
@@ -330,6 +337,10 @@ def run_scaling() -> dict:
     reported. Values >1.0 mean the N baseline itself was degraded by
     external load, so headline numbers cap at 1.0."""
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    # wall-clock budget: the driver runs bench.py under a hard timeout;
+    # extra interleave rounds (not the mandatory first round) stop when
+    # the budget is spent so the query bench always gets its turn
+    deadline = time.time() + int(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "1700"))
     in1 = f"{scratch}/bench_scale_in_a"
     in2 = f"{scratch}/bench_scale_in_b"
     for turns, path in ((SCALING_TURNS, in1), (SCALING_TURNS2, in2)):
@@ -337,13 +348,13 @@ def run_scaling() -> dict:
             [sys.executable, os.path.abspath(__file__), "--materialize", str(turns), path],
             capture_output=True, timeout=1800, cwd=REPO,
         )
-    results = [_run_pair("cores", 1, 4, SCALING_TURNS, _local_leg, in1)]
+    results = [_run_pair("cores", 1, 4, SCALING_TURNS, _local_leg, in1, deadline)]
     if cluster_up():
         try:
             results.append(
                 _run_pair(
                     "executors", 1, 4, SCALING_TURNS2,
-                    lambda n, t, i: _exec_leg(n, t, i), in2,
+                    lambda n, t, i: _exec_leg(n, t, i), in2, deadline,
                 )
             )
         finally:
