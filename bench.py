@@ -300,6 +300,63 @@ def _run_pair(
     }
 
 
+def _git_rev() -> str:
+    """Identity of the measurement-relevant code: a content hash of the
+    package + this file (docs/tests commits must not invalidate the
+    cross-run minima merge, so git HEAD is the wrong key)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    try:
+        paths = [os.path.join(REPO, "bench.py")]
+        for root, _dirs, files in os.walk(os.path.join(REPO, "aspublic_spark")):
+            paths.extend(
+                os.path.join(root, f) for f in files if f.endswith(".py")
+            )
+        for p in sorted(paths):
+            h.update(open(p, "rb").read())
+        return h.hexdigest()[:16]
+    except Exception:
+        return ""
+
+
+def _merge_prior_minima(results: list[dict]) -> list[dict]:
+    """Fold a previous scaling.json's per-leg minima into this run's —
+    ONLY when it was measured on the same code revision. The host's
+    capacity swings ~2x: a run whose N baseline lands in a degraded
+    window measures an INFLATED ratio (capped at 1.0 but still wrong),
+    while leg minima are monotone toward the clean-host truth, so
+    keeping the across-run minimum per leg is the honest estimator."""
+    path = os.path.join(REPO, "BENCH", "scaling.json")
+    rev = _git_rev()
+    try:
+        with open(path) as f:
+            prior = json.load(f)
+    except Exception:
+        prior = {}
+    if not rev or prior.get("rev") != rev:
+        return results
+    by_key = {
+        (p.get("label"), p.get("turns")): p for p in prior.get("pairs", [])
+    }
+    for r in results:
+        p = by_key.get((r["label"], r["turns"]))
+        if not p:
+            continue
+        for leg in ("leg_n", "leg_4n"):
+            r[leg]["runs"] = p[leg]["runs"] + r[leg]["runs"]
+            r[leg]["best_turns_per_sec"] = max(
+                p[leg]["best_turns_per_sec"], r[leg]["best_turns_per_sec"]
+            )
+        eff = round(
+            (r["leg_4n"]["best_turns_per_sec"] / r["leg_n"]["best_turns_per_sec"]) / 4.0,
+            3,
+        )
+        r["efficiency_raw"] = eff
+        r["efficiency_n_to_4n"] = min(eff, 1.0)
+    return results
+
+
 def _memcpy_control() -> dict:
     """Hardware control experiment: pure numpy memcpy throughput on the
     SAME pinned core sets as the executor pair's legs. External load
@@ -365,6 +422,7 @@ def run_scaling() -> dict:
         memcpy = _memcpy_control()
     except Exception:
         memcpy = {}
+    results = _merge_prior_minima(results)
     primary = results[0]
     return {
         # backward-compatible headline fields (cores 1->4 pair)
@@ -375,6 +433,7 @@ def run_scaling() -> dict:
         "pairs": results,
         "min_pair_efficiency": min(r["efficiency_n_to_4n"] for r in results),
         "memcpy_control": memcpy,
+        "rev": _git_rev(),
     }
 
 
