@@ -27,10 +27,13 @@ both on by default:
    content, and this removes the degenerate mass outright;
 2. every bucket self-join caps candidates per bucket
    (``bucket_cap``, window + row_number, smallest ids kept
-   deterministically). Truncation is never silent: the dropped-row
-   count and max bucket size ride the same job as a named
-   ``Observation`` exposed on the result as ``df.bucket_overflow``
-   (read ``.get`` after any action).
+   deterministically). Capping does NOT lose recall: every row beyond
+   the cap is still paired with the bucket's retained representative
+   (its smallest id), so a templated near-dup family of any size stays
+   connected to one survivor while the join stays linear per bucket.
+   The cap's bite is additionally observable as a named ``Observation``
+   exposed on the result as ``df.bucket_overflow`` (read ``.get`` after
+   any action).
 """
 
 from __future__ import annotations
@@ -51,21 +54,36 @@ DEFAULT_BUCKET_CAP = 256
 
 
 def _cap_buckets(banded: DataFrame, keys: list[str], order_col: str,
-                 bucket_cap: int, name: str):
+                 bucket_cap: int, name: str, carry: tuple[str, ...] = ()):
     """Bound every (keys) bucket to its ``bucket_cap`` smallest
-    ``order_col`` rows. Returns (capped_df, Observation) — the
-    observation reports rows dropped and the largest bucket seen, so a
-    cap that actually bit is visible in the job's metrics, not silent.
-    Both window functions share one partition spec: a single extra
+    ``order_col`` rows. Returns (capped_df, overflow_df, Observation).
+
+    ``overflow_df`` holds the rows BEYOND the cap, each tagged with the
+    bucket's retained representative (the smallest ``order_col`` row)
+    as ``_rep_<order_col>`` plus ``_rep_<c>`` for every ``carry``
+    column. Callers turn these into single-hop (representative, row)
+    candidate pairs and union them into the output, so capping bounds
+    the self-join (linear per bucket) WITHOUT losing recall — every
+    capped row still reaches verification against one survivor.
+
+    The observation reports overflow rows and the largest bucket seen.
+    All window functions share one partition spec: a single extra
     shuffle+sort on the same keys the self-join shuffles on anyway."""
     from pyspark.sql import Observation, Window
 
     w_rank = Window.partitionBy(*keys).orderBy(order_col)
     w_all = Window.partitionBy(*keys)
     obs = Observation(name)
-    capped = (
-        banded.withColumn("_rn", F.row_number().over(w_rank))
-        .withColumn("_bn", F.count("*").over(w_all))
+    rep_cols = [
+        F.first(c).over(w_rank).alias(f"_rep_{c}") for c in (order_col, *carry)
+    ]
+    tagged = (
+        banded.select(
+            "*",
+            F.row_number().over(w_rank).alias("_rn"),
+            F.count("*").over(w_all).alias("_bn"),
+            *rep_cols,
+        )
         .observe(
             obs,
             F.sum(
@@ -76,10 +94,11 @@ def _cap_buckets(banded: DataFrame, keys: list[str], order_col: str,
             ).alias("dropped_rows"),
             F.max("_bn").alias("max_bucket"),
         )
-        .filter(F.col("_rn") <= bucket_cap)
-        .drop("_rn", "_bn")
     )
-    return capped, obs
+    rep_names = [f"_rep_{c}" for c in (order_col, *carry)]
+    capped = tagged.filter(F.col("_rn") <= bucket_cap).drop("_rn", "_bn", *rep_names)
+    overflow = tagged.filter(F.col("_rn") > bucket_cap).drop("_rn", "_bn")
+    return capped, overflow, obs
 
 
 def normalized_text(text: Column) -> Column:
@@ -166,10 +185,11 @@ def lsh_candidate_pairs(
     The bucket self-join is the only quadratic risk at scale: healthy
     buckets are bounded by banding (r = H/bands rows per band), but a
     degenerate bucket (mass duplicates — run ``exact_dedup`` first, see
-    module contract) is capped at ``bucket_cap`` rows (smallest ids
-    kept; dropped counts observable via ``df.bucket_overflow``).
-    ``bucket_cap=None`` disables the cap (oracle-exact mode for small
-    corpora)."""
+    module contract) is capped at ``bucket_cap`` rows for the
+    self-join, with every capped-out row still paired against the
+    bucket's smallest-id representative (no recall loss; overflow
+    counts observable via ``df.bucket_overflow``). ``bucket_cap=None``
+    disables the cap (oracle-exact mode for small corpora)."""
     if n_hashes is None:
         first = sigs.select("sig").first()
         if first is None:  # empty corpus -> no pairs
@@ -187,23 +207,28 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bhash"),
     )
-    obs = None
+    obs = overflow = None
     if bucket_cap is not None:
-        banded, obs = _cap_buckets(
+        banded, overflow, obs = _cap_buckets(
             banded, ["band", "bhash"], id_col, bucket_cap, "lsh_bucket_overflow"
         )
     a = banded.alias("a")
     b = banded.alias("b")
-    out = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    out = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bhash") == F.col("b.bhash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+    if overflow is not None:
+        # single-hop representative pairs for capped-out rows: the rep
+        # is the bucket minimum, so rep < row always holds
+        out = out.unionByName(
+            overflow.select(
+                F.col(f"_rep_{id_col}").alias("id1"), F.col(id_col).alias("id2")
+            )
         )
-        .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
-        .distinct()
-    )
+    out = out.distinct()
     out.bucket_overflow = obs
     return out
 
@@ -390,7 +415,9 @@ def simhash_near_pairs(
     Hamming distance 3 of 64 bits shares at least one of 4 bands), then
     exact bit_count verification. Degenerate band buckets (mass
     duplicates — exact-dedup first, see module contract) are capped at
-    ``bucket_cap`` rows; overflow observable via ``df.bucket_overflow``."""
+    ``bucket_cap`` rows for the self-join; capped-out rows still pair
+    with the bucket's smallest-id representative (no recall loss;
+    overflow observable via ``df.bucket_overflow``)."""
     bands = fps.select(
         F.col(id_col),
         F.col("simhash"),
@@ -403,26 +430,34 @@ def simhash_near_pairs(
             )
         ).alias("band", "bval"),
     )
-    obs = None
+    obs = overflow = None
     if bucket_cap is not None:
-        bands, obs = _cap_buckets(
-            bands, ["band", "bval"], id_col, bucket_cap, "simhash_bucket_overflow"
+        bands, overflow, obs = _cap_buckets(
+            bands, ["band", "bval"], id_col, bucket_cap,
+            "simhash_bucket_overflow", carry=("simhash",),
         )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id1"),
-            F.col(f"b.{id_col}").alias("id2"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
-        )
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bval") == F.col("b.bval"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id1"),
+        F.col(f"b.{id_col}").alias("id2"),
+        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
     )
-    out = cand.filter(F.col("hamming") <= max_hamming)
+    if overflow is not None:
+        # capped-out rows verify against the bucket representative
+        cand = cand.unionByName(
+            overflow.select(
+                F.col(f"_rep_{id_col}").alias("id1"),
+                F.col(id_col).alias("id2"),
+                F.bit_count(
+                    F.col("_rep_simhash").bitwiseXOR(F.col("simhash"))
+                ).alias("hamming"),
+            )
+        )
+    out = cand.distinct().filter(F.col("hamming") <= max_hamming)
     out.bucket_overflow = obs
     return out

@@ -262,18 +262,20 @@ def embedding_near_dup_pairs(
 
     ``bucket_cap`` bounds the per-bucket self-join against degenerate
     buckets (mass-duplicate embeddings); None disables. Same contract
-    as the text LSH family: run exact dedup over the vectors first, the
-    cap is the backstop (overflow observable via
+    as the text LSH family: capped-out rows still verify against the
+    bucket's smallest-id representative, so the cap bounds the join
+    without losing recall (overflow observable via
     ``df.bucket_overflow``)."""
     dim = len(emb.select(vec_col).first()[0])
     planes = _planes(dim, n_planes, seed)
     b = emb.select(
         F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("_bucket")
     )
-    obs = None
+    obs = overflow = None
     if bucket_cap is not None:
-        b, obs = _cap_buckets(
-            b, ["_bucket"], id_col, bucket_cap, "embdup_bucket_overflow"
+        b, overflow, obs = _cap_buckets(
+            b, ["_bucket"], id_col, bucket_cap, "embdup_bucket_overflow",
+            carry=(vec_col,),
         )
     l, r = b.alias("l"), b.alias("r")
     cand = l.join(
@@ -288,6 +290,18 @@ def embedding_near_dup_pairs(
             5,
         ).alias("cosine"),
     )
+    if overflow is not None:
+        cand = cand.unionByName(
+            overflow.select(
+                F.col(f"_rep_{id_col}").alias("id1"),
+                F.col(id_col).alias("id2"),
+                F.round(
+                    _dot(F.col(f"_rep_{vec_col}"), F.col(vec_col))
+                    / (_norm(F.col(f"_rep_{vec_col}")) * _norm(F.col(vec_col))),
+                    5,
+                ).alias("cosine"),
+            )
+        )
     out = cand.filter(F.col("cosine") >= threshold)
     out.bucket_overflow = obs
     return out

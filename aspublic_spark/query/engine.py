@@ -328,7 +328,15 @@ class SearchEngine:
             for r in rows:
                 found.setdefault(r["term"], {})[int(r["fld"])] = r.asDict()
             if len(self._term_cache) + len(missing) > self._term_cache_max:
-                self._term_cache.clear()  # crude but bounds driver memory
+                # bound driver memory, but never drop entries for terms
+                # requested in THIS call: snapshot them before the clear so
+                # the returned dict stays complete (a silent miss here made
+                # an AND/phrase term look absent from the corpus).
+                keep = {
+                    t: self._term_cache[t] for t in terms if t in self._term_cache
+                }
+                self._term_cache.clear()
+                self._term_cache.update(keep)
             for t in missing:
                 self._term_cache[t] = found.get(t, {})  # {} = negative entry
         return {t: self._term_cache[t] for t in terms if self._term_cache.get(t)}

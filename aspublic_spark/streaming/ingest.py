@@ -93,7 +93,18 @@ class StreamingIngest:
         self._next_gen = self._detect_next_gen()
 
     def _detect_next_gen(self) -> int:
-        return self.builder._next_gen_id()
+        """Max over BOTH the index generations and the row-store's
+        existing gen= partitions: after a retention prune drops every
+        live index generation, ids must not restart at 0 and clobber
+        occupied docs_dir partitions (docs_dir is never pruned)."""
+        nxt = self.builder._next_gen_id()
+        for name in self.fs.listdir(self.docs_dir):
+            if name.startswith("gen="):
+                try:
+                    nxt = max(nxt, int(name.split("=", 1)[1]) + 1)
+                except ValueError:
+                    continue
+        return nxt
 
     # -- batch core (shared by the streaming sink and batch backfill) ----
     def _staging_dir(self, gen: int) -> str:
