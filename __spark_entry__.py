@@ -366,7 +366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["topk_recency"] = topk_recency
 
     def retention_prune_count(spark, sf):
-        cutoff = "2024-03-01 00:00:00"
+        # mid-range cutoff (events span Jan 2024): the prune keeps ~half
+        # and drops ~half, so the oracle check is non-vacuous
+        cutoff = "2024-01-16 00:00:00"
         return (
             events(spark, sf)
             .filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
@@ -390,10 +392,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["policy_filter"] = policy_filter
 
     def dedup_exact(spark, sf):
-        # exact dedup by text hash: keep min doc_id per distinct text
+        # exact dedup by text hash: keep min doc_id per distinct text.
+        # The synthetic corpus has no exact duplicates, so plant some
+        # deterministically (both sides of the oracle do the same):
+        # every doc_id < 100 gets a shifted-id copy -> 100 dup groups.
         d = docs(spark, sf)
+        dup = d.filter(F.col("doc_id") < 100).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        )
         return (
-            d.groupBy("text")
+            d.unionByName(dup)
+            .groupBy("text")
             .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
             .filter(F.col("n_copies") > 1)
             .select("keep_id", "n_copies")
@@ -450,7 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = ids.crossJoin(d.select(F.col("doc_id").alias("id2"))).filter(
             F.col("id1") < F.col("id2")
         )
-        return ngram_jaccard(d, pairs, shingle_k=2).filter(F.col("jaccard") >= 0.2)
+        return ngram_jaccard(d, pairs, shingle_k=2).filter(F.col("jaccard") >= 0.05)
 
     q["ngram_jaccard_pairs"] = ngram_jaccard_pairs
 
@@ -582,7 +591,7 @@ def oracle_sql() -> dict[str, str]:
     """
     o["retention_prune_count"] = """
         select event_type, count(*) as n from events
-        where ts >= timestamp '2024-03-01 00:00:00'
+        where ts >= timestamp '2024-01-16 00:00:00'
         group by event_type
     """
     o["policy_filter"] = """
@@ -591,8 +600,14 @@ def oracle_sql() -> dict[str, str]:
         group by source
     """
     o["dedup_exact"] = """
+        with corpus as (
+          select doc_id, text from documents
+          union all
+          select doc_id + 10000000 as doc_id, text
+          from documents where doc_id < 100
+        )
         select min(doc_id) as keep_id, count(*) as n_copies
-        from documents group by text having count(*) > 1
+        from corpus group by text having count(*) > 1
     """
     o["token_count_by_lang"] = """
         select lang, sum(len(string_split(text, ' ')))::bigint as total_tokens,
@@ -644,7 +659,7 @@ def oracle_sql() -> dict[str, str]:
                      / len(list_distinct(list_concat(a.shs, b.shs))), 4) as jaccard
         from sh a join sh b on a.doc_id < b.doc_id
         where round(len(list_intersect(a.shs, b.shs)) * 1.0
-                    / len(list_distinct(list_concat(a.shs, b.shs))), 4) >= 0.2
+                    / len(list_distinct(list_concat(a.shs, b.shs))), 4) >= 0.05
     """
 
     o["ann_cosine_topk"] = """
