@@ -782,12 +782,20 @@ class IndexBuilder:
             )
         # df(term, fld) is bounded by the input row count: an input
         # smaller than salt_max cannot contain a heavy term at all, so
-        # skip the sample scan entirely (row-count on a parquet/Iceberg
-        # source is footer metadata, not a data scan). For a huge FIRST
-        # bulk build the sample costs one extra text-column read — chunk
+        # skip the sample scan entirely. The row-count check is a LIMIT
+        # probe, not a count(): LocalLimit stops every partition at
+        # salt_max+1 rows, so the probe's cost is bounded regardless of
+        # input size or lineage (a full count() on a transformed input
+        # would be a second complete pre-pass). For a huge FIRST bulk
+        # build the sample costs one extra text-column read — chunk
         # bulk loads into generations + compact() to avoid it (every
         # generation after the first plans from the dictionary).
-        if df.count() <= self.salt_max_postings:
+        probe = (
+            df.select(F.lit(1).alias("one"))
+            .limit(self.salt_max_postings + 1)
+            .count()
+        )
+        if probe <= self.salt_max_postings:
             return self.spark.createDataFrame(
                 [], "term string, fld int, n_salts int"
             )

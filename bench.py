@@ -26,12 +26,18 @@ pre-materialized input, at TWO cluster-size points:
      closest single-box analog of adding worker nodes; 4M turns)
 
 Every leg is taskset-pinned to exactly its core budget. Each leg runs
-K times INTERLEAVED with the other leg and the MINIMUM time per leg is
-used: the sandbox host is time-shared with ~2x capacity swings, and
-external load only ever SLOWS a run, so per-leg minima are the
-clean-host estimates (a best-of-pairs scheme can never beat the
-cleanest individual legs). All runs are reported alongside the minima
-in BENCH/BASELINE.md.
+a FIXED number of rounds (default 5) INTERLEAVED with the other leg;
+both the per-leg MINIMUM time (the sandbox host is time-shared with
+~2x capacity swings and external load only ever SLOWS a run, so
+minima are the clean-host estimates) and the per-leg MEDIAN are
+reported, with the efficiency computed from each. All rounds always
+run (no stopping rule conditioned on the measured value — an
+early-stop-on-pass scheme is optional stopping and biases the
+estimate, VERDICT r3); the only way a round is skipped is a
+value-independent wall-clock deadline, and that truncation is
+recorded in the output. Nothing is merged across invocations: every
+number in scaling.json / BENCH/BASELINE.md comes from the single
+invocation that wrote it.
 """
 
 from __future__ import annotations
@@ -53,8 +59,9 @@ _SF_TURNS = {"sf0.001": 4_000, "sf0.01": 40_000, "sf0.1": 200_000}
 # large enough that parallel compute dominates the ~10s serial floor of
 # driver-side job scheduling + manifest/metrics jobs
 SCALING_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", "1500000"))
-# interleave rounds per pair; minima over rounds are the estimates
-SCALING_RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2"))
+# fixed interleave rounds per pair; minima + medians over rounds are
+# the estimates (always run in full — no value-dependent stopping)
+SCALING_RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "5"))
 # larger corpus for the executor pair (8 cores total) so the serial
 # floor stays <10% of the leg (VERDICT r2 #8: evidence beyond 4 cores)
 SCALING_TURNS2 = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS2", "4000000"))
@@ -112,6 +119,17 @@ def _warm_and_build(spark, cpus: int, turns: int, input_dir: str, tag: str) -> f
     # would otherwise be charged to the measured build)
     synth_transcripts(spark, 20_000 * cpus, seed=1).select(tokens_udf("text")).count()
     idx = f"{scratch}/bench_scale_idx_{tag}"
+    # warm the BUILD PLAN SHAPE with one small untimed build (same
+    # parquet-source plan): Catalyst analysis + codegen for the build's
+    # stages is a once-per-process cost (~9 s measured — identical at N
+    # and 4N, so leaving it in deflates the ratio with driver-side
+    # compile time that has nothing to do with executor scaling, and a
+    # real ingest server compiles once then builds generations
+    # continually). Same rationale as the per-plan-shape query warm-up.
+    warm_dir = input_dir + "_warm"
+    if os.path.isdir(warm_dir):
+        _build(spark, spark.read.parquet(warm_dir), idx)
+        shutil.rmtree(idx, ignore_errors=True)
     secs = _build(spark, df, idx)
     shutil.rmtree(idx, ignore_errors=True)
     return secs
@@ -177,6 +195,11 @@ def materialize_cmd(turns: int, path: str):
     synth_transcripts(spark, turns, seed=42).repartition(32).write.mode(
         "overwrite"
     ).parquet(path)
+    # small same-shape input for the per-leg build-plan warm-up
+    shutil.rmtree(path + "_warm", ignore_errors=True)
+    synth_transcripts(spark, 20_000, seed=7).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path + "_warm")
     spark.stop()
 
 
@@ -270,33 +293,52 @@ def _run_pair(
     label: str, n: int, n4: int, turns: int, leg_fn, input_dir: str,
     deadline: float | None = None,
 ) -> dict:
-    """One N vs 4N pair: legs interleaved, min time per leg over
-    SCALING_RUNS rounds (external load only slows a run, so minima are
-    the clean-host estimates). ``deadline`` bounds extra rounds so a
-    degraded host cannot push the whole bench past the driver's
-    timeout — the first round always runs."""
+    """One N vs 4N pair: legs interleaved, ALL SCALING_RUNS rounds run
+    (no stopping rule conditioned on the measured efficiency — that
+    would be optional stopping and bias the estimate). Per-leg MINIMUM
+    time (external load only slows a run, so minima are the clean-host
+    estimates) and MEDIAN are both reported, with efficiency computed
+    from each. ``deadline`` is the one value-independent escape: it
+    bounds rounds so a degraded host cannot push the whole bench past
+    the driver's timeout — the first round always runs and any
+    truncation is recorded."""
+    import statistics
+
     runs_n, runs_4n = [], []
-    for _ in range(SCALING_RUNS):
+    truncated = False
+    for i in range(SCALING_RUNS):
+        if i > 0 and deadline is not None and time.time() > deadline:
+            truncated = True
+            break
         runs_n.append(leg_fn(n, turns, input_dir))
         runs_4n.append(leg_fn(n4, turns, input_dir))
-        best_n = max(r["turns_per_sec"] for r in runs_n)
-        best_4n = max(r["turns_per_sec"] for r in runs_4n)
-        eff = round((best_4n / best_n) / 4.0, 3)
-        if eff >= 0.8:
-            break  # criterion demonstrated; save the wall clock
-        if deadline is not None and time.time() > deadline:
-            break  # out of wall-clock budget; report what we have
+
+    def leg(runs):
+        secs = [r["seconds"] for r in runs]
+        return {
+            "best_turns_per_sec": turns / min(secs),
+            "median_turns_per_sec": turns / statistics.median(secs),
+            "runs": [round(s, 1) for s in secs],
+        }
+
+    leg_n, leg_4n = leg(runs_n), leg(runs_4n)
+    eff = round((leg_4n["best_turns_per_sec"] / leg_n["best_turns_per_sec"]) / 4.0, 3)
+    eff_med = round(
+        (leg_4n["median_turns_per_sec"] / leg_n["median_turns_per_sec"]) / 4.0, 3
+    )
     return {
         "label": label,
         "n": n,
         "4n": n4,
         "turns": turns,
-        "leg_n": {"best_turns_per_sec": best_n,
-                  "runs": [round(r["seconds"], 1) for r in runs_n]},
-        "leg_4n": {"best_turns_per_sec": best_4n,
-                   "runs": [round(r["seconds"], 1) for r in runs_4n]},
+        "rounds_planned": SCALING_RUNS,
+        "rounds_completed": len(runs_n),
+        "truncated_by_wallclock": truncated,
+        "leg_n": leg_n,
+        "leg_4n": leg_4n,
         "efficiency_n_to_4n": min(eff, 1.0),
         "efficiency_raw": eff,
+        "efficiency_median": eff_med,
     }
 
 
@@ -318,43 +360,6 @@ def _git_rev() -> str:
         return h.hexdigest()[:16]
     except Exception:
         return ""
-
-
-def _merge_prior_minima(results: list[dict]) -> list[dict]:
-    """Fold a previous scaling.json's per-leg minima into this run's —
-    ONLY when it was measured on the same code revision. The host's
-    capacity swings ~2x: a run whose N baseline lands in a degraded
-    window measures an INFLATED ratio (capped at 1.0 but still wrong),
-    while leg minima are monotone toward the clean-host truth, so
-    keeping the across-run minimum per leg is the honest estimator."""
-    path = os.path.join(REPO, "BENCH", "scaling.json")
-    rev = _git_rev()
-    try:
-        with open(path) as f:
-            prior = json.load(f)
-    except Exception:
-        prior = {}
-    if not rev or prior.get("rev") != rev:
-        return results
-    by_key = {
-        (p.get("label"), p.get("turns")): p for p in prior.get("pairs", [])
-    }
-    for r in results:
-        p = by_key.get((r["label"], r["turns"]))
-        if not p:
-            continue
-        for leg in ("leg_n", "leg_4n"):
-            r[leg]["runs"] = p[leg]["runs"] + r[leg]["runs"]
-            r[leg]["best_turns_per_sec"] = max(
-                p[leg]["best_turns_per_sec"], r[leg]["best_turns_per_sec"]
-            )
-        eff = round(
-            (r["leg_4n"]["best_turns_per_sec"] / r["leg_n"]["best_turns_per_sec"]) / 4.0,
-            3,
-        )
-        r["efficiency_raw"] = eff
-        r["efficiency_n_to_4n"] = min(eff, 1.0)
-    return results
 
 
 def _memcpy_control() -> dict:
@@ -390,14 +395,16 @@ def run_scaling() -> dict:
     """Two cluster-size points per the north rule: local[1]->local[4]
     (cores) and 1->4 standalone executors of 2 cores each (executors —
     separate JVMs/heaps/GC/Python pools on disjoint pinned core sets).
-    Legs interleave and per-leg minima define efficiency; every run is
-    reported. Values >1.0 mean the N baseline itself was degraded by
-    external load, so headline numbers cap at 1.0."""
+    Legs interleave over a FIXED round count; per-leg minima define the
+    headline efficiency and medians ride along; every run is reported.
+    Values >1.0 mean the N baseline itself was degraded by external
+    load, so headline numbers cap at 1.0. Single-invocation protocol:
+    nothing is merged from previous runs."""
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     # wall-clock budget: the driver runs bench.py under a hard timeout;
     # extra interleave rounds (not the mandatory first round) stop when
     # the budget is spent so the query bench always gets its turn
-    deadline = time.time() + int(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "1700"))
+    deadline = time.time() + int(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "2400"))
     in1 = f"{scratch}/bench_scale_in_a"
     in2 = f"{scratch}/bench_scale_in_b"
     for turns, path in ((SCALING_TURNS, in1), (SCALING_TURNS2, in2)):
@@ -418,11 +425,11 @@ def run_scaling() -> dict:
             cluster_down()
     for p in (in1, in2):
         shutil.rmtree(p, ignore_errors=True)
+        shutil.rmtree(p + "_warm", ignore_errors=True)
     try:
         memcpy = _memcpy_control()
     except Exception:
         memcpy = {}
-    results = _merge_prior_minima(results)
     primary = results[0]
     return {
         # backward-compatible headline fields (cores 1->4 pair)
@@ -515,60 +522,18 @@ def main():
         "n_turns": n_turns,
         "build_seconds": round(build_secs, 2),
         "scaling": scaling,
+        "methodology": (
+            "single-invocation protocol: build is best-of-2 builds in "
+            "THIS run, query latencies are steady-state (one warm-up "
+            "per plan shape) in THIS run, scaling legs are a fixed "
+            "round count with per-leg minima and medians in THIS run; "
+            "nothing is merged across invocations and no stopping rule "
+            "depends on the measured values"
+        ),
     }
-    result = _merge_best_run(result)
     _write_baseline_md(result)
     print(json.dumps(result))
     spark.stop()
-
-
-def _merge_best_run(result: dict) -> dict:
-    """Headline build/query numbers are the best across runs on
-    IDENTICAL code (same rationale as the scaling-leg minima: the host
-    is time-shared with ~2-3x capacity swings and external load only
-    ever slows a run, so per-metric bests are the clean-host
-    estimates). The current invocation's raw numbers ride along under
-    ``this_run`` for transparency."""
-    path = os.path.join(REPO, "BENCH", "best.json")
-    rev = _git_rev()
-    this_run = {
-        "value": result["value"],
-        "build_seconds": result["build_seconds"],
-        "queries": dict(result["queries"]),
-    }
-    try:
-        with open(path) as f:
-            prior = json.load(f)
-    except Exception:
-        prior = {}
-    if rev and prior.get("rev") == rev and prior.get("sf") == result["sf"]:
-        if prior["value"] > result["value"]:
-            result["value"] = prior["value"]
-            result["build_seconds"] = prior["build_seconds"]
-        result["queries"] = {
-            q: min(result["queries"].get(q, float("inf")), prior["queries"].get(q, float("inf")))
-            for q in set(result["queries"]) | set(prior.get("queries", {}))
-        }
-    best = {
-        "rev": rev,
-        "sf": result["sf"],
-        "value": result["value"],
-        "build_seconds": result["build_seconds"],
-        "queries": result["queries"],
-    }
-    try:
-        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-        with open(path, "w") as f:
-            json.dump(best, f)
-    except Exception:
-        pass
-    result["this_run"] = this_run
-    result["methodology"] = (
-        "headline numbers are best-across-runs on identical code "
-        "(time-shared host, ~2-3x capacity swings); this_run holds the "
-        "current invocation's raw measurements"
-    )
-    return result
 
 
 def _write_baseline_md(result: dict):
@@ -578,7 +543,14 @@ def _write_baseline_md(result: dict):
         "",
         f"- sf: {result['sf']}  (synthetic transcripts: {result['n_turns']} turns, seed 42)",
         f"- index-build throughput at local[{CPUS}]: **{result['value']} turns/sec** "
-        f"({result['build_seconds']} s, best of 2 runs)",
+        f"({result['build_seconds']} s, best of 2 builds in this invocation)",
+        "",
+        "Single-invocation protocol (round 4): every number on this page",
+        "was measured by ONE bench.py run — no best-of merging across",
+        "invocations, no stopping rule conditioned on measured values",
+        "(the round-3 page merged per-leg minima across runs and stopped",
+        "sampling once efficiency crossed 0.8; that optional-stopping",
+        "scheme cherry-picked the record and is gone).",
         "",
         "Methodology change vs round 1 (affects cross-round comparison):",
         "the input corpus is now MATERIALIZED to parquet before the timed",
@@ -618,27 +590,47 @@ def _write_baseline_md(result: dict):
             "   analog of separate worker nodes), driver pinned off to its",
             "   own cores. Only the executor COUNT differs between the legs.",
             "",
-            "Python UDF workers are warmed before every timed section (on a",
-            "real cluster executor pools are long-lived). Legs INTERLEAVE and",
-            "each leg's MINIMUM time over the rounds defines the efficiency:",
-            "the sandbox host is time-shared with ~2x capacity swings, and",
-            "external load only ever SLOWS a run, so per-leg minima are the",
-            "clean-host estimates. Every run is listed below.",
+            "Python UDF workers are warmed before every timed section, and",
+            "each leg runs one small UNTIMED build first to absorb the",
+            "once-per-process Catalyst/codegen compilation of the build's",
+            "plan shapes (~9 s, identical at N and 4N — pure driver-side",
+            "compile time; a real ingest server compiles once and then",
+            "builds generations continually, and on a real cluster executor",
+            "pools are long-lived). Legs INTERLEAVE",
+            "over a FIXED round count (all rounds always run; the only",
+            "escape is a value-independent wall-clock deadline, recorded",
+            "below when it fires). Each leg's MINIMUM time over the rounds",
+            "defines the headline efficiency (the host is time-shared with",
+            "~2x capacity swings and external load only ever SLOWS a run,",
+            "so minima are the clean-host estimates); the MEDIAN-based",
+            "efficiency rides along as the robustness check. Every run is",
+            "listed below.",
             "",
         ]
         for pr in sc.get("pairs", []):
             unit = pr.get("label", "cores")
             n, n4 = pr["n"], pr["4n"]
+            rounds = (
+                f"{pr.get('rounds_completed')}/{pr.get('rounds_planned')} rounds"
+                + (" — TRUNCATED by wall-clock deadline"
+                   if pr.get("truncated_by_wallclock") else "")
+            )
             lines += [
-                f"### {n} -> {n4} {unit} ({pr['turns']} turns)"
+                f"### {n} -> {n4} {unit} ({pr['turns']} turns, {rounds})"
                 + (" — 2 cores per executor" if unit == "executors" else ""),
                 "",
-                f"- {n} {unit}:  {pr['leg_n']['best_turns_per_sec']:.0f} turns/sec best "
+                f"- {n} {unit}:  {pr['leg_n']['best_turns_per_sec']:.0f} turns/sec best, "
+                f"{pr['leg_n'].get('median_turns_per_sec', 0):.0f} median "
                 f"(run seconds: {pr['leg_n']['runs']})",
-                f"- {n4} {unit}: {pr['leg_4n']['best_turns_per_sec']:.0f} turns/sec best "
+                f"- {n4} {unit}: {pr['leg_4n']['best_turns_per_sec']:.0f} turns/sec best, "
+                f"{pr['leg_4n'].get('median_turns_per_sec', 0):.0f} median "
                 f"(run seconds: {pr['leg_4n']['runs']})",
                 f"- **scaling efficiency ({n} -> {n4} {unit}): {pr['efficiency_n_to_4n']}**"
-                f" (raw {pr.get('efficiency_raw')}, capped at 1.0)",
+                f" (raw {pr.get('efficiency_raw')}, capped at 1.0; "
+                f"median-of-runs {pr.get('efficiency_median')})",
+                f"- north-rule >=0.8 verdict for this pair: "
+                f"**{'MET' if pr['efficiency_n_to_4n'] >= 0.8 else 'NOT MET'}** "
+                f"(from this invocation's converged minima)",
                 "",
             ]
         lines += [

@@ -38,6 +38,41 @@ def test_term_stats_eviction_keeps_same_call_terms(spark, workdir):
     assert eng.search("sample status").df.count() > 0
 
 
+def test_salt_plan_first_build_has_no_full_count_prepass(spark, workdir, monkeypatch):
+    """VERDICT r3 #8: the first-build salt plan must not run a full
+    count() over a (possibly expensively transformed) input — the
+    row-count check has to be a bounded LIMIT probe. Spy on every
+    DataFrame.count() the salt plan issues and require each to sit
+    under a GlobalLimit."""
+    # patch the CONCRETE class (pyspark 4 makes pyspark.sql.DataFrame an
+    # abstract facade whose methods the classic implementation overrides)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from aspublic_spark.tables import synth_transcripts
+
+    idx = os.path.join(workdir, "salt_probe_idx")
+    b = IndexBuilder(
+        spark, idx, key_cols=["conv_id", "turn_idx"], text_col="text",
+        meta_cols=["role", "tool", "ts"], n_slices=2, block_size=8,
+        salt_max_postings=500,
+    )
+    df = synth_transcripts(spark, 2_000, seed=11)  # transformed lineage
+    plans = []
+    orig = DataFrame.count
+
+    def spy(self):
+        plans.append(self._jdf.queryExecution().optimizedPlan().toString())
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "count", spy)
+    plan = b._salt_plan(df)
+    assert plans, "salt plan issued no row-count probe"
+    assert all("GlobalLimit" in p for p in plans), plans
+    # input (2000 rows) exceeds salt_max (500): the sample path runs and
+    # the plan stays usable
+    plan.collect()
+
+
 def test_gen_ids_do_not_regress_after_full_prune(spark, workdir):
     idx = os.path.join(workdir, "genreg_idx")
     docs = os.path.join(workdir, "genreg_docs")
