@@ -551,6 +551,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lsh_ann_topk"] = lsh_ann_topk
 
+    def lsh_ann_topk_indexed(spark, sf):
+        # same parameters as lsh_ann_topk but served from a persisted
+        # bucket-column index (built once, queried with a pushed-down
+        # column filter) — results are identical, so it shares that
+        # oracle
+        from aspublic_spark.operators.similarity import (
+            build_lsh_index,
+            lsh_topk_indexed,
+        )
+
+        emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+        import tempfile
+
+        idx_path = os.path.join(
+            tempfile.gettempdir(), f"lsh_idx_{os.path.basename(os.path.normpath(sf))}"
+        )
+        if not os.path.isdir(idx_path):
+            build_lsh_index(emb, n_planes=8, n_tables=8).write.mode(
+                "overwrite"
+            ).parquet(idx_path)
+        idx = spark.read.parquet(idx_path)
+        return lsh_topk_indexed(idx, qv, k=10, n_planes=8, n_tables=8, multiprobe=1)
+
+    q["lsh_ann_topk_indexed"] = lsh_ann_topk_indexed
+
     def minhash_lsh_dup_pairs(spark, sf):
         from aspublic_spark.operators.dedup import minhash_dedup
 
@@ -810,6 +836,9 @@ def oracle_sql() -> dict[str, str]:
         order by cosine desc, vec_id asc
         limit 10
     """
+    # the indexed variant serves the same query from persisted bucket
+    # columns; the result contract is identical, so it shares the oracle
+    o["lsh_ann_topk_indexed"] = o["lsh_ann_topk"]
 
     # portable 32-bit simhash: md5-derived token hash on both sides
     o["simhash_fingerprints"] = """

@@ -1335,11 +1335,34 @@ class IndexBuilder:
             "raw", target, None, {"seconds": 0.0, "compacted_from": pend["sources"]}
         )
         self.refresh_global()
+        # re-slicing goes live with the same roll-forward (idempotent
+        # atomic meta rewrite; a replay after a crash converges here too)
+        meta_n = pend.get("n_slices")
+        if meta_n is not None and int(meta_n) != self.n_slices:
+            m = self.fs.read_json(self._p("index_meta.json"))
+            m["n_slices"] = int(meta_n)
+            self.fs.write_json_atomic(self._p("index_meta.json"), m)
+            self.n_slices = int(meta_n)
         self.fs.delete(marker)
         return "completed"
 
-    def compact(self) -> dict:
+    def _slice_expr(self, n_slices: int):
+        return F.pmod(
+            F.xxhash64(F.lit(7), F.col("doc_id")), F.lit(n_slices)
+        ).cast("int")
+
+    def compact(self, n_slices: int | None = None) -> dict:
         """Merge all generations into a single segment set.
+
+        ``n_slices`` re-slices the index during the merge (the slice
+        column is recomputed from doc_id for both the docs and the
+        unpacked postings before the repack — no rebuild from source
+        text needed). This lifts the phrase-matching parallelism
+        ceiling of an index built with few slices (engine.py slice
+        notes): build small, compact wider as the corpus grows. The new
+        slicing goes live atomically with the compaction itself —
+        index_meta.json is rewritten during the marker roll-forward, so
+        a crash at any point leaves meta and live data consistent.
 
         The Lucene-merge analog for the incremental path: many small
         per-batch generations make query-side scans open many files;
@@ -1358,12 +1381,15 @@ class IndexBuilder:
         Offline op: run it when no queries are in flight."""
         t0 = time.time()
         self._finish_pending_compaction()
+        new_n = self.n_slices if n_slices is None else int(n_slices)
         gens = self._live_gens()
-        if len(gens) <= 1:
+        if len(gens) <= 1 and new_n == self.n_slices:
             # nothing to merge; still heal any stale global view left
             # by an interrupted earlier lifecycle op
             self.repair()
             return {"compacted": False, "gens": len(gens)}
+        if not gens:
+            return {"compacted": False, "gens": 0}
         target = self._next_gen_id()
         # Late-duplicate healing: a key re-ingested after the streaming
         # dedup horizon expired exists in TWO generations under the same
@@ -1384,9 +1410,10 @@ class IndexBuilder:
         )
         # direct write to the FINAL directories: invisible until the
         # roll-forward commits the target's raw manifest
-        docs_kept.drop("gen").write.mode("overwrite").parquet(
-            self._p("docs", f"gen={target}")
-        )
+        docs_out = docs_kept.drop("gen")
+        if new_n != self.n_slices:
+            docs_out = docs_out.withColumn("slice", self._slice_expr(new_n))
+        docs_out.write.mode("overwrite").parquet(self._p("docs", f"gen={target}"))
         # postings reconstructed from the packed blocks (no raw table);
         # the (doc_id, gen) semi-join drops superseded duplicates'
         # postings along with their doc rows
@@ -1395,10 +1422,13 @@ class IndexBuilder:
             .join(docs_kept.select("doc_id", "gen"), ["doc_id", "gen"], "left_semi")
             .drop("gen")
         )
+        if new_n != self.n_slices:
+            merged = merged.withColumn("slice", self._slice_expr(new_n))
         self._pack_and_write(merged, target, self._salt_plan(None))
         self._stage_gen_dict(target)
         self.fs.write_json_atomic(
-            self._compact_marker(), {"sources": gens, "target": target}
+            self._compact_marker(),
+            {"sources": gens, "target": target, "n_slices": new_n},
         )
         # retire sources + flip liveness + refresh global view
         status = self._finish_pending_compaction()

@@ -252,6 +252,54 @@ def ngram_jaccard(
     return j
 
 
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """(id, rep) for every id in an (id1, id2) edge list, where rep is
+    the smallest id reachable through the edges — min-label propagation
+    run as iterated DataFrame joins. Each iteration is one join + one
+    groupBy over the EDGE list (never all-pairs), localCheckpoint-ed so
+    the plan does not grow with iterations; convergence is detected
+    with a changed-label count and bounded by ``max_iters`` (label
+    minima propagate one hop per iteration, so iterations ~ component
+    diameter — duplicate clusters are shallow in practice)."""
+    edges = pairs.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    )
+    edges = edges.distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("rep", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # each node's new label = min(own label, neighbours' labels)
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("rep").alias("nrep"))
+        )
+        new = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("rep"), F.coalesce("nrep", "rep")).alias("rep"),
+                (F.least(F.col("rep"), F.coalesce("nrep", "rep")) != F.col("rep"))
+                .cast("int")
+                .alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new.agg(F.sum("chg")).first()[0] or 0
+        labels = new.drop("chg")
+        if not changed:
+            break
+    return labels
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -261,19 +309,28 @@ def minhash_dedup(
     shingle_k: int = 3,
     threshold: float = 0.8,
     seed: int = 42,
+    transitive: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (deduped df, verified duplicate pairs).
 
-    A row is dropped when a verified-similar row with a smaller id
-    exists (single-hop; full transitive closure would need iterative
-    connected components — by design dedup here is local, like the
-    reference's first-seen-wins map)."""
+    Default (``transitive=False``): a row is dropped when a
+    verified-similar row with a smaller id exists (single-hop, like the
+    reference's first-seen-wins map — A~B and B~C keeps A and C even
+    when A!~C). ``transitive=True`` runs iterative connected components
+    over the verified pairs instead, collapsing every duplicate cluster
+    to its smallest id (A~B~C -> keep A only)."""
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed)
     cand = lsh_candidate_pairs(sigs, id_col, bands, n_hashes=n_hashes)
     verified = ngram_jaccard(df, cand, text_col, id_col, shingle_k).filter(
         F.col("jaccard") >= threshold
     )
-    drop = verified.select(F.col("id2").alias(id_col)).distinct()
+    if transitive:
+        comp = connected_components(verified.select("id1", "id2"))
+        drop = comp.filter(F.col("id") != F.col("rep")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        drop = verified.select(F.col("id2").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti"), verified
 
 

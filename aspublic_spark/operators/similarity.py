@@ -129,6 +129,61 @@ def lsh_topk(
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def build_lsh_index(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Materializable LSH bucket index: the input plus one persisted
+    bucket column per table (``_b0.._b{T-1}``). Write the result to
+    parquet (or cache it) once; ``lsh_topk_indexed`` then serves every
+    query from the stored columns — the per-query plan is a column
+    filter (pushed to the scan), with the hyperplane dot products over
+    the corpus paid once at build time instead of per query
+    (VERDICT r3 #7). Same planes/seeds as ``lsh_topk``, so results are
+    identical for identical parameters."""
+    first = emb.select(vec_col).first()
+    dim = len(first[vec_col]) if first else 0
+    out = emb
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed + 1000 * t)
+        out = out.withColumn(f"_b{t}", lsh_bucket(F.col(vec_col), planes))
+    return out
+
+
+def lsh_topk_indexed(
+    index: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Top-k over a ``build_lsh_index`` table: compute the query's
+    probe buckets driver-side (C·n_planes dot products on one vector),
+    filter the stored bucket columns with isin (predicate pushdown into
+    the parquet scan when the index is materialized), rescore the
+    candidates exactly. No plane dot product touches the corpus at
+    query time."""
+    dim = len(query_vec)
+    cond = F.lit(False)
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed + 1000 * t)
+        qbits = int(
+            sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, query_vec)) >= 0)
+        )
+        probes = [int(x) for x in _probe_set(qbits, n_planes, multiprobe)]
+        cond = cond | F.col(f"_b{t}").isin(probes)
+    cand = index.filter(cond).drop(*[f"_b{t}" for t in range(n_tables)])
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def knn_join_brute(
     emb: DataFrame,
     queries: DataFrame,
@@ -162,10 +217,13 @@ class IVFIndex:
     Build: deterministic hash-based seed selection, a few Lloyd
     iterations where assignment is a vectorized pandas UDF over a
     broadcast centroid matrix (one numpy matmul per Arrow batch) and
-    centroid update is an explode->groupBy(centroid, dim) average (one
-    shuffle of N*d scalar rows per iteration). Query: score the C
-    centroids driver-side, scan only the nprobe best centroid lists,
-    rescore exactly. Recall < 1 by construction; tests measure it."""
+    the centroid update is per-partition numpy PARTIAL SUMS via
+    mapInPandas — each partition emits at most C*d (centroid, dim,
+    partial_sum, partial_count) rows, so the combine shuffles
+    O(partitions * C * d) scalar rows instead of exploding all N*d
+    vector components (VERDICT r3 #4). Query: score the C centroids
+    driver-side, scan only the nprobe best centroid lists, rescore
+    exactly. Recall < 1 by construction; tests measure it."""
 
     def __init__(self, centroids: np.ndarray, assigned: DataFrame, id_col: str, vec_col: str):
         self.centroids = centroids
@@ -222,22 +280,59 @@ class IVFIndex:
 
             return assign
 
-        assigned = None
         for _ in range(iters):
             assigned = emb.withColumn("_centroid", assigner(cents)(F.col(vec_col)))
-            upd = (
-                assigned.select("_centroid", F.posexplode(vec_col).alias("_d", "_v"))
-                .groupBy("_centroid", "_d")
-                .agg(F.avg("_v").alias("m"))
-                .collect()
-            )
+            rows = IVFIndex._partial_sums(assigned, vec_col, n_centroids, dim).collect()
+            sums = np.zeros((n_centroids, dim))
+            cnts = np.zeros(n_centroids)
+            for r in rows:
+                sums[r["c"], r["d"]] = r["s"]
+                if r["d"] == 0:
+                    cnts[r["c"]] = r["cnt"]
             new = np.array(cents)
-            for r in upd:
-                new[r["_centroid"], r["_d"]] = r["m"]
+            nz = cnts > 0
+            new[nz] = sums[nz] / cnts[nz, None]
             norms = np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
             cents = new / norms
         assigned = emb.withColumn("_centroid", assigner(cents)(F.col(vec_col)))
         return IVFIndex(cents, assigned, id_col, vec_col)
+
+    @staticmethod
+    def _partial_sums(assigned: DataFrame, vec_col: str, n_centroids: int, dim: int) -> DataFrame:
+        """Per-centroid component sums, combined in two bounded steps:
+        mapInPandas emits <= C*d (c, d, s, cnt) rows PER PARTITION (one
+        numpy scatter-add per Arrow batch, no per-row Python), then a
+        groupBy(c, d) sum shuffles only those partial rows. Total
+        exchange volume is O(partitions * C * d) — independent of N."""
+
+        def partials(batches):
+            sums = np.zeros((n_centroids, dim))
+            cnts = np.zeros(n_centroids, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                a = pdf["_centroid"].to_numpy()
+                np.add.at(sums, a, m)
+                cnts += np.bincount(a, minlength=n_centroids)
+            nz = np.nonzero(cnts)[0]
+            if len(nz):
+                c = np.repeat(nz, dim)
+                yield pd.DataFrame(
+                    {
+                        "c": c.astype(np.int32),
+                        "d": np.tile(np.arange(dim, dtype=np.int32), len(nz)),
+                        "s": sums[nz].ravel(),
+                        "cnt": np.repeat(cnts[nz], dim),
+                    }
+                )
+
+        return (
+            assigned.select("_centroid", vec_col)
+            .mapInPandas(partials, "c int, d int, s double, cnt long")
+            .groupBy("c", "d")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+        )
 
     def topk(self, query_vec: list[float], k: int = 10, nprobe: int = 4) -> DataFrame:
         q = np.asarray(query_vec, dtype=np.float64)

@@ -229,6 +229,11 @@ class SearchEngine:
         # cap on block intervals materialized to the driver for range
         # pruning; denser terms are coarsened distributed first
         self.max_intervals_collect = 4096
+        # broadcast the scored candidate side of the index->row join
+        # when the query's total dictionary df is at most this many
+        # postings (small enough to hash-broadcast; Zipf-head queries
+        # fall back to the shuffle join)
+        self.broadcast_cand_max_postings = 1_000_000
         self._cache = cache_tables
         self._docs_df = None
         self._dict_df = None
@@ -899,8 +904,17 @@ class SearchEngine:
                     self._phrase_docs(ph, not_blocks), "doc_id", "left_anti"
                 )
 
+        # the index->row join (Q9): when the dictionary says the whole
+        # candidate side is small (total df across the query's terms —
+        # known driver-side, no extra job), broadcast it so the join
+        # probes the docs table instead of sort-merging it. Zipf-head
+        # queries exceed the bound and keep the shuffle join (AQE picks
+        # the strategy from runtime sizes there).
+        cand_out = cand
+        if total_df <= self.broadcast_cand_max_postings:
+            cand_out = F.broadcast(cand)
         out = (
-            cand.join(docs_f.select("doc_id", *key_meta), "doc_id")
+            cand_out.join(docs_f.select("doc_id", *key_meta), "doc_id")
             .select("doc_id", *key_meta, "score")
             .orderBy(*order_cols)
             .limit(k)

@@ -270,10 +270,13 @@ class StreamingIngest:
         """Attach the ingest pipeline to ANY streaming DataFrame with
         the transcript schema — kafka (`readStream.format("kafka")` +
         from_json projection), socket, rate, or file sources all reach
-        the same watermark -> dedup -> foreachBatch plan."""
-        stream = stream.withWatermark("ts", self.watermark).dropDuplicatesWithinWatermark(
-            ["conv_id", "turn_idx"]
-        )
+        the same observe -> watermark -> dedup -> foreachBatch plan.
+        Each micro-batch reports the listenerStats counters
+        (received / unique_approx / last_event_ts, ap_types.py:22-32)
+        via the query's observedMetrics["ingest"]."""
+        stream = observe_ingest(stream).withWatermark(
+            "ts", self.watermark
+        ).dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
         writer = stream.writeStream.foreachBatch(
             lambda bdf, eid: self.ingest_batch(bdf, eid)
         ).option("checkpointLocation", checkpoint_dir)

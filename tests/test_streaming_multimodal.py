@@ -290,8 +290,33 @@ def test_non_file_stream_source(spark, workdir):
                 if n >= 20:
                     break
     finally:
+        # per-batch ingest metrics (observe_ingest) surface through the
+        # streaming query's observedMetrics (the listenerStats analog).
+        # A batch's progress is recorded only AFTER its foreachBatch
+        # returns (docs parquet lands seconds earlier, mid-ingest), so
+        # wait for a data batch's report before stopping.
+        def _ingest_metrics(p):
+            om = (
+                p.get("observedMetrics")
+                if isinstance(p, dict)
+                else getattr(p, "observedMetrics", None)
+            )
+            return (om or {}).get("ingest")
+
+        observed = []
+        obs_deadline = time.time() + 90
+        while time.time() < obs_deadline:
+            observed = [
+                m for m in map(_ingest_metrics, q.recentProgress) if m is not None
+            ]
+            if sum(m["received"] for m in observed) >= 20:
+                break
+            time.sleep(3)
         q.stop()
     assert n >= 20
+    assert observed, "no batch reported ingest metrics"
+    assert sum(m["received"] for m in observed) >= 20
+    assert all(m["unique_approx"] > 0 for m in observed if m["received"])
     # stopping mid-batch can strand a staged generation (docs appended,
     # index half-built) — recover() finishes it, same as after a crash
     ing.recover()
