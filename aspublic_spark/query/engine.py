@@ -286,7 +286,14 @@ class SearchEngine:
     def docs(self) -> DataFrame:
         if self._docs_df is None:
             df = self._live("docs")
-            self._docs_df = df.cache() if self._cache else df
+            if self._cache:
+                # server mode: cache in a handful of fat partitions —
+                # probing a few hundred thousand cached rows needs a few
+                # tasks, and 32 near-empty tasks cost more scheduling
+                # than the scan itself (measured ~0.1 s/query at sf0.1)
+                par = self.spark.sparkContext.defaultParallelism
+                df = df.coalesce(max(8, par // 4)).cache()
+            self._docs_df = df
         return self._docs_df
 
     def dictionary(self) -> DataFrame:
@@ -829,7 +836,15 @@ class SearchEngine:
         # column-pruned away at the parquet scan and never decoded).
         # Positions are decoded separately below, only for blocks of
         # terms that actually appear in a phrase.
-        unpacked = self.unpack(pos_blocks)
+        # Small queries (dictionary df known driver-side) coalesce the
+        # block scan to a few splits: each unpack task is a Python
+        # worker round-trip, and ~30 near-empty tasks cost more
+        # scheduling than the decode; Zipf-head queries keep full scan
+        # parallelism.
+        unpack_src = pos_blocks
+        if total_df <= self.broadcast_cand_max_postings:
+            unpack_src = pos_blocks.coalesce(4)
+        unpacked = self.unpack(unpack_src)
         if (
             len(scaled_map) == 1
             and not pq.phrases
