@@ -445,31 +445,21 @@ class SearchEngine:
 
     def _coarse_intervals(self, rare: DataFrame, nbuck: int) -> DataFrame:
         """Coarsen a term's (min_doc, max_doc) block intervals to at most
-        ``nbuck`` covering intervals, fully distributed: uniform-width
-        contiguous buckets over the doc-id span + one groupBy with
-        map-side partial aggregation. No window function — the previous
-        ntile().over(Window.orderBy(...)) funneled every metadata row of
-        a dense (Zipf-head) term through a single task. doc_ids are
-        xxhash64 outputs, so uniform-width buckets are uniformly filled;
-        skewed external ids merely coarsen unevenly, and coarse
-        intervals are a SUPERSET of the exact union either way, so the
-        downstream semi-join prune stays lossless."""
-        span = rare.agg(
-            F.min("min_doc").alias("lo"), F.max("max_doc").alias("hi")
-        ).collect()[0]
-        if span["lo"] is None:
-            return rare
-        # doc ids are xxhash64 outputs spanning the FULL signed-64 range,
-        # so (hi - lo) and width can exceed int64 — bucket in double
-        # space (monotonic; float rounding only nudges bucket
-        # boundaries, which cannot break the covering-superset property)
-        lo = float(int(span["lo"]))
-        width = float(max((int(span["hi"]) - int(span["lo"])) // nbuck + 1, 1))
+        ``nbuck`` covering intervals, fully distributed: bucket by the
+        HIGH BITS of min_doc (one groupBy with map-side partial
+        aggregation; no window function — an ntile().over(...) would
+        funnel every metadata row of a dense Zipf-head term through a
+        single task; and no span pre-scan — high-bit bucketing needs no
+        lo/width job, saving one driver round-trip per pruned query).
+        doc_ids are xxhash64 outputs uniform over the FULL signed-64
+        range, so fixed-range buckets are uniformly filled; for skewed
+        external ids the buckets merely coarsen unevenly. Either way
+        the coarse intervals are a covering SUPERSET of the exact
+        union, so the downstream semi-join prune stays lossless."""
+        bits = max(1, min(62, int(math.log2(max(nbuck, 2)))))
         return (
             rare.groupBy(
-                ((F.col("min_doc").cast("double") - F.lit(lo)) / F.lit(width))
-                .cast("long")
-                .alias("_b")
+                F.shiftright(F.col("min_doc"), 64 - bits).alias("_b")
             )
             .agg(
                 F.min("min_doc").alias("min_doc"),
