@@ -586,6 +586,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_lsh_dup_pairs"] = minhash_lsh_dup_pairs
 
+    def embedding_near_dup(spark, sf):
+        # near-duplicate vector pairs via LSH buckets + exact cosine.
+        # Random synthetic embeddings have no near-dups, so plant 20
+        # deterministic shifted-id copies (both oracle sides agree);
+        # bucket_cap=None = oracle-exact mode (no capping heuristics)
+        from aspublic_spark.operators.similarity import embedding_near_dup_pairs
+
+        emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        dup = emb.filter(F.col("vec_id") < 20).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(10_000_000)
+        )
+        allv = emb.unionByName(dup)
+        return embedding_near_dup_pairs(
+            allv, threshold=0.95, n_planes=10, seed=7, bucket_cap=None
+        )
+
+    q["embedding_near_dup"] = embedding_near_dup
+
     return q
 
 
@@ -839,6 +857,34 @@ def oracle_sql() -> dict[str, str]:
     # the indexed variant serves the same query from persisted bucket
     # columns; the result contract is identical, so it shares the oracle
     o["lsh_ann_topk_indexed"] = o["lsh_ann_topk"]
+
+    # embedding near-dup: literal seed-7 hyperplanes reproduce the exact
+    # bucket equality candidates; cosine verification >= 0.95 keeps only
+    # the 20 planted duplicate pairs (random vectors never come close)
+    nd_planes = _planes(64, 10, 7)
+    nd_bucket_a = " + ".join(
+        f"(case when list_dot_product(e, {_plane_lit(p)}) >= 0 then {1 << i} else 0 end)"
+        for i, p in enumerate(nd_planes)
+    )
+    o["embedding_near_dup"] = f"""
+        with emb as (
+          select vec_id, embedding::DOUBLE[] as e from embeddings
+        ),
+        allv as (
+          select vec_id, e from emb
+          union all
+          select vec_id + 10000000 as vec_id, e from emb where vec_id < 20
+        ),
+        b as (select vec_id, e, ({nd_bucket_a}) as bucket from allv)
+        select x.vec_id as id1, y.vec_id as id2,
+               round(list_dot_product(x.e, y.e)
+                     / (sqrt(list_dot_product(x.e, x.e))
+                        * sqrt(list_dot_product(y.e, y.e))), 5) as cosine
+        from b x join b y on x.bucket = y.bucket and x.vec_id < y.vec_id
+        where round(list_dot_product(x.e, y.e)
+                    / (sqrt(list_dot_product(x.e, x.e))
+                       * sqrt(list_dot_product(y.e, y.e))), 5) >= 0.95
+    """
 
     # portable 32-bit simhash: md5-derived token hash on both sides
     o["simhash_fingerprints"] = """

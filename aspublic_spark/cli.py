@@ -144,7 +144,8 @@ def cmd_compact(args) -> int:
     from aspublic_spark.index.build import IndexBuilder
 
     spark = _spark(args)
-    print(json.dumps(IndexBuilder(spark, args.index).compact(), default=str))
+    result = IndexBuilder(spark, args.index).compact(n_slices=args.n_slices)
+    print(json.dumps(result, default=str))
     return 0
 
 
@@ -195,6 +196,11 @@ def main(argv=None) -> int:
 
     co = sub.add_parser("compact", help="merge all generations into one segment set")
     co.add_argument("--index", required=True)
+    co.add_argument(
+        "--n-slices", type=int, default=None,
+        help="re-slice the index during the merge (lifts the phrase "
+             "parallelism ceiling of a narrow-built index)",
+    )
 
     rp = sub.add_parser("repair", help="roll pending markers forward, GC orphan state")
     rp.add_argument("--index", required=True)

@@ -826,21 +826,24 @@ class SearchEngine:
         # column-pruned away at the parquet scan and never decoded).
         # Positions are decoded separately below, only for blocks of
         # terms that actually appear in a phrase.
-        # Small queries (dictionary df known driver-side) coalesce the
-        # block scan to a few splits: each unpack task is a Python
-        # worker round-trip, and ~30 near-empty tasks cost more
-        # scheduling than the decode; Zipf-head queries keep full scan
-        # parallelism.
-        unpack_src = pos_blocks
-        if total_df <= self.broadcast_cand_max_postings:
-            unpack_src = pos_blocks.coalesce(4)
-        unpacked = self.unpack(unpack_src)
-        if (
+        single_path = (
             len(scaled_map) == 1
             and not pq.phrases
             and not or_ops
             and len(set(pq.and_terms)) <= 1
-        ):
+        )
+        # A small single-term query coalesces the block scan to a few
+        # splits: each unpack task is a Python worker round-trip, and
+        # ~30 near-empty tasks cost more scheduling than the decode.
+        # Multi-term queries keep full scan parallelism — their _score
+        # groupBy wants parallel map-side partials (coalescing them
+        # measured ~0.2 s SLOWER at sf0.1) — and Zipf-head queries keep
+        # it for the decode itself.
+        unpack_src = pos_blocks
+        if single_path and total_df <= self.broadcast_cand_max_postings:
+            unpack_src = pos_blocks.coalesce(4)
+        unpacked = self.unpack(unpack_src)
+        if single_path:
             # single (term, field): each doc appears exactly once in the
             # unpacked postings, so the groupBy-and-fold of _score is a
             # pure pass-through — score directly, one less exchange.
