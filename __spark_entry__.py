@@ -604,6 +604,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_near_dup"] = embedding_near_dup
 
+    def dedup_clusters(spark, sf):
+        # connected components over the verified near-dup pairs: every
+        # doc in a duplicate cluster maps to the cluster's smallest id
+        # (the oracle reproduces the closure with a recursive CTE)
+        from aspublic_spark.operators.dedup import (
+            connected_components,
+            minhash_dedup,
+        )
+
+        d = docs(spark, sf)
+        _, pairs = minhash_dedup(
+            d, n_hashes=32, bands=8, shingle_k=2, threshold=0.35
+        )
+        return connected_components(pairs.select("id1", "id2"))
+
+    q["dedup_clusters"] = dedup_clusters
+
     return q
 
 
@@ -923,7 +940,7 @@ def oracle_sql() -> dict[str, str]:
         )
         for b in range(8)
     )
-    o["minhash_lsh_dup_pairs"] = f"""
+    lsh_pairs_sql = f"""
         with words as (
           select doc_id, string_split(text, ' ') as w from documents
         ),
@@ -964,5 +981,25 @@ def oracle_sql() -> dict[str, str]:
           join shl y on y.doc_id = id2
         )
         select id1, id2, jaccard from verified where jaccard >= 0.35
+    """
+    o["minhash_lsh_dup_pairs"] = lsh_pairs_sql
+
+    # connected components over the (bit-exact) verified pairs: DuckDB
+    # reproduces the min-label closure with a recursive CTE, so the
+    # iterative Spark operator is oracle-checked end to end
+    o["dedup_clusters"] = f"""
+        with recursive pairs as ({lsh_pairs_sql}),
+        edges as (
+          select id1 as s, id2 as d from pairs
+          union
+          select id2 as s, id1 as d from pairs
+        ),
+        reach(s, d) as (
+          select s, d from edges
+          union
+          select r.s, e.d from reach r join edges e on r.d = e.s
+        )
+        select s as id, least(s, min(d)) as rep
+        from reach group by s
     """
     return o
