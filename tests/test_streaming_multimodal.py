@@ -324,6 +324,66 @@ def test_non_file_stream_source(spark, workdir):
     assert eng.search("rate", k=5).df.count() == 5
 
 
+def test_stateful_conversation_rollup(spark, workdir):
+    """applyInPandasWithState rollup: engine-owned keyed state across
+    micro-batches. Two file-source batches drain through the stateful
+    operator; the LAST update per conv_id must equal the batch
+    aggregation of all rows (convergence oracle), proving state
+    persisted between batches."""
+    from aspublic_spark.streaming.stateful import (
+        conversation_rollup_batch,
+        conversation_rollup_stream,
+    )
+
+    src = os.path.join(workdir, "rollup_src")
+    base = fixture_transcripts(spark)  # 6 turns, one conversation c1
+    part1 = base.filter(F.col("turn_idx") < 4)  # 4 c1 turns
+    part2 = base.filter(F.col("turn_idx") >= 4).unionByName(  # 2 more c1 turns
+        base.withColumn("conv_id", F.lit("c2")).filter(F.col("turn_idx") < 3)
+    )
+    part1.write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    q0 = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    rollup = conversation_rollup_stream(q0)
+    updates = []
+
+    def sink():
+        # memory sink does not support checkpoint recovery; foreachBatch
+        # does, and recovery is the point of this test
+        return (
+            rollup.writeStream.foreachBatch(
+                lambda bdf, eid: updates.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(workdir, "rollup_ckpt"))
+            .trigger(availableNow=True)
+        )
+
+    q = sink().start()
+    q.awaitTermination(120)
+    # second batch lands AFTER the first drained and adds MORE c1 turns:
+    # the final c1 rollup can only be right if run-1 state was recovered
+    # from the checkpointed state store
+    part2.write.mode("overwrite").parquet(os.path.join(src, "b2"))
+    q = sink().start()
+    q.awaitTermination(120)
+    # last update per conv_id
+    last = {}
+    for r in updates:
+        last[r["conv_id"]] = r
+    want = {
+        r["conv_id"]: r
+        for r in conversation_rollup_batch(part1.unionByName(part2)).collect()
+    }
+    assert set(last) == set(want) == {"c1", "c2"}
+    for cid in want:
+        for c in ("n_turns", "n_user", "n_assistant", "first_ts_us", "last_ts_us"):
+            assert last[cid][c] == want[cid][c], (cid, c, last[cid], want[cid])
+
+
 def test_prune_keys_sidecar(spark, workdir):
     from datetime import date
 
