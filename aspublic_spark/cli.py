@@ -66,7 +66,10 @@ def cmd_build(args) -> int:
             {
                 "seconds": round(time.time() - t0, 2),
                 "generations": len(packs),
-                "slices": sum(len(p.get("slices", {})) for p in packs),
+                "slices": max(
+                    (p.get("n_slices_seen", len(p.get("slices", {}))) for p in packs),
+                    default=0,
+                ),
                 "postings": sum(p.get("n_postings", 0) for p in packs),
                 "bytes_packed": sum(p.get("bytes_packed", 0) for p in packs),
             }

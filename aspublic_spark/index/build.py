@@ -1039,44 +1039,41 @@ class IndexBuilder:
             _pack_partition_arrow_factory(self.block_size, self.store_positions),
             BLOCK_SCHEMA,
         )
-        packed.write.mode("overwrite").partitionBy("slice").parquet(
+        # metrics ride the write itself as an Observation — no second
+        # job, no metadata re-read of the parquet we just wrote.
+        # (observe cannot carry distinct aggregates or a groupBy, so the
+        # term count is approximate and the per-slice breakdown is
+        # replaced by the slice count; nothing downstream needed more.)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"pack_g{gen}_{time.time_ns()}")
+        packed.observe(
+            obs,
+            F.sum("n").alias("n_postings"),
+            F.count(F.lit(1)).alias("n_blocks"),
+            (
+                F.sum(F.coalesce(F.octet_length("doc_gaps"), F.lit(0)))
+                + F.sum(F.coalesce(F.octet_length("tfs"), F.lit(0)))
+                + F.sum(F.coalesce(F.octet_length("dls"), F.lit(0)))
+                + F.sum(F.coalesce(F.octet_length("positions"), F.lit(0)))
+            ).alias("bytes_packed"),
+            F.approx_count_distinct("term").alias("n_terms_approx"),
+            (F.max("slice") + 1).alias("n_slices_seen"),
+        ).write.mode("overwrite").partitionBy("slice").parquet(
             self._p("postings", f"gen={gen}")
         )
-        # metrics: an O(blocks) metadata scan (payload columns pruned)
-        mrows = [
-            r.asDict()
-            for r in self.spark.read.schema(BLOCK_SCHEMA)
-            .parquet(self._p("postings", f"gen={gen}"))
-            .groupBy("slice")
-            .agg(
-                F.countDistinct("term").alias("n_terms"),
-                F.sum("n").alias("n_postings"),
-                (
-                    F.sum(F.octet_length("doc_gaps"))
-                    + F.sum(F.octet_length("tfs"))
-                    + F.sum(F.octet_length("dls"))
-                    + F.sum(F.octet_length("positions"))
-                ).alias("bytes_packed"),
-                F.count("*").alias("n_blocks"),
-            )
-            .collect()
-        ]
+        m = obs.get
         self._commit(
             "pack",
             gen,
             None,
             {
                 "seconds": time.time() - t0,
-                "n_postings": sum(int(m["n_postings"]) for m in mrows),
-                "n_blocks": sum(int(m["n_blocks"]) for m in mrows),
-                "bytes_packed": sum(int(m["bytes_packed"]) for m in mrows),
-                "slices": {
-                    str(int(m["slice"])): {
-                        k: int(m[k])
-                        for k in ("n_terms", "n_postings", "bytes_packed", "n_blocks")
-                    }
-                    for m in mrows
-                },
+                "n_postings": int(m["n_postings"] or 0),
+                "n_blocks": int(m["n_blocks"] or 0),
+                "bytes_packed": int(m["bytes_packed"] or 0),
+                "n_terms_approx": int(m["n_terms_approx"] or 0),
+                "n_slices_seen": int(m["n_slices_seen"] or 0),
             },
         )
 
