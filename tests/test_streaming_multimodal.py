@@ -324,6 +324,73 @@ def test_non_file_stream_source(spark, workdir):
     assert eng.search("rate", k=5).df.count() == 5
 
 
+def test_kafka_shaped_stream_source(spark, workdir):
+    """The documented kafka wiring, minus the broker: a stream with
+    kafka's (key binary, value binary) shape is projected with
+    from_json + casts into the transcript schema and attached via
+    start_from_stream — proving the projection the kafka claim rests on
+    (reference analog: the firehose JSON decode, collector.py:290-431).
+    """
+    idx = os.path.join(workdir, "kafka_idx")
+    docs = os.path.join(workdir, "kafka_docs")
+    ing = StreamingIngest(spark, idx, docs, index_kwargs=dict(n_slices=2, block_size=8))
+    # build a kafka-shaped source: value = JSON payload bytes
+    payload = F.to_json(
+        F.struct(
+            F.format_string("k%06d", (F.col("value") / 4).cast("long")).alias("conv_id"),
+            F.pmod(F.col("value"), F.lit(4)).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.concat(F.lit("kafka payload token"), F.col("value").cast("string")).alias("text"),
+            F.col("timestamp").cast("string").alias("ts"),
+        )
+    )
+    kafka_shaped = (
+        spark.readStream.format("rate").option("rowsPerSecond", "40").load()
+        .select(
+            F.col("value").cast("string").cast("binary").alias("key"),
+            payload.cast("binary").alias("value"),
+        )
+    )
+    # the projection a real kafka reader would use, byte-for-byte
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, ts string"
+    )
+    projected = (
+        kafka_shaped.select(
+            F.from_json(F.col("value").cast("string"), schema).alias("j")
+        )
+        .select(
+            "j.conv_id", "j.turn_idx", "j.role", "j.text",
+            F.lit(None).cast("string").alias("tool"),
+            F.col("j.ts").cast("timestamp").alias("ts"),
+        )
+    )
+    q = ing.start_from_stream(
+        projected, os.path.join(workdir, "kafka_ckpt"),
+        available_now=False, processing_time="2 seconds",
+    )
+    import time
+
+    deadline = time.time() + 150
+    n = 0
+    try:
+        while time.time() < deadline:
+            time.sleep(3)
+            if os.path.isdir(docs):
+                try:
+                    n = spark.read.parquet(docs).count()
+                except Exception:
+                    continue
+                if n >= 10:
+                    break
+    finally:
+        q.stop()
+    assert n >= 10
+    ing.recover()
+    eng = SearchEngine(spark, idx)
+    assert eng.search("kafka", k=5).df.count() == 5
+
+
 def test_stateful_conversation_rollup(spark, workdir):
     """applyInPandasWithState rollup: engine-owned keyed state across
     micro-batches. Two file-source batches drain through the stateful
