@@ -10,13 +10,18 @@ path for formats the sandbox can express without external libraries:
   `encode_ppm`); feature extraction (channel moments + luminance
   histogram) and nearest-neighbor resize operate on real pixels;
 - **WAV audio**: stdlib ``wave`` decode (`decode_wav`); features are
-  duration / RMS / zero-crossing rate / peak + band energies.
+  duration / RMS / zero-crossing rate / peak + band energies;
+- **YUV4MPEG2 (y4m) video**: pure-numpy container decode
+  (`decode_y4m`); real frame sampling (`frame_sample_videos` emits
+  sampled frames as PPM payloads that feed the image operators
+  unchanged) and real features (frame count / fps / luminance moments /
+  temporal-difference energy / histogram).
 
-JPEG/PNG/video codecs need PIL/ffmpeg (absent here), so those payloads
-raise an explicit NotImplementedError unless ``deterministic_fake=True``
-(hash-seeded fake features keep downstream plumbing testable); swap the
-``_fake_*`` branch for PIL/ffmpeg in production — the mapInPandas batch
-shape does not change.
+JPEG/PNG and codec video (h264/vp9/...) need PIL/ffmpeg (absent here),
+so those payloads raise an explicit NotImplementedError unless
+``deterministic_fake=True`` (hash-seeded fakes keep downstream plumbing
+testable); swap the ``_fake_*`` branch for PIL/ffmpeg in production —
+the mapInPandas batch shape does not change.
 """
 
 from __future__ import annotations
@@ -125,6 +130,68 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return s, rate
 
 
+def encode_y4m(frames: np.ndarray, fps: int = 10) -> bytes:
+    """uint8 (n_frames, h, w) grayscale -> YUV4MPEG2 (Cmono) bytes.
+    Y4M is a plain uncompressed container: text header + raw planes, so
+    it round-trips in pure numpy — the video analog of PPM."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = f.shape
+    head = b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 Cmono\n" % (w, h, fps)
+    body = b"".join(b"FRAME\n" + f[i].tobytes() for i in range(n))
+    return head + body
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, float]:
+    """YUV4MPEG2 (Cmono) bytes -> (uint8 (n, h, w) frames, fps)."""
+    if not payload or not payload.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "real decode of codec video (h264/vp9/...) requires ffmpeg "
+            "(not in this sandbox); uncompressed YUV4MPEG2 decodes for "
+            "real — pass deterministic_fake=True for other formats"
+        )
+    nl = payload.index(b"\n")
+    w = h = 0
+    fps = 25.0
+    colorspace = "420"
+    for tok in payload[10:nl].split():
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = val.split(b":")
+            fps = int(num) / int(den)
+        elif tag == b"C":
+            colorspace = val.decode()
+    if colorspace != "mono":
+        raise ValueError("only Cmono YUV4MPEG2 supported in-sandbox")
+    frames = []
+    i = nl + 1
+    fsz = w * h
+    while i < len(payload):
+        j = payload.index(b"\n", i)  # FRAME line (may carry params)
+        if not payload[i:j].startswith(b"FRAME"):
+            raise ValueError("malformed y4m frame header")
+        frames.append(
+            np.frombuffer(payload, dtype=np.uint8, count=fsz, offset=j + 1).reshape(h, w)
+        )
+        i = j + 1 + fsz
+    return np.stack(frames) if frames else np.zeros((0, h, w), np.uint8), fps
+
+
+def _synth_y4m(media_id: int, seed: int) -> tuple[bytes, int, int, int]:
+    fps = 10
+    n = 3 + (media_id * 11 + seed) % 6
+    w, h = 16 + (media_id * 5) % 16, 12 + (media_id * 7) % 16
+    x = np.arange(w)[None, :] + np.arange(h)[:, None]
+    frames = np.stack([((x + 3 * i + media_id) * 9) % 256 for i in range(n)]).astype(
+        np.uint8
+    )
+    dur_ms = int(n * 1000 / fps)
+    return encode_y4m(frames, fps), w, h, dur_ms
+
+
 def _synth_ppm(media_id: int, seed: int) -> tuple[bytes, int, int]:
     rng = np.random.RandomState((media_id * 2654435761 + seed) & 0x7FFFFFFF)
     w, h = int(rng.randint(8, 24)), int(rng.randint(8, 24))
@@ -161,7 +228,12 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
                 elif kind == "audio":
                     payload, dur = _synth_wav(mid, seed)
                     meta = (None, None, dur, "audio/wav")
+                elif mid % 2 == 0:
+                    # even video ids: REAL uncompressed y4m payloads
+                    payload, w, h, dur = _synth_y4m(mid, seed)
+                    meta = (w, h, dur, "video/x-yuv4mpeg")
                 else:
+                    # odd video ids: opaque codec bytes (the stub path)
                     payload = hashlib.sha256(f"{seed}:{mid}".encode()).digest()
                     meta = (
                         16 + (mid * 31) % 1920, 16 + (mid * 17) % 1080,
@@ -294,10 +366,98 @@ def resize_images(df: DataFrame, max_side: int = 512) -> DataFrame:
     return src.mapInPandas(run, "media_id long, payload binary")
 
 
+def frame_sample_videos(
+    df: DataFrame, every_ms: int = 1000, deterministic_fake: bool = False
+) -> DataFrame:
+    """REAL video frame sampling over y4m payloads: decode, pick the
+    frame nearest each ``every_ms`` timestamp, emit each sampled frame
+    as a PPM payload (grayscale replicated to RGB) so every downstream
+    image operator — real resize, real feature extraction — applies
+    unchanged. Codec formats raise the explicit stub error unless
+    ``deterministic_fake=True`` (one hash-fake frame per timestamp).
+    Batch shape: (media_id, payload) -> (media_id, frame_ts_ms,
+    frame_ppm binary); mapInPandas, partitioning preserved."""
+
+    def run(batches):
+        for pdf in batches:
+            ids, tss, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    fr, fps = decode_y4m(p)
+                except NotImplementedError:
+                    if not deterministic_fake:
+                        raise
+                    fr, fps = None, 1.0
+                if fr is None:
+                    n_fake = 3
+                    for k in range(n_fake):
+                        h = hashlib.sha256((p or b"") + bytes([k])).digest()
+                        g = np.frombuffer((h * 48)[: 12 * 16], np.uint8).reshape(12, 16)
+                        ids.append(int(mid)); tss.append(k * every_ms)
+                        frames.append(encode_ppm(np.stack([g, g, g], axis=-1)))
+                    continue
+                dur_ms = len(fr) * 1000.0 / fps
+                t = 0
+                while t < dur_ms:
+                    idx = min(int(round(t * fps / 1000.0)), len(fr) - 1)
+                    g = fr[idx]
+                    ids.append(int(mid)); tss.append(int(t))
+                    frames.append(encode_ppm(np.stack([g, g, g], axis=-1)))
+                    t += every_ms
+            if ids:  # an all-codec batch yields nothing (empty pandas
+                # columns infer float64, which Arrow can't cast to the
+                # declared list/binary types)
+                yield pd.DataFrame(
+                    {"media_id": ids, "frame_ts_ms": tss, "frame_ppm": frames}
+                )
+
+    src = df.filter(F.col("kind") == "video").select("media_id", "payload")
+    return src.mapInPandas(run, "media_id long, frame_ts_ms long, frame_ppm binary")
+
+
+VIDEO_FEATURE_DIM = 12
+
+
+def extract_video_features(df: DataFrame, dim: int = VIDEO_FEATURE_DIM) -> DataFrame:
+    """REAL video features from y4m payloads: frame count, fps,
+    luminance mean/std, temporal-difference energy + (dim-5) luminance
+    histogram bins over all frames."""
+
+    def one(p):
+        fr, fps = decode_y4m(p)
+        lum = fr.astype(np.float64) / 255.0
+        tdiff = (
+            float(np.abs(np.diff(lum, axis=0)).mean()) if len(fr) > 1 else 0.0
+        )
+        hist, _ = np.histogram(lum, bins=dim - 5, range=(0.0, 1.0))
+        return np.concatenate(
+            [
+                [float(len(fr)), float(fps), float(lum.mean()), float(lum.std()), tdiff],
+                hist / max(lum.size, 1),
+            ]
+        )
+
+    def run(batches):
+        for pdf in batches:
+            out_ids, feats = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    feats.append(one(p).astype(np.float32).tolist())
+                    out_ids.append(int(mid))
+                except NotImplementedError:
+                    continue  # codec videos: skip (no real decode here)
+            if out_ids:  # see frame_sample_videos: empty batches stay unyielded
+                yield pd.DataFrame({"media_id": out_ids, "features": feats})
+
+    src = df.filter(F.col("kind") == "video").select("media_id", "payload")
+    return src.mapInPandas(run, "media_id long, features array<float>")
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling PLAN: computes the frame timestamps to
-    extract per video from metadata (JVM-side); the actual pixel
-    extraction is the stubbed decode step."""
+    extract per video from metadata (JVM-side); pair with
+    ``frame_sample_videos`` for the real pixel extraction (y4m) or a
+    production ffmpeg UDF (codecs)."""
     return (
         df.filter(F.col("kind") == "video")
         .select(

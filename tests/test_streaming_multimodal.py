@@ -191,6 +191,59 @@ def test_ppm_roundtrip_and_real_pixel_features():
     assert abs(f[0] - img[:, :, 0].mean() / 255.0) < 1e-9
 
 
+def test_y4m_roundtrip_frame_sampling_and_video_features(spark):
+    import numpy as np
+
+    frames = np.stack(
+        [np.full((12, 16), i * 20, dtype=np.uint8) for i in range(5)]
+    )
+    payload = MM.encode_y4m(frames, fps=10)
+    back, fps = MM.decode_y4m(payload)
+    assert fps == 10.0 and (back == frames).all()
+
+    media = MM.synth_media(spark, 60, seed=42)
+    y4m = media.filter("kind = 'video' and meta.mime = 'video/x-yuv4mpeg'")
+    assert y4m.count() > 0
+
+    # REAL frame sampling: sampled frames decode as PPM and match the
+    # source video's pixels at the sampled timestamps
+    sampled = MM.frame_sample_videos(y4m, every_ms=200).collect()
+    assert sampled
+    src = {r["media_id"]: r["payload"] for r in y4m.collect()}
+    for r in sampled[:10]:
+        fr, fps = MM.decode_y4m(src[r["media_id"]])
+        idx = min(int(round(r["frame_ts_ms"] * fps / 1000.0)), len(fr) - 1)
+        rgb = MM.decode_ppm(r["frame_ppm"])
+        assert (rgb[:, :, 0] == fr[idx]).all()
+
+    # sampled frames flow through the REAL image feature extractor
+    as_images = spark.createDataFrame(
+        [
+            (int(r["media_id"] * 1000 + r["frame_ts_ms"]), "image",
+             bytes(r["frame_ppm"]), None)
+            for r in sampled[:8]
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    feats = MM.extract_image_features(as_images).collect()
+    assert len(feats) == 8
+
+    # codec (fake-bytes) videos: explicit stub unless deterministic_fake
+    codec = media.filter("kind = 'video' and meta.mime = 'video/x-fake'")
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg|YUV4MPEG2"):
+        MM.frame_sample_videos(codec).collect()
+    fake = MM.frame_sample_videos(codec, deterministic_fake=True).collect()
+    assert fake and all(MM.decode_ppm(bytes(r["frame_ppm"])) is not None for r in fake[:3])
+
+    # real video features: frame count and fps are exact
+    vf = {r["media_id"]: r["features"] for r in MM.extract_video_features(media).collect()}
+    assert vf
+    for mid, p in src.items():
+        fr, fps = MM.decode_y4m(p)
+        assert vf[mid][0] == len(fr) and vf[mid][1] == fps
+        assert len(vf[mid]) == MM.VIDEO_FEATURE_DIM
+
+
 def test_wav_roundtrip_and_audio_features(spark):
     import numpy as np
 
