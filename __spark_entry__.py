@@ -39,14 +39,14 @@ SF0001 = "/root/testdata/sf0.001"
 _ENGINES: dict[str, SearchEngine] = {}
 
 
-def _fingerprint(sf_dir: str) -> str:
+def _fingerprint(sf_dir: str, src_name: str = "documents.parquet") -> str:
     """Cache key: full path + size/mtime of the source parquet files, so a
     regenerated corpus at the same path or two sf dirs sharing a basename
     never reuse a stale index."""
     import hashlib
 
     h = hashlib.md5(os.path.normpath(sf_dir).encode())
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, src_name)
     paths = [src]
     if os.path.isdir(src):
         paths = [os.path.join(src, n) for n in sorted(os.listdir(src))]
@@ -565,8 +565,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
         import tempfile
 
+        # cache keyed by index params + a content fingerprint of the
+        # source parquet (size/mtime): a regenerated corpus or changed
+        # plane params can never serve a stale persisted index
         idx_path = os.path.join(
-            tempfile.gettempdir(), f"lsh_idx_{os.path.basename(os.path.normpath(sf))}"
+            tempfile.gettempdir(),
+            "lsh_idx_p8t8s42_" + _fingerprint(sf, "embeddings.parquet"),
         )
         if not os.path.isdir(idx_path):
             build_lsh_index(emb, n_planes=8, n_tables=8).write.mode(

@@ -1386,6 +1386,16 @@ class IndexBuilder:
             self.repair()
             return {"compacted": False, "gens": len(gens)}
         if not gens:
+            # nothing to merge/re-slice, but an explicit n_slices request
+            # must not be silently ignored (ADVICE r4): with zero live
+            # generations there is no data, so the new slicing can go
+            # live by rewriting the meta directly.
+            if new_n != self.n_slices and self.fs.exists(self._p("index_meta.json")):
+                m = self.fs.read_json(self._p("index_meta.json"))
+                m["n_slices"] = new_n
+                self.fs.write_json_atomic(self._p("index_meta.json"), m)
+                self.n_slices = new_n
+                return {"compacted": False, "gens": 0, "n_slices_set": new_n}
             return {"compacted": False, "gens": 0}
         target = self._next_gen_id()
         # Late-duplicate healing: a key re-ingested after the streaming

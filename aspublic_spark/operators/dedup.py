@@ -27,13 +27,20 @@ both on by default:
    content, and this removes the degenerate mass outright;
 2. every bucket self-join caps candidates per bucket
    (``bucket_cap``, window + row_number, smallest ids kept
-   deterministically). Capping does NOT lose recall: every row beyond
-   the cap is still paired with the bucket's retained representative
-   (its smallest id), so a templated near-dup family of any size stays
-   connected to one survivor while the join stays linear per bucket.
-   The cap's bite is additionally observable as a named ``Observation``
+   deterministically). The cap's actual guarantee: every capped-out row
+   is still paired with the bucket's retained REPRESENTATIVE (its
+   smallest id), so CONNECTIVITY to the bucket minimum is preserved —
+   a templated near-dup family of any size stays connected to one
+   survivor under ``transitive=True`` while the join stays linear per
+   bucket. Pair-level recall within an oversized bucket IS reduced:
+   pairs between two capped-out rows, or between a capped-out row and a
+   retained non-representative row, are never generated, so in
+   single-hop (non-transitive) dedup a capped-out row similar to a
+   non-representative bucket member but NOT to the representative can
+   escape. The cap's bite is observable as a named ``Observation``
    exposed on the result as ``df.bucket_overflow`` (read ``.get`` after
-   any action).
+   any action) — raise ``bucket_cap`` when it fires and pair recall
+   matters.
 """
 
 from __future__ import annotations
@@ -63,8 +70,10 @@ def _cap_buckets(banded: DataFrame, keys: list[str], order_col: str,
     as ``_rep_<order_col>`` plus ``_rep_<c>`` for every ``carry``
     column. Callers turn these into single-hop (representative, row)
     candidate pairs and union them into the output, so capping bounds
-    the self-join (linear per bucket) WITHOUT losing recall — every
-    capped row still reaches verification against one survivor.
+    the self-join (linear per bucket) while keeping every capped row
+    connected to one survivor — connectivity preserved, pair-level
+    recall inside the oversized bucket reduced (module docstring has
+    the exact guarantee).
 
     The observation reports overflow rows and the largest bucket seen.
     All window functions share one partition spec: a single extra
@@ -187,9 +196,11 @@ def lsh_candidate_pairs(
     degenerate bucket (mass duplicates — run ``exact_dedup`` first, see
     module contract) is capped at ``bucket_cap`` rows for the
     self-join, with every capped-out row still paired against the
-    bucket's smallest-id representative (no recall loss; overflow
-    counts observable via ``df.bucket_overflow``). ``bucket_cap=None``
-    disables the cap (oracle-exact mode for small corpora)."""
+    bucket's smallest-id representative (connectivity preserved;
+    pair-level recall inside the oversized bucket reduced — module
+    docstring has the exact guarantee; overflow counts observable via
+    ``df.bucket_overflow``). ``bucket_cap=None`` disables the cap
+    (oracle-exact mode for small corpora)."""
     if n_hashes is None:
         first = sigs.select("sig").first()
         if first is None:  # empty corpus -> no pairs
@@ -257,12 +268,19 @@ def connected_components(
 ) -> DataFrame:
     """(id, rep) for every id in an (id1, id2) edge list, where rep is
     the smallest id reachable through the edges — min-label propagation
-    run as iterated DataFrame joins. Each iteration is one join + one
-    groupBy over the EDGE list (never all-pairs), localCheckpoint-ed so
-    the plan does not grow with iterations; convergence is detected
-    with a changed-label count and bounded by ``max_iters`` (label
-    minima propagate one hop per iteration, so iterations ~ component
-    diameter — duplicate clusters are shallow in practice)."""
+    with POINTER DOUBLING, run as iterated DataFrame joins. Each
+    iteration does (a) a hop step (min over the EDGE list — never
+    all-pairs) and (b) a shortcut step (rep := rep's rep), so the
+    propagation distance DOUBLES per iteration and iterations scale
+    with log2(component diameter): a 1000-deep adversarially chained
+    near-dup family converges in ~10 iterations, not 1000. Every
+    iteration is localCheckpoint-ed so the plan does not grow.
+
+    Convergence is detected with a changed-label count. If the loop
+    exits via ``max_iters`` with labels still moving, a RuntimeError is
+    raised — truncation is never silent: incompletely propagated labels
+    would split one duplicate cluster into several "reps" and
+    ``minhash_dedup(transitive=True)`` would keep extra survivors."""
     edges = pairs.select(
         F.col("id1").alias("src"), F.col("id2").alias("dst")
     ).unionByName(
@@ -275,19 +293,39 @@ def connected_components(
         .withColumn("rep", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
-        # each node's new label = min(own label, neighbours' labels)
+        # hop: each node's new label = min(own label, neighbours' labels)
         neigh = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("rep").alias("nrep"))
         )
-        new = (
-            labels.join(neigh, "id", "left")
+        hop = (
+            labels.withColumnRenamed("rep", "orep")
+            .join(neigh, "id", "left")
             .select(
                 "id",
-                F.least(F.col("rep"), F.coalesce("nrep", "rep")).alias("rep"),
-                (F.least(F.col("rep"), F.coalesce("nrep", "rep")) != F.col("rep"))
+                "orep",
+                F.least("orep", F.coalesce("nrep", "orep")).alias("rep"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # shortcut (pointer doubling): rep := min(rep, rep's own rep).
+        # rep is always a node id (labels start as own ids and only node
+        # ids propagate), so the self-join key always resolves; the
+        # checkpoint above also severs lineage so the self-join is
+        # unambiguous.
+        new = (
+            hop.join(
+                hop.select(F.col("id").alias("rep"), F.col("rep").alias("rrep")),
+                "rep",
+                "left",
+            )
+            .select(
+                "id",
+                F.least(F.col("rep"), F.coalesce("rrep", "rep")).alias("rep"),
+                (F.least(F.col("rep"), F.coalesce("rrep", "rep")) != F.col("orep"))
                 .cast("int")
                 .alias("chg"),
             )
@@ -296,7 +334,14 @@ def connected_components(
         changed = new.agg(F.sum("chg")).first()[0] or 0
         labels = new.drop("chg")
         if not changed:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iters={max_iters} "
+            f"iterations (labels still changing); with pointer doubling this "
+            f"covers component diameters up to ~2^{max_iters} — raise max_iters"
+        )
     return labels
 
 
@@ -473,8 +518,10 @@ def simhash_near_pairs(
     exact bit_count verification. Degenerate band buckets (mass
     duplicates — exact-dedup first, see module contract) are capped at
     ``bucket_cap`` rows for the self-join; capped-out rows still pair
-    with the bucket's smallest-id representative (no recall loss;
-    overflow observable via ``df.bucket_overflow``)."""
+    with the bucket's smallest-id representative (connectivity
+    preserved, pair-level recall inside the oversized bucket reduced —
+    see module docstring; overflow observable via
+    ``df.bucket_overflow``)."""
     bands = fps.select(
         F.col(id_col),
         F.col("simhash"),

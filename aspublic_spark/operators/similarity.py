@@ -359,7 +359,9 @@ def embedding_near_dup_pairs(
     buckets (mass-duplicate embeddings); None disables. Same contract
     as the text LSH family: capped-out rows still verify against the
     bucket's smallest-id representative, so the cap bounds the join
-    without losing recall (overflow observable via
+    while preserving connectivity to one survivor; pair-level recall
+    inside an oversized bucket is reduced (dedup module docstring has
+    the exact guarantee; overflow observable via
     ``df.bucket_overflow``)."""
     dim = len(emb.select(vec_col).first()[0])
     planes = _planes(dim, n_planes, seed)

@@ -6,6 +6,10 @@ collector.py:129-141). The Spark-native generalization is
 ``applyInPandasWithState``: keyed state owned by the engine — persisted
 in the checkpoint, partitioned across executors, recovered on restart —
 with the per-key update logic as an Arrow-batched pandas function.
+Event times are converted to epoch microseconds JVM-side
+(``unix_micros`` in the plan, exactly like the batch oracle) BEFORE the
+stateful op, so the rollup is session-timezone-independent — pandas
+never sees a rendered timestamp.
 
 ``conversation_rollup_stream`` maintains one state row per conv_id
 (turn/role counters + first/last event time) and emits the UPDATED
@@ -45,7 +49,11 @@ def _rollup_fn(key, pdfs, state):
         n += len(pdf)
         nu += int((pdf["role"] == "user").sum())
         na += int((pdf["role"] == "assistant").sum())
-        ts_us = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).astype("int64")
+        # ts_us is computed JVM-side by unix_micros() in the plan (see
+        # conversation_rollup_stream): plain longs cross Arrow with no
+        # session-timezone rendering, so the rollup matches the batch
+        # oracle under ANY spark.sql.session.timeZone.
+        ts_us = pdf["ts_us"]
         mn, mx = int(ts_us.min()), int(ts_us.max())
         first = mn if first is None else min(first, mn)
         last = mx if last is None else max(last, mx)
@@ -68,10 +76,11 @@ def conversation_rollup_stream(stream: DataFrame) -> DataFrame:
     """Streaming per-conversation rollup over the transcript schema
     (conv_id, role, ts, ...): engine-owned keyed state, updated per
     micro-batch, emitted in update mode."""
+    from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (
-        stream.select("conv_id", "role", "ts")
+        stream.select("conv_id", "role", F.unix_micros("ts").alias("ts_us"))
         .groupBy("conv_id")
         .applyInPandasWithState(
             _rollup_fn,

@@ -95,6 +95,32 @@ def test_connected_components_min_label(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_deep_chain_pointer_doubling(spark):
+    """ADVICE r4: a chain far deeper than max_iters converges because
+    pointer doubling propagates the min label 2^iters hops, not iters
+    hops. A 60-node path (diameter 59) with max_iters=8 (2^8=256 >> 59)
+    must fully collapse to the single smallest id; one-hop-per-iteration
+    propagation would need 59 iterations and either raise or (the old
+    silent bug) return split labels."""
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
+    )
+    comp = {r["id"]: r["rep"] for r in D.connected_components(pairs, max_iters=8).collect()}
+    assert comp == {i: 0 for i in range(n)}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """ADVICE r4: truncation is never silent — exhausting max_iters with
+    labels still moving raises instead of returning split clusters."""
+    n = 40  # diameter 39 > 2^2-ish reachable distance at max_iters=2
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iters=2)
+
+
 def test_minhash_dedup_transitive_chain(spark):
     """VERDICT r3 #9: with transitive=True a duplicate chain collapses
     to ONE survivor. The discriminating shape is a chain whose middle

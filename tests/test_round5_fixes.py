@@ -1,0 +1,73 @@
+"""Round-5 regression tests for the r4 ADVICE/VERDICT items."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aspublic_spark.index.build import IndexBuilder
+from aspublic_spark.query.engine import SearchEngine
+
+
+def _builder(spark, idx, **kw):
+    kw.setdefault("key_cols", ["conv_id", "turn_idx"])
+    kw.setdefault("text_col", "text")
+    kw.setdefault("meta_cols", ["role", "tool", "ts"])
+    kw.setdefault("n_slices", 2)
+    kw.setdefault("block_size", 8)
+    return IndexBuilder(spark, idx, **kw)
+
+
+def _mk_rows(spark, conv, n, t0, words):
+    rows = [
+        (conv, i, "user" if i % 2 == 0 else "assistant", f"{words} t{i}", "", t0 + i)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, e long"
+    ).withColumn("ts", F.timestamp_seconds("e")).drop("e")
+
+
+def test_compact_reslices_zero_generation_index(spark, workdir):
+    """ADVICE r4: compact(n_slices=N) on an index whose generations were
+    all pruned away must still apply the requested re-slice (the CLI
+    --n-slices flag was silently ignored in that state): the meta is
+    rewritten directly and the next incremental generation builds with
+    the new slicing."""
+    import json
+    from datetime import datetime, timezone
+
+    idx = os.path.join(workdir, "zero_gen_reslice_idx")
+    b = _builder(spark, idx)
+    b.build(_mk_rows(spark, "cA", 10, 1_000_000, "alpha words"))
+    # prune EVERYTHING -> zero live generations
+    cutoff = datetime.fromtimestamp(9_000_000, tz=timezone.utc).replace(tzinfo=None)
+    assert b.prune_index(cutoff)["pruned"]
+    assert b._live_gens() == []
+
+    r = b.compact(n_slices=8)
+    assert r == {"compacted": False, "gens": 0, "n_slices_set": 8}
+    assert b.n_slices == 8
+    meta = json.load(open(os.path.join(idx, "index_meta.json")))
+    assert meta["n_slices"] == 8
+
+    # the next generation lands with the new slicing and queries work
+    b.add_documents(_mk_rows(spark, "cB", 12, 9_500_000, "bravo words"), gen=b._next_gen_id())
+    gens = [g for g in os.listdir(os.path.join(idx, "postings")) if g.startswith("gen=")]
+    slices = {
+        s
+        for g in gens
+        for s in os.listdir(os.path.join(idx, "postings", g))
+        if s.startswith("slice=")
+    }
+    # 12 docs won't populate every bucket; slice ids beyond the old
+    # n_slices=2 range prove the new slicing was applied
+    assert max(int(s.split("=")[1]) for s in slices) >= 2
+    assert SearchEngine(spark, idx).search("bravo", k=20).df.count() == 12
+
+    # a compact with no re-slice request on a zero-gen index stays a no-op
+    idx2 = os.path.join(workdir, "zero_gen_noop_idx")
+    b2 = _builder(spark, idx2)
+    b2.build(_mk_rows(spark, "cC", 4, 1_000_000, "charlie words"))
+    b2.prune_index(cutoff)
+    assert b2.compact() == {"compacted": False, "gens": 0}

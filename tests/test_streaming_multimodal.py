@@ -449,7 +449,21 @@ def test_stateful_conversation_rollup(spark, workdir):
     micro-batches. Two file-source batches drain through the stateful
     operator; the LAST update per conv_id must equal the batch
     aggregation of all rows (convergence oracle), proving state
-    persisted between batches."""
+    persisted between batches.
+
+    Runs under a NON-UTC session timezone (ADVICE r4): epoch micros are
+    computed by unix_micros in the plan before the stateful op, so the
+    rollup must match the batch oracle regardless of
+    spark.sql.session.timeZone."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        _stateful_rollup_body(spark, workdir)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def _stateful_rollup_body(spark, workdir):
     from aspublic_spark.streaming.stateful import (
         conversation_rollup_batch,
         conversation_rollup_stream,
