@@ -81,6 +81,7 @@ def cmd_build(args) -> int:
 def cmd_search(args) -> int:
     from aspublic_spark.query.engine import SearchEngine
     from aspublic_spark.query.parser import parse_query, parse_websearch
+    from aspublic_spark.server import shape_response, validate_conv_prefix
 
     spark = _spark(args)
     eng = SearchEngine(spark, args.index)
@@ -90,11 +91,10 @@ def cmd_search(args) -> int:
     # separator/escape characters). `startswith` is a literal predicate
     # (no LIKE metacharacters to escape), so this is a sanity guard on
     # the API surface, not an injection fix.
-    conv_prefix = args.conv_prefix
-    if conv_prefix is not None:
-        conv_prefix = conv_prefix.strip()
-        if not conv_prefix or any(ch in conv_prefix for ch in ' \t\n;%&"'):
-            raise SystemExit("invalid --conv-prefix")
+    try:
+        conv_prefix = validate_conv_prefix(args.conv_prefix)
+    except ValueError:
+        raise SystemExit("invalid --conv-prefix")
     res = eng.search(
         args.q,
         k=args.k,
@@ -107,27 +107,31 @@ def cmd_search(args) -> int:
     t0 = time.time()
     rows = res.df.collect()
     dbtime_ms = (time.time() - t0) * 1000  # Q14: query timing metric
-    print(
-        json.dumps(
-            {
-                "results": [r.asDict(recursive=True) for r in rows],
-                "debug": {
-                    "dbtime_ms": round(dbtime_ms, 1),
-                    "parsed": {
-                        "and": res.parsed.and_terms,
-                        "phrases": res.parsed.phrases,
-                        "not": res.parsed.not_terms,
-                        "not_groups": res.parsed.not_groups,
-                        "not_phrases": res.parsed.not_phrases,
-                        "or": res.parsed.or_groups,
-                        "or_phrases": res.parsed.or_phrase_groups,
-                    },
-                    "pruning": res.pruning,
-                },
-            },
-            default=str,
-        )
+    print(json.dumps(shape_response(res, rows, dbtime_ms), default=str))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    """Long-lived query server (the reference's viewer deployment,
+    viewer.py:115-139): one resident SparkSession + one warm
+    SearchEngine serving HTTP/JSON until interrupted."""
+    from aspublic_spark.server import QueryServer
+
+    spark = _spark(args)
+    srv = QueryServer(
+        spark,
+        args.index,
+        host=args.host,
+        port=args.port,
+        cache_tables=not args.no_cache,
     )
+    if args.warm:
+        srv.warm(tuple(args.warm.split(",")))
+    print(json.dumps({"serving": f"http://{args.host}:{args.port}"}), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
     return 0
 
 
@@ -192,6 +196,13 @@ def main(argv=None) -> int:
     s.add_argument("--websearch", action="store_true")
     s.add_argument("--field-weights", default="", help="comma list, bm25(fts, w1, w2) analog")
 
+    sv = sub.add_parser("serve", help="resident query server (warm engine, HTTP/JSON)")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--no-cache", action="store_true", help="skip pinning docs+dictionary in executor memory")
+    sv.add_argument("--warm", default="", help="comma list of queries to pre-compile plan shapes at boot")
+
     pr = sub.add_parser("prune")
     pr.add_argument("--index", required=True)
     pr.add_argument("--cutoff", required=True, help="ISO timestamp; segments older are dropped")
@@ -211,7 +222,8 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     return {
         "package": cmd_package, "build": cmd_build,
-        "search": cmd_search, "prune": cmd_prune,
+        "search": cmd_search, "serve": cmd_serve,
+        "prune": cmd_prune,
         "compact": cmd_compact, "repair": cmd_repair,
     }[args.cmd](args)
 
