@@ -17,11 +17,18 @@ path for formats the sandbox can express without external libraries:
   unchanged) and real features (frame count / fps / luminance moments /
   temporal-difference energy / histogram).
 
-JPEG/PNG and codec video (h264/vp9/...) need PIL/ffmpeg (absent here),
-so those payloads raise an explicit NotImplementedError unless
-``deterministic_fake=True`` (hash-seeded fakes keep downstream plumbing
-testable); swap the ``_fake_*`` branch for PIL/ffmpeg in production —
-the mapInPandas batch shape does not change.
+JPEG/PNG and codec video (h264/vp9/...) need PIL/ffmpeg. Those are
+AUTO-DETECTED where the decode actually runs (inside each Python
+worker): ``decode_image`` falls through to PIL when it is importable,
+``decode_audio``/``decode_video`` shell out to an ffmpeg binary found
+on PATH — installing either on the executors lights the path up with
+no code change. Every operator also takes an explicit ``decoder=``
+injection point (pickled into the UDF closure, so it reaches the
+workers) for custom runtimes and for testing the dispatch without the
+libraries. With neither available, non-stdlib payloads raise an
+explicit NotImplementedError unless ``deterministic_fake=True``
+(hash-seeded fakes keep downstream plumbing testable); the mapInPandas
+batch shape never changes between the real, injected, and fake paths.
 """
 
 from __future__ import annotations
@@ -180,6 +187,107 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, float]:
     return np.stack(frames) if frames else np.zeros((0, h, w), np.uint8), fps
 
 
+# -- optional-dependency decode dispatch (auto-detect PIL / ffmpeg) ------
+
+def pil_image_decoder():
+    """A JPEG/PNG/... -> uint8 (h, w, 3) decoder backed by PIL when it
+    is importable, else None. Called where the decode runs (inside the
+    Python worker), so installing Pillow on the executors enables real
+    decode with no code change."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def dec(payload: bytes) -> np.ndarray:
+        return np.asarray(
+            Image.open(io.BytesIO(payload)).convert("RGB"), dtype=np.uint8
+        )
+
+    return dec
+
+
+def ffmpeg_audio_decoder():
+    """Any-container audio decode via an ffmpeg binary on PATH:
+    payload -> (float64 mono samples in [-1, 1], 16000). None when
+    ffmpeg is absent (auto-detected per worker)."""
+    import shutil as _sh
+
+    if not _sh.which("ffmpeg"):
+        return None
+
+    def dec(payload: bytes) -> tuple[np.ndarray, int]:
+        import subprocess
+
+        out = subprocess.run(
+            ["ffmpeg", "-v", "error", "-i", "pipe:0",
+             "-f", "s16le", "-ac", "1", "-ar", "16000", "pipe:1"],
+            input=payload, stdout=subprocess.PIPE, check=True,
+        ).stdout
+        return np.frombuffer(out, np.int16).astype(np.float64) / 32768.0, 16000
+
+    return dec
+
+
+def ffmpeg_video_decoder():
+    """Codec video decode via an ffmpeg binary on PATH: any codec ->
+    grayscale yuv4mpegpipe, re-fed through the pure-numpy decode_y4m.
+    None when ffmpeg is absent (auto-detected per worker)."""
+    import shutil as _sh
+
+    if not _sh.which("ffmpeg"):
+        return None
+
+    def dec(payload: bytes) -> tuple[np.ndarray, float]:
+        import subprocess
+
+        out = subprocess.run(
+            ["ffmpeg", "-v", "error", "-i", "pipe:0",
+             "-f", "yuv4mpegpipe", "-pix_fmt", "gray", "pipe:1"],
+            input=payload, stdout=subprocess.PIPE, check=True,
+        ).stdout
+        return decode_y4m(out)
+
+    return dec
+
+
+def decode_image(payload: bytes, decoder=None) -> np.ndarray:
+    """Image decode dispatch: PPM in pure numpy everywhere; other
+    formats through ``decoder`` when injected (a model runtime, a test
+    fake), else PIL auto-detected in the worker, else the explicit
+    stub error."""
+    if payload and payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    dec = decoder or pil_image_decoder()
+    if dec is not None:
+        return dec(payload)
+    return decode_ppm(payload)  # raises the canonical NotImplementedError
+
+
+def decode_audio(payload: bytes, decoder=None) -> tuple[np.ndarray, int]:
+    """Audio decode dispatch: WAV via stdlib everywhere; other formats
+    through ``decoder`` when injected, else ffmpeg auto-detected in the
+    worker, else the explicit stub error."""
+    if payload and payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    dec = decoder or ffmpeg_audio_decoder()
+    if dec is not None:
+        return dec(payload)
+    return decode_wav(payload)  # raises the canonical NotImplementedError
+
+
+def decode_video(payload: bytes, decoder=None) -> tuple[np.ndarray, float]:
+    """Video decode dispatch: YUV4MPEG2 in pure numpy everywhere; codec
+    formats through ``decoder`` when injected, else ffmpeg auto-detected
+    in the worker, else the explicit stub error."""
+    if payload and payload.startswith(b"YUV4MPEG2"):
+        return decode_y4m(payload)
+    dec = decoder or ffmpeg_video_decoder()
+    if dec is not None:
+        return dec(payload)
+    return decode_y4m(payload)  # raises the canonical NotImplementedError
+
+
 def _synth_y4m(media_id: int, seed: int) -> tuple[bytes, int, int, int]:
     fps = 10
     n = 3 + (media_id * 11 + seed) % 6
@@ -268,10 +376,13 @@ def _fake_image_features(payload: bytes, dim: int = IMAGE_FEATURE_DIM) -> np.nda
     return v / np.linalg.norm(v)
 
 
-def _real_image_features(payload: bytes, dim: int = IMAGE_FEATURE_DIM) -> np.ndarray:
-    """REAL pixel features from a PPM payload: per-channel mean/std +
+def _real_image_features(
+    payload: bytes, dim: int = IMAGE_FEATURE_DIM, decoder=None
+) -> np.ndarray:
+    """REAL pixel features from a decodable payload (PPM everywhere,
+    JPEG/PNG via PIL/injected decoder): per-channel mean/std +
     luminance histogram (dim-6 bins)."""
-    rgb = decode_ppm(payload).astype(np.float64) / 255.0
+    rgb = decode_image(payload, decoder).astype(np.float64) / 255.0
     means, stds = rgb.mean(axis=(0, 1)), rgb.std(axis=(0, 1))
     lum = rgb @ np.array([0.299, 0.587, 0.114])
     hist, _ = np.histogram(lum, bins=dim - 6, range=(0.0, 1.0))
@@ -279,20 +390,24 @@ def _real_image_features(payload: bytes, dim: int = IMAGE_FEATURE_DIM) -> np.nda
 
 
 def extract_image_features(
-    df: DataFrame, deterministic_fake: bool = False, dim: int = IMAGE_FEATURE_DIM
+    df: DataFrame,
+    deterministic_fake: bool = False,
+    dim: int = IMAGE_FEATURE_DIM,
+    decoder=None,
 ) -> DataFrame:
     """mapInPandas feature extraction over image payloads.
 
-    PPM payloads are decoded FOR REAL (numpy); other formats raise the
-    explicit stub error unless ``deterministic_fake=True``. Batch shape:
-    input (media_id, payload), output (media_id, features array<float>).
-    Partitioning is preserved — no shuffle; at scale the binary column
-    is the IO bound, so repartition the source by file size before
-    calling if batches skew."""
+    PPM payloads are decoded FOR REAL (numpy); other formats decode via
+    ``decoder`` / auto-detected PIL (see decode_image) and otherwise
+    raise the explicit stub error unless ``deterministic_fake=True``.
+    Batch shape: input (media_id, payload), output (media_id, features
+    array<float>). Partitioning is preserved — no shuffle; at scale the
+    binary column is the IO bound, so repartition the source by file
+    size before calling if batches skew."""
 
     def one(p):
         try:
-            return _real_image_features(p, dim)
+            return _real_image_features(p, dim, decoder)
         except Exception:
             # non-PPM (NotImplementedError) or CORRUPT payload (bad
             # header / truncated pixels): one bad document must not be
@@ -310,10 +425,13 @@ def extract_image_features(
     return src.mapInPandas(run, "media_id long, features array<float>")
 
 
-def _audio_features(payload: bytes, dim: int = AUDIO_FEATURE_DIM) -> np.ndarray:
-    """REAL audio features from a WAV payload: duration, RMS,
+def _audio_features(
+    payload: bytes, dim: int = AUDIO_FEATURE_DIM, decoder=None
+) -> np.ndarray:
+    """REAL audio features from a decodable payload (WAV everywhere,
+    other containers via ffmpeg/injected decoder): duration, RMS,
     zero-crossing rate, peak + (dim-4) FFT band energies."""
-    s, rate = decode_wav(payload)
+    s, rate = decode_audio(payload, decoder)
     if s.size == 0:
         return np.zeros(dim)
     dur = s.size / rate
@@ -327,13 +445,16 @@ def _audio_features(payload: bytes, dim: int = AUDIO_FEATURE_DIM) -> np.ndarray:
     return np.concatenate([[dur, rms, zcr, peak], be / tot])
 
 
-def extract_audio_features(df: DataFrame, dim: int = AUDIO_FEATURE_DIM) -> DataFrame:
-    """mapInPandas WAV feature extraction (stdlib decode, real samples)."""
+def extract_audio_features(
+    df: DataFrame, dim: int = AUDIO_FEATURE_DIM, decoder=None
+) -> DataFrame:
+    """mapInPandas audio feature extraction (stdlib WAV decode, real
+    samples; other containers via ffmpeg/injected decoder)."""
 
     def run(batches):
         for pdf in batches:
             feats = [
-                _audio_features(p, dim).astype(np.float32).tolist()
+                _audio_features(p, dim, decoder).astype(np.float32).tolist()
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
@@ -342,10 +463,11 @@ def extract_audio_features(df: DataFrame, dim: int = AUDIO_FEATURE_DIM) -> DataF
     return src.mapInPandas(run, "media_id long, features array<float>")
 
 
-def resize_ppm(payload: bytes, max_side: int = 512) -> bytes:
-    """REAL nearest-neighbor resize of a PPM payload (numpy indexing),
-    applying the same geometry as resize_plan."""
-    img = decode_ppm(payload)
+def resize_ppm(payload: bytes, max_side: int = 512, decoder=None) -> bytes:
+    """REAL nearest-neighbor resize of a decodable image payload (numpy
+    indexing), applying the same geometry as resize_plan; output is
+    always PPM."""
+    img = decode_image(payload, decoder)
     h, w = img.shape[0], img.shape[1]
     scale = min(float(max_side) / max(w, h), 1.0)
     tw, th = max(int(np.ceil(w * scale)), 1), max(int(np.ceil(h * scale)), 1)
@@ -354,12 +476,12 @@ def resize_ppm(payload: bytes, max_side: int = 512) -> bytes:
     return encode_ppm(img[ys][:, xs])
 
 
-def resize_images(df: DataFrame, max_side: int = 512) -> DataFrame:
-    """mapInPandas real resize for PPM payloads -> resized payload col."""
+def resize_images(df: DataFrame, max_side: int = 512, decoder=None) -> DataFrame:
+    """mapInPandas real resize for decodable payloads -> PPM payload col."""
 
     def run(batches):
         for pdf in batches:
-            out = [resize_ppm(p, max_side) for p in pdf["payload"]]
+            out = [resize_ppm(p, max_side, decoder) for p in pdf["payload"]]
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": out})
 
     src = df.filter(F.col("kind") == "image").select("media_id", "payload")
@@ -367,23 +489,28 @@ def resize_images(df: DataFrame, max_side: int = 512) -> DataFrame:
 
 
 def frame_sample_videos(
-    df: DataFrame, every_ms: int = 1000, deterministic_fake: bool = False
+    df: DataFrame,
+    every_ms: int = 1000,
+    deterministic_fake: bool = False,
+    decoder=None,
 ) -> DataFrame:
     """REAL video frame sampling over y4m payloads: decode, pick the
     frame nearest each ``every_ms`` timestamp, emit each sampled frame
     as a PPM payload (grayscale replicated to RGB) so every downstream
     image operator — real resize, real feature extraction — applies
-    unchanged. Codec formats raise the explicit stub error unless
-    ``deterministic_fake=True`` (one hash-fake frame per timestamp).
-    Batch shape: (media_id, payload) -> (media_id, frame_ts_ms,
-    frame_ppm binary); mapInPandas, partitioning preserved."""
+    unchanged. Codec formats decode via ``decoder`` / auto-detected
+    ffmpeg (see decode_video) and otherwise raise the explicit stub
+    error unless ``deterministic_fake=True`` (one hash-fake frame per
+    timestamp). Batch shape: (media_id, payload) -> (media_id,
+    frame_ts_ms, frame_ppm binary); mapInPandas, partitioning
+    preserved."""
 
     def run(batches):
         for pdf in batches:
             ids, tss, frames = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    fr, fps = decode_y4m(p)
+                    fr, fps = decode_video(p, decoder)
                 except NotImplementedError:
                     if not deterministic_fake:
                         raise
@@ -418,13 +545,16 @@ def frame_sample_videos(
 VIDEO_FEATURE_DIM = 12
 
 
-def extract_video_features(df: DataFrame, dim: int = VIDEO_FEATURE_DIM) -> DataFrame:
-    """REAL video features from y4m payloads: frame count, fps,
-    luminance mean/std, temporal-difference energy + (dim-5) luminance
-    histogram bins over all frames."""
+def extract_video_features(
+    df: DataFrame, dim: int = VIDEO_FEATURE_DIM, decoder=None
+) -> DataFrame:
+    """REAL video features from decodable payloads (y4m everywhere,
+    codecs via ffmpeg/injected decoder): frame count, fps, luminance
+    mean/std, temporal-difference energy + (dim-5) luminance histogram
+    bins over all frames."""
 
     def one(p):
-        fr, fps = decode_y4m(p)
+        fr, fps = decode_video(p, decoder)
         lum = fr.astype(np.float64) / 255.0
         tdiff = (
             float(np.abs(np.diff(lum, axis=0)).mean()) if len(fr) > 1 else 0.0
