@@ -150,3 +150,33 @@ def test_cli_serve_wiring(monkeypatch):
     assert rc == 0
     assert seen["index"] == "/tmp/x" and seen["port"] == 0 and seen["warm"] == "a,b"
     assert seen["host"] == "127.0.0.1" and seen["no_cache"] is False
+
+
+def test_server_concurrent_requests(served):
+    """A resident server takes overlapping requests: Spark schedules
+    jobs from concurrent driver threads safely, and every response must
+    equal the single-threaded answer (the engine's caches are
+    read-mostly; this pins that no request corrupts another's)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    srv, _, df = served
+    words = df.first()["text"].lower().split()
+    qs = [words[0], words[1], f"{words[0]} {words[1]}", words[0], words[1]] * 2
+    want = {
+        q: [
+            (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+            for r in srv.engine.search(q, k=10).df.collect()
+        ]
+        for q in set(qs)
+    }
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        payloads = list(
+            ex.map(lambda q: (q, _get(srv.port, f"/search?q={q.replace(' ', '+')}&k=10")), qs)
+        )
+    for q, (code, payload) in payloads:
+        assert code == 200
+        got = [
+            (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+            for r in payload["results"]
+        ]
+        assert got == want[q], q
