@@ -102,19 +102,24 @@ class QueryServer:
     def __init__(
         self,
         spark,
-        index_dir: str,
+        index_dir: str | None = None,
         host: str = "127.0.0.1",
         port: int = 8080,
         cache_tables: bool = True,
         prune_min_postings: int | None = None,
+        engine=None,
     ):
         from aspublic_spark.query.engine import SearchEngine
 
-        kw = {}
-        if prune_min_postings is not None:
-            kw["prune_min_postings"] = prune_min_postings
+        if engine is None:
+            if index_dir is None:
+                raise ValueError("pass index_dir or an existing engine")
+            kw = {}
+            if prune_min_postings is not None:
+                kw["prune_min_postings"] = prune_min_postings
+            engine = SearchEngine(spark, index_dir, cache_tables=cache_tables, **kw)
         self.spark = spark
-        self.engine = SearchEngine(spark, index_dir, cache_tables=cache_tables, **kw)
+        self.engine = engine
         self.host = host
         self._requested_port = port
         self._httpd = None

@@ -517,6 +517,27 @@ def main():
     queries["q_heavy_blockmax"] = round(time.time() - t0, 3)
     assert res.pruning.get("theta_pruned"), "block-max did not fire"
 
+    # resident-server datapoint: the same single-term query through the
+    # HTTP surface (cli serve deployment). Steady state is what matters
+    # — the server reuses THIS warm engine, so the delta vs q_single is
+    # pure HTTP+JSON overhead. Guarded: a serving problem must never
+    # kill the bench record.
+    try:
+        import json as _json
+        import urllib.request as _rq
+
+        from aspublic_spark.server import QueryServer
+
+        srv = QueryServer(spark, engine=eng, port=0).start()
+        url = f"http://127.0.0.1:{srv.port}/search?q=zebra&k=50"
+        _json.loads(_rq.urlopen(url, timeout=60).read())  # warm the socket path
+        t0 = time.time()
+        _json.loads(_rq.urlopen(url, timeout=60).read())
+        queries["q_single_server"] = round(time.time() - t0, 3)
+        srv.stop()
+    except Exception as e:  # noqa: BLE001
+        print(f"server datapoint skipped: {e}", file=sys.stderr)
+
     result = {
         "metric": "index_build_turns_per_sec",
         "value": round(tps, 1),
