@@ -505,6 +505,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_by_lang"] = quality_by_lang
 
+    def pipeline_clean_corpus(spark, sf):
+        """Composite training-data cleaning pipeline — the operators
+        compose end-to-end: plant exact duplicates -> exact dedup by
+        normalized content fingerprint (keep smallest doc_id) ->
+        language id (drop 'und') -> quality gate (>= 0.7, chosen to bite on this corpus) ->
+        per-language survivor stats. One window + one groupBy; every
+        stage is the same Catalyst expression its standalone entry
+        uses, so the whole pipeline stays DuckDB-reproducible."""
+        from pyspark.sql import Window
+
+        from aspublic_spark.functions.textstats import (
+            lang_id,
+            md5_fingerprint,
+            quality_score,
+        )
+
+        base = docs(spark, sf).select("doc_id", "text")
+        dup = base.filter(F.col("doc_id") < 100).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        )
+        u = base.unionByName(dup)
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        kept = (
+            u.withColumn("fp", md5_fingerprint(F.col("text")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        scored = kept.withColumn("pred_lang", lang_id(F.col("text"))).withColumn(
+            "q", quality_score(F.col("text"))
+        )
+        lang_f = scored.filter(F.col("pred_lang") != "und")
+        qual_f = lang_f.filter(F.col("q") >= 0.7)
+        # stage funnel: rows surviving each stage, plus per-language
+        # survivor counts — every stage's bite is hash-checked
+        funnel = None
+        for nm, sdf in (
+            ("00_input", u),
+            ("01_exact_dedup", kept),
+            ("02_lang_id", lang_f),
+            ("03_quality", qual_f),
+        ):
+            part = sdf.agg(F.count("*").alias("n_docs")).select(
+                F.lit(nm).alias("stage"), "n_docs"
+            )
+            funnel = part if funnel is None else funnel.unionByName(part)
+        per_lang = (
+            qual_f.groupBy("pred_lang")
+            .agg(F.count("*").alias("n_docs"))
+            .select(
+                F.concat(F.lit("04_lang_"), F.col("pred_lang")).alias("stage"),
+                "n_docs",
+            )
+        )
+        return funnel.unionByName(per_lang)
+
+    q["pipeline_clean_corpus"] = pipeline_clean_corpus
+
     def fingerprints(spark, sf):
         from aspublic_spark.functions.textstats import md5_fingerprint
 
@@ -782,6 +839,47 @@ def oracle_sql() -> dict[str, str]:
           from documents
         )
         select lang, round(avg(q), 4) as avg_quality from per_doc group by lang
+    """
+
+    o["pipeline_clean_corpus"] = f"""
+        with u as (
+          select doc_id, text from documents
+          union all
+          select doc_id + 10000000 as doc_id, text from documents
+          where doc_id < 100
+        ), kept as (
+          select doc_id, text from (
+            select doc_id, text, row_number() over (
+              partition by substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16)
+              order by doc_id) as rn
+            from u)
+          where rn = 1
+        ), scored as (
+          select {hit_cols},
+                 round(
+                   0.4 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                 + 0.2 * (case when length(text) * 1.0 / len(string_split(text, ' ')) between 3.0 and 10.0
+                          then 1.0 else 0.5 end)
+                 + 0.2 * (1.0 - least(
+                     len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / length(text) * 5.0, 1.0))
+                 + 0.2 * least({stop_hits} * 1.0 / len(string_split(text, ' ')) * 5.0, 1.0)
+                 , 4) as q
+          from kept
+        ), final as (
+          select {case} as pred_lang, q from scored
+        )
+        select '00_input' as stage, count(*) as n_docs from u
+        union all
+        select '01_exact_dedup', count(*) from kept
+        union all
+        select '02_lang_id', count(*) from final where pred_lang != 'und'
+        union all
+        select '03_quality', count(*) from final
+        where pred_lang != 'und' and q >= 0.7
+        union all
+        select '04_lang_' || pred_lang, count(*) from final
+        where pred_lang != 'und' and q >= 0.7
+        group by pred_lang
     """
 
     o["fingerprints"] = """
