@@ -124,6 +124,7 @@ def cmd_serve(args) -> int:
         host=args.host,
         port=args.port,
         cache_tables=not args.no_cache,
+        auto_refresh=args.auto_refresh,
     )
     if args.warm:
         srv.warm(tuple(args.warm.split(",")))
@@ -202,6 +203,7 @@ def main(argv=None) -> int:
     sv.add_argument("--port", type=int, default=8080)
     sv.add_argument("--no-cache", action="store_true", help="skip pinning docs+dictionary in executor memory")
     sv.add_argument("--warm", default="", help="comma list of queries to pre-compile plan shapes at boot")
+    sv.add_argument("--auto-refresh", action="store_true", help="probe the index manifest per search; new generations serve without POST /refresh")
 
     pr = sub.add_parser("prune")
     pr.add_argument("--index", required=True)

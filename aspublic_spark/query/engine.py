@@ -210,10 +210,21 @@ class SearchEngine:
         index_dir: str,
         prune_min_postings: int = 2_000_000,
         cache_tables: bool = False,
+        auto_refresh: bool = False,
     ):
         """``cache_tables=True`` pins docs + dictionary in executor memory
         — the right call for a long-lived query server (the reference's
         viewer process keeps its sqlite page cache warm the same way).
+
+        ``auto_refresh=True`` probes the index manifest before every
+        search (one directory listing + one pointer read — no Spark job)
+        and calls :meth:`refresh` when the live-generation set or the
+        dictionary pointer changed. A server following an ingest stream
+        then can't serve a stale snapshot (or read part files a prune /
+        compaction deleted) without the caller remembering to refresh.
+        Off by default: the snapshot semantics (pin until refresh) are
+        the documented contract, and two fs round-trips per query is a
+        real cost on object stores.
 
         ``prune_min_postings``: block-max pruning runs only when the
         query's total posting volume exceeds this. Pruning spends two
@@ -267,8 +278,28 @@ class SearchEngine:
             int(r["fld"]): float(r["avgdl"] or 1.0) for r in st_rows
         }
         self.avgdl = self.avgdl_by_fld.get(0, 1.0)
+        self.auto_refresh = auto_refresh
+        self._snap_fp = self._manifest_fingerprint()
 
     # -- raw table access ---------------------------------------------
+    def _manifest_fingerprint(self) -> tuple:
+        """Cheap identity of the visible index state: the live-gen set
+        plus the dictionary pointer. Changes on build/compact/prune —
+        everything that should invalidate the snapshot — and costs one
+        listdir + one small read, no Spark job."""
+        from aspublic_spark.index.build import live_gens
+
+        ptr = self.fs.read_json(
+            os.path.join(self.index_dir, "dictionary_CURRENT.json")
+        )
+        return (tuple(live_gens(self.index_dir, self.fs)), ptr["path"])
+
+    def _maybe_auto_refresh(self):
+        if not self.auto_refresh:
+            return
+        fp = self._manifest_fingerprint()
+        if fp != self._snap_fp:
+            self.refresh()
     def _live(self, sub: str) -> DataFrame:
         """Read only LIVE generations (raw manifest committed) — a
         half-written compaction/prune/build output directory is never
@@ -320,6 +351,7 @@ class SearchEngine:
                 df.unpersist()
         self._docs_df = self._dict_df = self._blocks_df = None
         self._term_cache.clear()
+        self._snap_fp = self._manifest_fingerprint()
         st_rows = read_stats(self.index_dir, self.fs)
         self.n_docs = int(st_rows[0]["n_docs"])
         self.avgdl_by_fld = {int(r["fld"]): float(r["avgdl"] or 1.0) for r in st_rows}
@@ -710,6 +742,7 @@ class SearchEngine:
         of FTS5's ``bm25(fts, w1, w2, ...)`` (reference indexes text +
         subject, db_sqlite.py:27). Defaults to 1.0 per field (FTS5
         default); total score = sum_f w_f * BM25_f."""
+        self._maybe_auto_refresh()
         k = max(1, min(int(k), 100))  # reference clamp, viewer.py:123
         pq = parser(q, tok=self._tok) if isinstance(q, str) else (q or ParsedQuery())
         has_doc_filters = any(

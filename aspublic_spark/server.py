@@ -108,6 +108,7 @@ class QueryServer:
         cache_tables: bool = True,
         prune_min_postings: int | None = None,
         engine=None,
+        auto_refresh: bool = False,
     ):
         from aspublic_spark.query.engine import SearchEngine
 
@@ -117,7 +118,14 @@ class QueryServer:
             kw = {}
             if prune_min_postings is not None:
                 kw["prune_min_postings"] = prune_min_postings
-            engine = SearchEngine(spark, index_dir, cache_tables=cache_tables, **kw)
+            # auto_refresh: probe the manifest per search so a server
+            # following an ingest stream serves new generations without
+            # an explicit POST /refresh (costs one listdir + one pointer
+            # read per query; POST /refresh stays the zero-probe path)
+            engine = SearchEngine(
+                spark, index_dir, cache_tables=cache_tables,
+                auto_refresh=auto_refresh, **kw,
+            )
         self.spark = spark
         self.engine = engine
         self.host = host

@@ -71,3 +71,51 @@ def test_compact_reslices_zero_generation_index(spark, workdir):
     b2.build(_mk_rows(spark, "cC", 4, 1_000_000, "charlie words"))
     b2.prune_index(cutoff)
     assert b2.compact() == {"compacted": False, "gens": 0}
+
+
+def test_auto_refresh_sees_new_generation_without_manual_refresh(spark, workdir):
+    """VERDICT r4 Next #6: with auto_refresh=True the engine probes the
+    manifest per search and re-snapshots when the live-gen set changed —
+    a server following an ingest stream can't serve a stale snapshot."""
+    idx = os.path.join(workdir, "auto_refresh_idx")
+    b = _builder(spark, idx)
+    b.build(_mk_rows(spark, "cA", 6, 1_000_000, "delta words"))
+
+    manual = SearchEngine(spark, idx)  # default: pinned snapshot
+    auto = SearchEngine(spark, idx, auto_refresh=True)
+    # snapshots pin at first table access — warm both engines now
+    assert manual.search("delta", k=20).df.count() == 6
+    assert auto.search("delta", k=20).df.count() == 6
+    fp0 = auto._snap_fp
+
+    b.add_documents(_mk_rows(spark, "cB", 9, 2_000_000, "delta fresh"), gen=b._next_gen_id())
+
+    # pinned engine still serves the old snapshot (documented contract) ...
+    assert manual.search("delta", k=20).df.count() == 6
+    # ... the auto engine picks up the new generation with no refresh() call
+    assert auto.search("delta", k=20).df.count() == 15
+    assert auto.search("fresh", k=20).df.count() == 9
+    assert auto._snap_fp != fp0
+
+    # unchanged manifest -> the probe is a no-op (fingerprint stable)
+    fp1 = auto._snap_fp
+    auto.search("delta", k=5)
+    assert auto._snap_fp == fp1
+
+
+def test_auto_refresh_survives_prune(spark, workdir):
+    """Pruning a generation away must not leave the auto engine reading
+    deleted part files: the next search re-snapshots."""
+    from datetime import datetime, timezone
+
+    idx = os.path.join(workdir, "auto_refresh_prune_idx")
+    b = _builder(spark, idx)
+    b.build(_mk_rows(spark, "cA", 5, 1_000_000, "echo words"))
+    b.add_documents(_mk_rows(spark, "cB", 7, 9_500_000, "echo keep"), gen=b._next_gen_id())
+
+    auto = SearchEngine(spark, idx, auto_refresh=True)
+    assert auto.search("echo", k=20).df.count() == 12
+
+    cutoff = datetime.fromtimestamp(5_000_000, tz=timezone.utc).replace(tzinfo=None)
+    assert b.prune_index(cutoff)["pruned"]
+    assert auto.search("echo", k=20).df.count() == 7

@@ -180,3 +180,32 @@ def test_server_concurrent_requests(served):
             for r in payload["results"]
         ]
         assert got == want[q], q
+
+
+def test_server_auto_refresh_needs_no_post(spark, tmp_path):
+    """VERDICT r4 Next #6: a server started with auto_refresh=True
+    serves new generations (and survives prunes) with no POST /refresh
+    — the manifest probe per search re-snapshots the engine."""
+    from aspublic_spark.tables import synth_transcripts
+
+    idx = str(tmp_path / "auto_idx")
+    df = synth_transcripts(spark, 500, seed=11)
+    b = IndexBuilder(
+        spark, idx, key_cols=["conv_id", "turn_idx"], text_col="text",
+        meta_cols=["role", "tool", "ts"], n_slices=2, block_size=16,
+    )
+    b.build(df)
+    srv = QueryServer(spark, idx, port=0, auto_refresh=True).start()
+    try:
+        code, payload = _get(srv.port, "/search?q=quince&k=50")
+        assert code == 200 and payload["results"] == []
+        extra = (
+            df.limit(12)
+            .withColumn("conv_id", F.concat(F.lit("auto_"), F.col("conv_id")))
+            .withColumn("text", F.lit("quince banquet"))
+        )
+        b.add_documents(extra, gen=b._next_gen_id())
+        code, payload = _get(srv.port, "/search?q=quince&k=50")
+        assert code == 200 and len(payload["results"]) == 12
+    finally:
+        srv.stop()
