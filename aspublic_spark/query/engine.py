@@ -778,9 +778,11 @@ class SearchEngine:
         # ONE dictionary lookup job for the whole query: positive terms
         # + NOT-group/NOT-phrase terms together (both term_stats calls
         # below hit the per-term cache)
-        ng_all = {t for g in pq.not_groups for t in g} | {
-            t for ph in pq.not_phrases for t in ph
-        }
+        ng_all = (
+            {t for g in pq.not_groups for t in g}
+            | {t for ph in pq.not_phrases for t in ph}
+            | set(pq.not_terms)
+        )
         self.term_stats(list(dict.fromkeys(pos_terms)) + sorted(ng_all))
         stats = self.term_stats(pos_terms)
         # an AND/phrase term absent from the corpus -> empty result
@@ -821,7 +823,10 @@ class SearchEngine:
         # containing ALL group terms; negated phrases (websearch
         # `-"a b"`) exclude on adjacent occurrence. Groups/phrases with
         # a term absent from the corpus can never match — dropped.
-        not_single = sorted(set(pq.not_terms))
+        ns_stats = self.term_stats(sorted(set(pq.not_terms)))
+        # a single NOT term absent from the corpus excludes nothing —
+        # dropping it here skips its whole anti-join stage
+        not_single = sorted(t for t in set(pq.not_terms) if t in ns_stats)
         ng_terms = {t for g in pq.not_groups for t in g} | {
             t for ph in pq.not_phrases for t in ph
         }
@@ -923,12 +928,37 @@ class SearchEngine:
 
         if not_blocks is not None:
             unp_not = self.unpack(not_blocks)
-            if not_single:
-                nd = (
-                    unp_not.filter(F.col("term").isin(not_single))
-                    .select("doc_id")
-                    .distinct()
+
+            # the dictionary bounds each excluded-doc set driver-side
+            # (sum of per-field df for single terms; min df over a
+            # conjunctive group/phrase — docs holding ALL terms can't
+            # outnumber the rarest). Small NOT sides broadcast into the
+            # anti-join (BroadcastHashJoin LeftAnti): the candidate side
+            # is never shuffled just to subtract a handful of doc_ids.
+            # mapInPandas output defeats size ESTIMATION, so without the
+            # hint these anti-joins sort-merge.
+            def _bcast_if_small(nd, df_bound: int):
+                return (
+                    F.broadcast(nd)
+                    if df_bound <= self.broadcast_cand_max_postings
+                    else nd
                 )
+
+            def _total_df(t, st):
+                return sum(s["df"] for s in st.get(t, {}).values())
+
+            if not_single:
+                nd = unp_not.filter(F.col("term").isin(not_single)).select("doc_id")
+                bound = sum(_total_df(t, ns_stats) for t in not_single)
+                if bound <= self.broadcast_cand_max_postings:
+                    # no distinct: a broadcast hash anti-join is a set
+                    # probe, duplicate build keys are harmless — the
+                    # distinct's full shuffle is pure overhead here
+                    nd = F.broadcast(nd)
+                else:
+                    # shuffle path: distinct's map-side partial agg
+                    # shrinks the exchange (df docs -> unique docs)
+                    nd = nd.distinct()
                 cand = cand.join(nd, "doc_id", "left_anti")
             for g in live_groups:
                 gset = sorted(set(g))
@@ -939,11 +969,12 @@ class SearchEngine:
                     .filter(F.col("_n") == len(gset))
                     .select("doc_id")
                 )
-                cand = cand.join(gd, "doc_id", "left_anti")
+                bound = min(_total_df(t, ng_stats) for t in gset)
+                cand = cand.join(_bcast_if_small(gd, bound), "doc_id", "left_anti")
             for ph in live_nphrases:
-                cand = cand.join(
-                    self._phrase_docs(ph, not_blocks), "doc_id", "left_anti"
-                )
+                phd = self._phrase_docs(ph, not_blocks)
+                bound = min(_total_df(t, ng_stats) for t in set(ph))
+                cand = cand.join(_bcast_if_small(phd, bound), "doc_id", "left_anti")
 
         # the index->row join (Q9): when the dictionary says the whole
         # candidate side is small (total df across the query's terms —

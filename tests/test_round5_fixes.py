@@ -119,3 +119,37 @@ def test_auto_refresh_survives_prune(spark, workdir):
     cutoff = datetime.fromtimestamp(5_000_000, tz=timezone.utc).replace(tzinfo=None)
     assert b.prune_index(cutoff)["pruned"]
     assert auto.search("echo", k=20).df.count() == 7
+
+
+def test_not_side_broadcasts_and_dead_not_skips_anti_join(spark, workdir):
+    """Round-5 NOT-path plan work: (1) a dictionary-bounded small NOT
+    side broadcasts into the anti-join (BroadcastHashJoin LeftAnti —
+    mapInPandas output defeats size estimation, so without the hint the
+    candidate side is shuffled to subtract a handful of doc_ids);
+    (2) a single NOT term absent from the corpus excludes nothing and
+    skips its anti-join stage entirely."""
+    idx = os.path.join(workdir, "not_bcast_idx")
+    b = _builder(spark, idx)
+    rows = []
+    for i in range(40):
+        text = "alpha common words" + (" noisy" if i % 5 == 0 else "")
+        rows.append(("cN", i, "user", text, "", 1_000_000 + i))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, e long"
+    ).withColumn("ts", F.timestamp_seconds("e")).drop("e")
+    b.build(df)
+    eng = SearchEngine(spark, idx)
+
+    res = eng.search("alpha !noisy", k=100)
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti and all("BroadcastHashJoin" in l for l in anti), plan
+    assert res.df.count() == 32  # 8 noisy docs excluded
+
+    # dead NOT term: same results as no NOT at all, and no anti-join
+    dead = eng.search("alpha !zzzmissing", k=100)
+    base = eng.search("alpha", k=100)
+    assert "LeftAnti" not in dead.df._jdf.queryExecution().executedPlan().toString()
+    got = [(r["turn_idx"], round(r["score"], 9)) for r in dead.df.collect()]
+    want = [(r["turn_idx"], round(r["score"], 9)) for r in base.df.collect()]
+    assert got == want and len(got) == 40
