@@ -906,9 +906,16 @@ class SearchEngine:
             )
 
         for ph in pq.phrases:
-            cand = cand.join(
-                self._phrase_docs(ph, pos_blocks), "doc_id", "left_semi"
+            # same estimation hole as the NOT side: the phrase-doc set
+            # comes out of mapInPandas, so broadcast it when the
+            # dictionary bounds it small (adjacent docs <= min term df)
+            phd = self._phrase_docs(ph, pos_blocks)
+            bound = min(
+                sum(s["df"] for s in stats[t].values()) for t in set(ph)
             )
+            if bound <= self.broadcast_cand_max_postings:
+                phd = F.broadcast(phd)
+            cand = cand.join(phd, "doc_id", "left_semi")
         for tg, pg in mixed_groups:
             # satisfied by any term alternative OR any adjacent phrase
             # alternative (websearch `"a b" OR c` keeps adjacency)

@@ -153,3 +153,26 @@ def test_not_side_broadcasts_and_dead_not_skips_anti_join(spark, workdir):
     got = [(r["turn_idx"], round(r["score"], 9)) for r in dead.df.collect()]
     want = [(r["turn_idx"], round(r["score"], 9)) for r in base.df.collect()]
     assert got == want and len(got) == 40
+
+
+def test_selective_phrase_docs_broadcast_into_semi_join(spark, workdir):
+    """The positive-phrase doc set has the same size-estimation hole as
+    the NOT side (mapInPandas output): when the dictionary bounds it
+    small, it must broadcast into the left_semi join."""
+    idx = os.path.join(workdir, "phrase_bcast_idx")
+    b = _builder(spark, idx)
+    rows = []
+    for i in range(40):
+        text = "alpha beta words" if i % 4 == 0 else "alpha words beta"
+        rows.append(("cP", i, "user", text, "", 1_000_000 + i))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, e long"
+    ).withColumn("ts", F.timestamp_seconds("e")).drop("e")
+    b.build(df)
+    eng = SearchEngine(spark, idx)
+
+    res = eng.search('"alpha beta"', k=100)
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    semi = [l for l in plan.splitlines() if "LeftSemi" in l]
+    assert semi and all("BroadcastHashJoin" in l for l in semi), plan
+    assert res.df.count() == 10  # only the adjacent variant matches
