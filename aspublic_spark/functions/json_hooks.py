@@ -70,3 +70,23 @@ def normalize_status_json(df: DataFrame, json_col: str = "value") -> DataFrame:
         )
     )
     return out
+
+
+def unwrap_reblogs(df: DataFrame, json_col: str = "value", max_depth: int = 3) -> DataFrame:
+    """I2: reblog unwrap (collector.py:78-80).
+
+    Mastodon boosts reach the public stream as a wrapper status whose
+    ``reblog`` field embeds the original; the reference re-imports the
+    embedded payload in place of the wrapper (recursively). Spark-first:
+    replace the payload with ``$.reblog`` wherever it is a JSON object,
+    iterated ``max_depth`` times for nested wrappers — pure Catalyst
+    (``get_json_object``), no UDF, and a JSON-null reblog field leaves
+    the row untouched. Run BEFORE :func:`normalize_status_json`; the
+    reference's "already-seen original is dropped" half is the ingest
+    dedup downstream (I9 / ``anti_join_existing``), exactly as in the
+    collector."""
+    c = F.col(json_col).cast("string")
+    for _ in range(max_depth):
+        rb = F.get_json_object(c, "$.reblog")
+        c = F.when(rb.isNotNull(), rb).otherwise(c)
+    return df.withColumn(json_col, c)
