@@ -682,6 +682,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_clusters"] = dedup_clusters
 
+    def discover_domains_capped(spark, sf):
+        # S4: domain auto-discovery as a pure DataFrame projection —
+        # urls synthesized deterministically from documents (both oracle
+        # sides agree): hostN.example (N = doc_id % 40), every 7th with
+        # an explicit scheme, every 11th on an excluded .spam suffix
+        from aspublic_spark.sources.discovery import discover_domains
+
+        d = docs(spark, sf)
+        url = F.concat(
+            F.when(F.col("doc_id") % 7 == 0, F.lit("https://")).otherwise(F.lit("")),
+            F.lit("host"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(".spam")).otherwise(
+                F.lit(".example")
+            ),
+            F.lit("/status/"),
+            F.col("doc_id").cast("string"),
+        )
+        return discover_domains(
+            d.select(url.alias("url")),
+            known=("host0.example", "host1.example"),
+            excluded_suffixes=(".spam",),
+            max_kickoffs=12,
+        )
+
+    q["discover_domains"] = discover_domains_capped
+
+    def reblog_unwrap(spark, sf):
+        # I2 end-to-end: every 3rd document arrives as a boost wrapper
+        # (every 9th double-wrapped) whose reblog embeds the original
+        # status; unwrap must recover the EXACT original payload for
+        # all depths, proven by hashing the normalized output
+        from aspublic_spark.functions.json_hooks import (
+            normalize_status_json,
+            unwrap_reblogs,
+        )
+
+        d = docs(spark, sf).filter(F.col("doc_id") < 100)
+        orig = F.struct(
+            F.concat(F.lit("https://orig.example/"), F.col("doc_id").cast("string")).alias("url"),
+            F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")).alias("content"),
+            F.col("lang").alias("language"),
+            F.lit("2024-03-01T00:00:00Z").alias("created_at"),
+        )
+        wrap = F.struct(
+            F.concat(F.lit("https://boost.example/"), F.col("doc_id").cast("string")).alias("url"),
+            F.lit("").alias("content"),
+            F.lit("2024-03-02T00:00:00Z").alias("created_at"),
+            orig.alias("reblog"),
+        )
+        value = (
+            F.when(F.col("doc_id") % 9 == 0, F.to_json(F.struct(
+                F.lit("https://boost2.example/x").alias("url"),
+                F.lit("").alias("content"),
+                wrap.alias("reblog"),
+            )))
+            .when(F.col("doc_id") % 3 == 0, F.to_json(wrap))
+            .otherwise(F.to_json(orig))
+        )
+        return normalize_status_json(unwrap_reblogs(d.select(value.alias("value"))))
+
+    q["reblog_unwrap"] = reblog_unwrap
+
     return q
 
 
@@ -1003,6 +1066,42 @@ def oracle_sql() -> dict[str, str]:
         where round(list_dot_product(x.e, y.e)
                     / (sqrt(list_dot_product(x.e, x.e))
                        * sqrt(list_dot_product(y.e, y.e))), 5) >= 0.95
+    """
+
+    o["discover_domains"] = """
+        with urls as (
+          select (case when doc_id % 7 = 0 then 'https://' else '' end)
+                 || 'host' || (doc_id % 40)::varchar
+                 || (case when doc_id % 11 = 0 then '.spam' else '.example' end)
+                 || '/status/' || doc_id::varchar as url
+          from documents
+        ),
+        doms as (
+          select distinct
+            split_part(regexp_replace(url, '^[a-z][a-z0-9+.-]*://', ''), '/', 1)
+              as domain
+          from urls
+        )
+        select domain from doms
+        where domain != ''
+          and domain not in ('host0.example', 'host1.example')
+          and not ends_with(domain, '.spam')
+        order by domain limit 12
+    """
+
+    # I2: whatever the wrapper depth, the normalized output is exactly
+    # the original status — same shape as json_normalize but with the
+    # unwrap in front on the Spark side
+    o["reblog_unwrap"] = """
+        select 'orig.example/' || doc_id as url,
+               text,
+               '' as subject,
+               1709251200::bigint as created,
+               lang as language,
+               false as bot,
+               false as reply,
+               false as attachments
+        from documents where doc_id < 100
     """
 
     # portable 32-bit simhash: md5-derived token hash on both sides
