@@ -273,7 +273,14 @@ class StreamingIngest:
         the same observe -> watermark -> dedup -> foreachBatch plan.
         Each micro-batch reports the listenerStats counters
         (received / unique_approx / last_event_ts, ap_types.py:22-32)
-        via the query's observedMetrics["ingest"]."""
+        via the query's observedMetrics["ingest"]. Incoming columns are
+        re-aligned to the transcript schema by NAME first (I10,
+        recorder.py:54-70): sources may send any column order/casing,
+        extra columns are dropped, and a missing required field fails
+        fast at PLAN time rather than corrupting the index."""
+        from aspublic_spark.tables import realign_fields
+
+        stream = realign_fields(stream)
         stream = observe_ingest(stream).withWatermark(
             "ts", self.watermark
         ).dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])

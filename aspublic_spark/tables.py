@@ -165,6 +165,48 @@ def fixture_transcripts(spark: SparkSession) -> DataFrame:
     return df.withColumn("ts", F.timestamp_seconds("ts_epoch")).drop("ts_epoch")
 
 
+def realign_fields(
+    df: DataFrame,
+    schema: T.StructType = TRANSCRIPTS_SCHEMA,
+    strict: bool = False,
+) -> DataFrame:
+    """I10: field-map re-alignment (recorder.py:54-70).
+
+    The reference zips a remote sender's ``statusmap`` (its field ORDER)
+    by NAME into local kwargs whenever the orders disagree. The Spark
+    analog aligns any incoming DataFrame to a target schema by name
+    (case-insensitive, like Spark's own resolver): columns are
+    reordered, cast to the target types, and missing NULLABLE fields
+    fill with null. A missing non-nullable field always raises;
+    ``strict=True`` additionally rejects extra columns instead of
+    dropping them. Pure projection — Catalyst elides the no-op casts,
+    so canonical input passes through plan-unchanged."""
+    by_lower = {}
+    for c in df.columns:
+        by_lower.setdefault(c.lower(), c)
+    cols = []
+    for f in schema.fields:
+        src = by_lower.get(f.name.lower())
+        if src is not None:
+            cols.append(F.col(src).cast(f.dataType).alias(f.name))
+        elif f.nullable:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        else:
+            raise ValueError(
+                f"realign_fields: required field '{f.name}' missing "
+                f"from input columns {df.columns}"
+            )
+    if strict:
+        extra = set(df.columns) - {
+            by_lower[f.name.lower()]
+            for f in schema.fields
+            if f.name.lower() in by_lower
+        }
+        if extra:
+            raise ValueError(f"realign_fields: unexpected columns {sorted(extra)}")
+    return df.select(*cols)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-provided parquet table from an sf dir."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -289,3 +289,73 @@ def test_unwrap_reblogs_replaces_wrapper_with_original(spark):
     assert set(by_url) == {"a.example/users/x/1", "d.example/4"}
     assert by_url["a.example/users/x/1"]["text"].strip() == "original words"
     assert len(out) == 3  # dedup of the two identical originals is downstream (I9)
+
+
+# ---------------------------------------------------------------- I10
+
+
+def test_realign_fields_by_name(spark):
+    from pyspark.sql import functions as F
+
+    from aspublic_spark.tables import TRANSCRIPTS_SCHEMA, realign_fields
+
+    # scrambled order, different casing, epoch-long ts, extra column
+    src = spark.createDataFrame(
+        [(7, "hello world", "extra", "user", 1700000000, "c9")],
+        "TURN_IDX long, text string, junk string, role string, "
+        "ts long, Conv_Id string",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    out = realign_fields(src)
+    assert out.columns == [f.name for f in TRANSCRIPTS_SCHEMA.fields]
+    r = out.first()
+    assert (r["conv_id"], r["turn_idx"], r["tool"]) == ("c9", 7, None)
+    assert out.schema["turn_idx"].dataType.simpleString() == "int"
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="required field 'text'"):
+        realign_fields(src.drop("text"))
+    with _pt.raises(ValueError, match="unexpected columns"):
+        realign_fields(src, strict=True)
+
+
+def test_realign_fields_canonical_passthrough_plan_unchanged(spark):
+    from aspublic_spark.tables import fixture_transcripts, realign_fields
+
+    df = fixture_transcripts(spark)
+    plan = realign_fields(df)._jdf.queryExecution().optimizedPlan().toString()
+    # no-op casts elided: no Cast survives in the optimized plan
+    assert "cast(" not in plan.lower()
+    assert realign_fields(df).collect() == df.collect()
+
+
+def test_start_from_stream_realigns_scrambled_source(spark, workdir):
+    """A stream whose columns arrive scrambled/case-shifted indexes
+    identically to the canonical order (I10 at the ingest boundary)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aspublic_spark.query import SearchEngine
+    from aspublic_spark.streaming.ingest import StreamingIngest
+    from aspublic_spark.tables import fixture_transcripts
+
+    src_dir = os.path.join(workdir, "scrambled_src")
+    fixture_transcripts(spark).select(
+        F.col("ts").alias("TS"), "tool", "text", "role",
+        F.col("turn_idx").cast("long").alias("Turn_Idx"), "conv_id",
+    ).write.parquet(src_dir)
+    scrambled_schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(scrambled_schema).parquet(src_dir)
+    ing = StreamingIngest(
+        spark,
+        index_dir=os.path.join(workdir, "i10_idx"),
+        docs_dir=os.path.join(workdir, "i10_docs"),
+        index_kwargs={"n_slices": 2, "block_size": 32},
+    )
+    q = ing.start_from_stream(stream, os.path.join(workdir, "i10_ckpt"))
+    q.awaitTermination(120)
+    eng = SearchEngine(spark, os.path.join(workdir, "i10_idx"))
+    hits = eng.search("sample", k=10).df.collect()
+    assert len(hits) == 4  # the 4 'sample' fixture rows
