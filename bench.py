@@ -517,24 +517,62 @@ def main():
     queries["q_heavy_blockmax"] = round(time.time() - t0, 3)
     assert res.pruning.get("theta_pruned"), "block-max did not fire"
 
-    # resident-server datapoint: the same single-term query through the
-    # HTTP surface (cli serve deployment). Steady state is what matters
-    # — the server reuses THIS warm engine, so the delta vs q_single is
-    # pure HTTP+JSON overhead. Guarded: a serving problem must never
-    # kill the bench record.
+    # resident-server steady state: >=120 MIXED queries against ONE
+    # long-lived QueryServer (the cli serve deployment) through the
+    # real HTTP surface, p50/p95 recorded overall and per family — the
+    # server reuses THIS warm engine, so deltas vs the engine numbers
+    # above are pure HTTP+JSON overhead. Guarded: a serving problem
+    # must never kill the bench record.
+    server_stats = {}
     try:
         import json as _json
         import urllib.request as _rq
+        from urllib.parse import quote as _q
 
         from aspublic_spark.server import QueryServer
 
         srv = QueryServer(spark, engine=eng, port=0).start()
-        url = f"http://127.0.0.1:{srv.port}/search?q=zebra&k=50"
-        _json.loads(_rq.urlopen(url, timeout=60).read())  # warm the socket path
-        t0 = time.time()
-        _json.loads(_rq.urlopen(url, timeout=60).read())
-        queries["q_single_server"] = round(time.time() - t0, 3)
+        fams = [
+            ("single", f"q=zebra&k=50"),
+            ("and", "q=" + _q("query spark") + "&k=50"),
+            ("not", "q=" + _q("query spark !shuffle") + "&k=50"),
+            ("phrase", "q=" + _q('"the the"') + "&k=50"),
+            ("filtered", "q=data&k=50&role=assistant"),
+            ("recency", "q=status&k=50&order=recency"),
+        ]
+
+        def _hit(qs: str) -> float:
+            t0 = time.time()
+            _json.loads(
+                _rq.urlopen(
+                    f"http://127.0.0.1:{srv.port}/search?{qs}", timeout=120
+                ).read()
+            )
+            return time.time() - t0
+
+        for _, qs in fams:  # warm each shape through the HTTP path once
+            _hit(qs)
+        lat = {f: [] for f, _ in fams}
+        rounds = 20  # 20 rounds x 6 families = 120 requests, interleaved
+        for _ in range(rounds):
+            for f, qs in fams:
+                lat[f].append(_hit(qs))
         srv.stop()
+
+        def _pct(xs, p):
+            s = sorted(xs)
+            return round(s[min(len(s) - 1, int(p / 100.0 * len(s)))], 3)
+
+        flat = [x for v in lat.values() for x in v]
+        server_stats = {
+            "requests": rounds * len(fams),
+            "p50": _pct(flat, 50),
+            "p95": _pct(flat, 95),
+            "per_family": {
+                f: {"p50": _pct(v, 50), "p95": _pct(v, 95)} for f, v in lat.items()
+            },
+        }
+        queries["q_single_server"] = server_stats["per_family"]["single"]["p50"]
     except Exception as e:  # noqa: BLE001
         print(f"server datapoint skipped: {e}", file=sys.stderr)
 
@@ -546,6 +584,7 @@ def main():
         "sf": _sf_label(),
         "n_turns": n_turns,
         "build_seconds": round(build_secs, 2),
+        "server": server_stats,
         "scaling": scaling,
         "methodology": (
             "single-invocation protocol: build is best-of-2 builds in "
@@ -598,6 +637,21 @@ def _write_baseline_md(result: dict):
     ]
     for k, v in result["queries"].items():
         lines.append(f"- {k}: {v}")
+    sv = result.get("server") or {}
+    if sv:
+        lines += [
+            "",
+            "## Resident server steady-state (HTTP, one long-lived process)",
+            "",
+            f"{sv['requests']} mixed queries (6 families interleaved) against",
+            "ONE `cli serve`-shaped QueryServer reusing the warm engine above;",
+            "latencies include HTTP + JSON shaping end-to-end.",
+            "",
+            f"- overall: p50 {sv['p50']} s, p95 {sv['p95']} s",
+        ] + [
+            f"- {f}: p50 {st['p50']} s, p95 {st['p95']} s"
+            for f, st in sv["per_family"].items()
+        ]
     if sc:
         lines += [
             "",
