@@ -86,7 +86,9 @@ class _Options:
 
     def __init__(self, options: dict):
         urls = options.get("urls", "")
-        self.urls = [u.strip() for u in urls.split(",") if u.strip()]
+        # order-preserving dedup: a repeated endpoint must not become
+        # two partitions double-reading the same lines
+        self.urls = list(dict.fromkeys(u.strip() for u in urls.split(",") if u.strip()))
         if not self.urls:
             raise ValueError("http_jsonl requires option 'urls' (comma-separated)")
         self.timeout = float(options.get("timeout", "10"))

@@ -359,3 +359,10 @@ def test_start_from_stream_realigns_scrambled_source(spark, workdir):
     eng = SearchEngine(spark, os.path.join(workdir, "i10_idx"))
     hits = eng.search("sample", k=10).df.collect()
     assert len(hits) == 4  # the 4 'sample' fixture rows
+
+
+def test_http_jsonl_options_dedupe_repeated_urls():
+    from aspublic_spark.sources.http_source import _Options
+
+    o = _Options({"urls": " a , b ,a, c , b "})
+    assert o.urls == ["a", "b", "c"]
