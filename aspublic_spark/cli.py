@@ -136,6 +136,97 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Collector deployment (the reference's collector.py daemon):
+    source -> realign -> dedup -> row store + incremental index.
+
+    Sources: ``--input-dir`` (parquet directory) or ``--urls`` (JSONL
+    endpoints via the http_jsonl data source). Default is ONE pull:
+    with ``--checkpoint`` on a directory source that's an availableNow
+    streaming pass (only files new since the last checkpoint); without
+    one it's a batch pull through ``ingest_batch`` (the key-sidecar
+    dedup makes re-pulls idempotent either way). ``--follow`` stays
+    resident on a processing-time trigger until ``--timeout``/kill."""
+    from aspublic_spark.streaming.ingest import StreamingIngest
+    from aspublic_spark.tables import realign_fields
+
+    if not args.input_dir and not args.urls:
+        print("ingest: one of --input-dir / --urls is required", file=sys.stderr)
+        return 2
+    if args.follow and not args.checkpoint:
+        print("ingest: --follow requires --checkpoint", file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    ing = StreamingIngest(
+        spark,
+        index_dir=args.index,
+        docs_dir=args.docs,
+        watermark=args.watermark,
+        dedup_horizon_days=args.horizon_days,
+        html_text=args.html_text,
+        auto_compact_gens=args.auto_compact_gens,
+        index_kwargs={"n_slices": args.slices, "block_size": args.block_size},
+    )
+    urls = [u.strip() for u in (args.urls or "").split(",") if u.strip()]
+    t0 = time.time()
+    if args.follow or (args.input_dir and args.checkpoint):
+        if urls:
+            from aspublic_spark.sources import read_http_jsonl
+
+            stream = read_http_jsonl(spark, urls, stream=True)
+            q = ing.start_from_stream(
+                stream,
+                args.checkpoint,
+                available_now=not args.follow,
+                processing_time=f"{args.trigger_seconds} seconds",
+            )
+        else:
+            q = ing.start(
+                args.input_dir,
+                args.checkpoint,
+                available_now=not args.follow,
+                processing_time=f"{args.trigger_seconds} seconds",
+            )
+        try:
+            q.awaitTermination(args.timeout if args.timeout else None)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            if q.isActive:
+                q.stop()
+        def _received(p):
+            om = (
+                p.get("observedMetrics")
+                if isinstance(p, dict)
+                else getattr(p, "observedMetrics", None)
+            )
+            m = (om or {}).get("ingest")
+            return int(m["received"]) if m is not None else 0
+
+        received = sum(_received(p) for p in q.recentProgress)
+        print(json.dumps({
+            "mode": "follow" if args.follow else "available_now",
+            "batches": len(q.recentProgress),
+            "received": received,
+            "seconds": round(time.time() - t0, 2),
+        }))
+        return 0
+    # one batch pull (no checkpoint): idempotent via the key sidecar
+    if urls:
+        from aspublic_spark.sources import read_http_jsonl
+
+        src = read_http_jsonl(spark, urls)
+    else:
+        src = spark.read.parquet(args.input_dir)
+    n = ing.ingest_batch(realign_fields(src))
+    print(json.dumps({
+        "mode": "pull",
+        "rows_ingested": int(n),
+        "seconds": round(time.time() - t0, 2),
+    }))
+    return 0
+
+
 def cmd_prune(args) -> int:
     from datetime import datetime
 
@@ -205,6 +296,26 @@ def main(argv=None) -> int:
     sv.add_argument("--warm", default="", help="comma list of queries to pre-compile plan shapes at boot")
     sv.add_argument("--auto-refresh", action="store_true", help="probe the index manifest per search; new generations serve without POST /refresh")
 
+    ig = sub.add_parser(
+        "ingest",
+        help="collector pipeline: parquet dir or HTTP JSONL endpoints -> "
+             "dedup -> row store + incremental index",
+    )
+    ig.add_argument("--index", required=True)
+    ig.add_argument("--docs", required=True, help="row-store directory (gen= partitioned)")
+    ig.add_argument("--input-dir", help="parquet directory source")
+    ig.add_argument("--urls", help="comma-separated JSONL endpoints (http_jsonl source)")
+    ig.add_argument("--checkpoint", help="streaming checkpoint dir (exact-once across invocations)")
+    ig.add_argument("--follow", action="store_true", help="stay resident on a processing-time trigger")
+    ig.add_argument("--trigger-seconds", type=int, default=10)
+    ig.add_argument("--timeout", type=int, default=0, help="stop --follow after N seconds (0 = until killed)")
+    ig.add_argument("--watermark", default="10 minutes")
+    ig.add_argument("--horizon-days", type=int, default=7)
+    ig.add_argument("--html-text", action="store_true", help="run the HTML->text normalize stage on ingest")
+    ig.add_argument("--auto-compact-gens", type=int, default=None)
+    ig.add_argument("--slices", type=int, default=8)
+    ig.add_argument("--block-size", type=int, default=128)
+
     pr = sub.add_parser("prune")
     pr.add_argument("--index", required=True)
     pr.add_argument("--cutoff", required=True, help="ISO timestamp; segments older are dropped")
@@ -225,7 +336,7 @@ def main(argv=None) -> int:
     return {
         "package": cmd_package, "build": cmd_build,
         "search": cmd_search, "serve": cmd_serve,
-        "prune": cmd_prune,
+        "ingest": cmd_ingest, "prune": cmd_prune,
         "compact": cmd_compact, "repair": cmd_repair,
     }[args.cmd](args)
 

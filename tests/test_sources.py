@@ -366,3 +366,66 @@ def test_http_jsonl_options_dedupe_repeated_urls():
 
     o = _Options({"urls": " a , b ,a, c , b "})
     assert o.urls == ["a", "b", "c"]
+
+
+# ------------------------------------------------------- cli ingest
+
+
+def test_cli_ingest_pull_from_http_is_idempotent(spark, http, workdir, capsys):
+    import json as _json
+    import os
+
+    from aspublic_spark import cli
+    from aspublic_spark.query import SearchEngine
+
+    routes, base = http
+    routes.set(
+        "/feed", 200,
+        _jsonl([_row("cli1", i, f"ingest quagga {i}") for i in range(4)]),
+    )
+    argv = [
+        "ingest", "--index", os.path.join(workdir, "cli_idx"),
+        "--docs", os.path.join(workdir, "cli_docs"),
+        "--urls", f"{base}/feed", "--slices", "2", "--block-size", "32",
+    ]
+    assert cli.main(argv) == 0
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["mode"] == "pull" and out1["rows_ingested"] == 4
+    # re-pull the same endpoint: key-sidecar dedup makes it a no-op
+    assert cli.main(argv) == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["rows_ingested"] == 0
+    eng = SearchEngine(spark, os.path.join(workdir, "cli_idx"))
+    assert len(eng.search("quagga", k=10).df.collect()) == 4
+
+
+def test_cli_ingest_available_now_checkpoint_only_new_files(spark, workdir, capsys):
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aspublic_spark import cli
+    from aspublic_spark.query import SearchEngine
+    from aspublic_spark.tables import fixture_transcripts
+
+    src = os.path.join(workdir, "cli_src")
+    fixture_transcripts(spark).write.mode("append").parquet(src)
+    argv = [
+        "ingest", "--index", os.path.join(workdir, "cli2_idx"),
+        "--docs", os.path.join(workdir, "cli2_docs"),
+        "--input-dir", src, "--checkpoint", os.path.join(workdir, "cli2_ckpt"),
+        "--slices", "2", "--block-size", "32",
+    ]
+    assert cli.main(argv) == 0
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["mode"] == "available_now" and out1["received"] == 6
+    # new files only on the second pass (checkpointed offsets)
+    fixture_transcripts(spark).withColumn(
+        "conv_id", F.lit("c2")
+    ).write.mode("append").parquet(src)
+    assert cli.main(argv) == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["received"] == 6  # only the appended files
+    eng = SearchEngine(spark, os.path.join(workdir, "cli2_idx"))
+    assert len(eng.search("sample", k=20).df.collect()) == 8  # 4 per conv
