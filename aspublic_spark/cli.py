@@ -211,7 +211,13 @@ def cmd_ingest(args) -> int:
             "seconds": round(time.time() - t0, 2),
         }))
         return 0
-    # one batch pull (no checkpoint): idempotent via the key sidecar
+    # one batch pull: idempotent via the key sidecar
+    if urls and args.checkpoint:
+        print(
+            "ingest: endpoint one-pull ignores --checkpoint (idempotency "
+            "comes from the key sidecar; use --follow for offsets)",
+            file=sys.stderr,
+        )
     if urls:
         from aspublic_spark.sources import read_http_jsonl
 

@@ -429,3 +429,43 @@ def test_cli_ingest_available_now_checkpoint_only_new_files(spark, workdir, caps
     assert out2["received"] == 6  # only the appended files
     eng = SearchEngine(spark, os.path.join(workdir, "cli2_idx"))
     assert len(eng.search("sample", k=20).df.collect()) == 8  # 4 per conv
+
+
+def test_cli_ingest_follow_http_until_timeout(spark, http, workdir, capsys):
+    """--follow stays resident on the http_jsonl stream and drains new
+    lines across triggers until --timeout stops it."""
+    import json as _json
+    import os
+    import threading
+    import time
+
+    from aspublic_spark import cli
+    from aspublic_spark.query import SearchEngine
+
+    routes, base = http
+    rows = [_row("f1", i, f"follow okapi {i}") for i in range(3)]
+    routes.set("/feed", 200, _jsonl(rows))
+
+    # grow the feed mid-run so at least two triggers carry data
+    def grow():
+        time.sleep(8)
+        routes.set(
+            "/feed", 200,
+            _jsonl(rows + [_row("f1", 3, "follow okapi late",
+                                ts="2026-01-02T03:05:00+00:00")]),
+        )
+
+    t = threading.Thread(target=grow, daemon=True)
+    t.start()
+    rc = cli.main([
+        "ingest", "--index", os.path.join(workdir, "f_idx"),
+        "--docs", os.path.join(workdir, "f_docs"),
+        "--urls", f"{base}/feed", "--checkpoint", os.path.join(workdir, "f_ckpt"),
+        "--follow", "--trigger-seconds", "2", "--timeout", "45",
+        "--slices", "2", "--block-size", "32",
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "follow" and out["received"] >= 4
+    eng = SearchEngine(spark, os.path.join(workdir, "f_idx"))
+    assert len(eng.search("okapi", k=10).df.collect()) == 4
