@@ -150,8 +150,11 @@ def cmd_ingest(args) -> int:
     from aspublic_spark.streaming.ingest import StreamingIngest
     from aspublic_spark.tables import realign_fields
 
-    if not args.input_dir and not args.urls:
-        print("ingest: one of --input-dir / --urls is required", file=sys.stderr)
+    if bool(args.input_dir) == bool(args.urls):
+        print(
+            "ingest: exactly one of --input-dir / --urls is required",
+            file=sys.stderr,
+        )
         return 2
     if args.follow and not args.checkpoint:
         print("ingest: --follow requires --checkpoint", file=sys.stderr)
@@ -203,11 +206,15 @@ def cmd_ingest(args) -> int:
             m = (om or {}).get("ingest")
             return int(m["received"]) if m is not None else 0
 
+        # received/batches come from recentProgress, which Spark caps at
+        # the last ~100 updates — rows_ingested (post-dedup, counted in
+        # the sink itself) is exact for runs of any length
         received = sum(_received(p) for p in q.recentProgress)
         print(json.dumps({
             "mode": "follow" if args.follow else "available_now",
-            "batches": len(q.recentProgress),
-            "received": received,
+            "batches_recent": len(q.recentProgress),
+            "received_recent": received,
+            "rows_ingested": int(ing.rows_ingested_total),
             "seconds": round(time.time() - t0, 2),
         }))
         return 0

@@ -88,5 +88,8 @@ def unwrap_reblogs(df: DataFrame, json_col: str = "value", max_depth: int = 3) -
     c = F.col(json_col).cast("string")
     for _ in range(max_depth):
         rb = F.get_json_object(c, "$.reblog")
-        c = F.when(rb.isNotNull(), rb).otherwise(c)
+        # object check, not just non-null: some non-Mastodon servers
+        # emit reblog:false/"" — get_json_object returns those as
+        # non-null scalars, which must NOT replace a valid status
+        c = F.when(rb.isNotNull() & rb.startswith("{"), rb).otherwise(c)
     return df.withColumn(json_col, c)

@@ -20,6 +20,7 @@ a batch, health-tests them, and records the reference's status codes
 :func:`aspublic_spark.sources.read_http_jsonl`.
 """
 
+import http.client
 import time
 import urllib.error
 import urllib.request
@@ -86,7 +87,18 @@ def probe_endpoint(
                 if e.code < 500 and "missing access token" in body.lower():
                     return False, None  # auth required: give up
                 continue  # 5xx / other 4xx: next candidate path
-            except (urllib.error.URLError, TimeoutError, OSError) as e:
+            except (
+                urllib.error.URLError,
+                TimeoutError,
+                OSError,
+                # discovered domains are DATA (any garbage can appear in
+                # ingested URLs): a malformed host (http.client.InvalidURL
+                # via ValueError) or a server speaking non-HTTP
+                # (BadStatusLine) must mark the domain failed, not crash
+                # the registry tick and strand it at 'pending'
+                http.client.HTTPException,
+                ValueError,
+            ) as e:
                 failure = e
                 break  # connection-level failure: retry/backoff loop
         if failure is None:

@@ -31,6 +31,7 @@ Scale/semantics notes:
 
 import datetime as dt
 import json
+import time
 import urllib.request
 
 from pyspark.sql.datasource import (
@@ -45,10 +46,23 @@ TRANSCRIPTS_DDL = (
 )
 
 
-def _fetch_lines(url: str, timeout: float) -> list[str]:
-    with urllib.request.urlopen(url, timeout=timeout) as r:
-        body = r.read().decode("utf-8", errors="replace")
-    return [ln for ln in body.splitlines() if ln.strip()]
+def _fetch_lines(
+    url: str, timeout: float, retries: int = 2, backoff: float = 1.0
+) -> list[str]:
+    """Fetch with bounded retry+backoff: a resident --follow daemon must
+    survive transient endpoint blips (the reference collector retries
+    its streams the same way); persistent failure still raises."""
+    while True:
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as r:
+                body = r.read().decode("utf-8", errors="replace")
+            return [ln for ln in body.splitlines() if ln.strip()]
+        except Exception:
+            if retries <= 0:
+                raise
+            retries -= 1
+            time.sleep(backoff)
+            backoff *= 2
 
 
 def _parse_ts(v):
@@ -121,14 +135,26 @@ class _HttpJsonlStreamReader(DataSourceStreamReader):
 
     def __init__(self, options: dict):
         self.opts = _Options(options)
+        # last successful poll per URL: an endpoint that fails its poll
+        # (even after _fetch_lines' retries) simply makes no progress
+        # this trigger instead of killing the resident query — per-URL
+        # error containment, like the reference's per-domain workers
+        self._last: dict[str, int] = {}
 
     def initialOffset(self):
         return {u: 0 for u in self.opts.urls}
 
     def latestOffset(self):
-        return {
-            u: len(_fetch_lines(u, self.opts.timeout)) for u in self.opts.urls
-        }
+        out = {}
+        for u in self.opts.urls:
+            try:
+                out[u] = len(_fetch_lines(u, self.opts.timeout))
+                self._last[u] = out[u]
+            except Exception:
+                if self.opts.strict:
+                    raise
+                out[u] = self._last.get(u, 0)
+        return out
 
     def partitions(self, start: dict, end: dict):
         parts = [
@@ -140,6 +166,8 @@ class _HttpJsonlStreamReader(DataSourceStreamReader):
         return parts or [_UrlSlice(self.opts.urls[0], 0, 0)]
 
     def read(self, partition: _UrlSlice):
+        if partition.start == partition.end:
+            return  # empty-plan dummy slice: skip the wasted fetch
         lines = _fetch_lines(partition.url, self.opts.timeout)
         yield from self.opts.parse(lines[partition.start : partition.end])
 

@@ -91,6 +91,10 @@ class StreamingIngest:
                     f"files into {docs_dir}/gen=0/ before ingesting"
                 )
         self._next_gen = self._detect_next_gen()
+        # exact post-dedup row count across this instance's batches —
+        # unlike recentProgress (capped at the last ~100 updates), this
+        # never undercounts a long-lived stream
+        self.rows_ingested_total = 0
 
     def _detect_next_gen(self) -> int:
         """Max over BOTH the index generations and the row-store's
@@ -229,6 +233,7 @@ class StreamingIngest:
         new.write.mode("overwrite").parquet(self._staging_dir(gen))
         self.fs.delete(pre_dir, recursive=True)
         n = self._finish_staged(gen)
+        self.rows_ingested_total += n
         if n:
             self._next_gen += 1
         if self.auto_compact_gens and self._next_gen and n:

@@ -550,14 +550,16 @@ def main():
             )
             return time.time() - t0
 
-        for _, qs in fams:  # warm each shape through the HTTP path once
-            _hit(qs)
-        lat = {f: [] for f, _ in fams}
-        rounds = 20  # 20 rounds x 6 families = 120 requests, interleaved
-        for _ in range(rounds):
-            for f, qs in fams:
-                lat[f].append(_hit(qs))
-        srv.stop()
+        try:
+            for _, qs in fams:  # warm each shape through the HTTP path once
+                _hit(qs)
+            lat = {f: [] for f, _ in fams}
+            rounds = 20  # 20 rounds x 6 families = 120 requests, interleaved
+            for _ in range(rounds):
+                for f, qs in fams:
+                    lat[f].append(_hit(qs))
+        finally:
+            srv.stop()  # a failed request must not leak the resident server
 
         def _pct(xs, p):
             s = sorted(xs)

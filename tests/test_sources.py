@@ -419,14 +419,16 @@ def test_cli_ingest_available_now_checkpoint_only_new_files(spark, workdir, caps
     ]
     assert cli.main(argv) == 0
     out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out1["mode"] == "available_now" and out1["received"] == 6
+    assert out1["mode"] == "available_now" and out1["received_recent"] == 6
+    assert out1["rows_ingested"] == 6
     # new files only on the second pass (checkpointed offsets)
     fixture_transcripts(spark).withColumn(
         "conv_id", F.lit("c2")
     ).write.mode("append").parquet(src)
     assert cli.main(argv) == 0
     out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out2["received"] == 6  # only the appended files
+    assert out2["received_recent"] == 6  # only the appended files
+    assert out2["rows_ingested"] == 6
     eng = SearchEngine(spark, os.path.join(workdir, "cli2_idx"))
     assert len(eng.search("sample", k=20).df.collect()) == 8  # 4 per conv
 
@@ -466,6 +468,76 @@ def test_cli_ingest_follow_http_until_timeout(spark, http, workdir, capsys):
     ])
     assert rc == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out["mode"] == "follow" and out["received"] >= 4
+    assert out["mode"] == "follow" and out["rows_ingested"] == 4
     eng = SearchEngine(spark, os.path.join(workdir, "f_idx"))
     assert len(eng.search("okapi", k=10).df.collect()) == 4
+
+
+# ------------------------------------------------- robustness fixes
+
+
+def test_unwrap_reblogs_keeps_rows_with_scalar_reblog(spark):
+    """Non-Mastodon servers emit reblog:false/"" — scalars must not
+    replace a valid status (only an OBJECT reblog unwraps)."""
+    rows = [
+        {"url": "https://a/1", "content": "<p>keep false</p>", "reblog": False},
+        {"url": "https://a/2", "content": "<p>keep empty</p>", "reblog": ""},
+        {"url": "https://a/3", "content": "<p>keep zero</p>", "reblog": 0},
+    ]
+    df = spark.createDataFrame([(json.dumps(o),) for o in rows], "value string")
+    out = normalize_status_json(unwrap_reblogs(df)).collect()
+    assert sorted(r["url"] for r in out) == ["a/1", "a/2", "a/3"]
+
+
+def test_probe_endpoint_contains_garbage_domains():
+    """A malformed host or a non-HTTP server marks the domain failed
+    instead of crashing the registry tick."""
+    assert probe_endpoint("http://bad host:abc", timeout=0.5) == (False, None)
+    # a raw TCP server speaking non-HTTP bytes -> BadStatusLine
+    import socket
+    import threading
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def junk():
+        conn, _ = srv.accept()
+        conn.recv(1024)
+        conn.sendall(b"NOT HTTP AT ALL\r\n\r\n")
+        conn.close()
+
+    threading.Thread(target=junk, daemon=True).start()
+    try:
+        assert probe_endpoint(f"http://127.0.0.1:{port}", timeout=2) == (False, None)
+    finally:
+        srv.close()
+
+
+def test_stream_poll_failure_makes_no_progress_instead_of_killing(spark, http, workdir):
+    """An endpoint that fails a latestOffset poll (after retries) holds
+    its offset; the resident query survives and drains the lines once
+    the endpoint recovers."""
+    import os
+    import time
+
+    from aspublic_spark.sources.http_source import _HttpJsonlStreamReader
+
+    routes, base = http
+    url = f"{base}/flaky"
+    routes.set("/flaky", 200, _jsonl([_row("fk", 0, "flaky alpha")]))
+    rdr = _HttpJsonlStreamReader({"urls": url, "timeout": "0.5"})
+    assert rdr.latestOffset() == {url: 1}
+    # endpoint goes away: poll returns the LAST KNOWN offset, not a raise
+    del routes.routes["/flaky"]
+    t0 = time.time()
+    assert rdr.latestOffset() == {url: 1}
+    routes.set("/flaky", 200, _jsonl(
+        [_row("fk", 0, "flaky alpha"), _row("fk", 1, "flaky beta")]))
+    assert rdr.latestOffset() == {url: 2}
+    # strict=true propagates instead
+    rdr2 = _HttpJsonlStreamReader({"urls": url, "timeout": "0.5", "strict": "true"})
+    del routes.routes["/flaky"]
+    with pytest.raises(Exception):
+        rdr2.latestOffset()
