@@ -98,10 +98,12 @@ def _build_cached_engine(
 
 def _documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _build_cached_engine(
-        spark, sf_dir, "v6",
+        spark, sf_dir, "v7",
         lambda d: d,
+        # n_slices auto-sizes by corpus volume (build.py: ~1M docs/slice,
+        # floor 8) — the measured optimum at these corpus sizes
         dict(key_cols=["doc_id"], text_col="text",
-             meta_cols=["lang", "source", "n_chars"], n_slices=4),
+             meta_cols=["lang", "source", "n_chars"]),
     )
 
 
@@ -110,10 +112,10 @@ def _documents_engine_2f(spark: SparkSession, sf_dir: str) -> SearchEngine:
     (source + lang), matching the reference's fts5(text, subject)
     two-column index (common/db_sqlite.py:27-41)."""
     return _build_cached_engine(
-        spark, sf_dir, "2f_v4",
+        spark, sf_dir, "2f_v5",
         lambda d: d.withColumn("subject", F.concat_ws(" ", "source", "lang")),
         dict(key_cols=["doc_id"], text_cols=["text", "subject"],
-             meta_cols=["lang", "source", "n_chars"], n_slices=4),
+             meta_cols=["lang", "source", "n_chars"]),
     )
 
 

@@ -519,7 +519,7 @@ class IndexBuilder:
         text_col: str = "text",
         meta_cols: list[str] = ("role", "tool", "ts"),
         block_size: int = 128,
-        n_slices: int = 8,
+        n_slices: int | None = None,
         store_positions: bool = True,
         salt_max_postings: int = 100_000,
         text_cols: list[str] | None = None,
@@ -532,7 +532,24 @@ class IndexBuilder:
         single-field shorthand. ``analyzer``: 'fts5' (unicode61
         semantics, the rank-identity backend) or 'english' (the
         Postgres to_tsvector('english') variant: stopwords dropped,
-        Porter-stemmed — db_postgres.py:29-31)."""
+        Porter-stemmed — db_postgres.py:29-31).
+
+        ``n_slices=None`` (default) auto-sizes from the FIRST build's
+        corpus volume (~1M docs per slice, floor 8, cap 4096; bounded
+        LIMIT probe so small inputs never pay a count pass). Slices are
+        the doc-hash partitions of the index and the ONLY co-location
+        key a phrase match can shuffle packed blocks by (see engine.py
+        _phrase_match_factory), so they cap phrase parallelism AND set
+        the per-task decoded-positions memory unit (~24B per
+        phrase-term occurrence in a slice; 1M docs x ~20 tokens with a
+        20% Zipf head ~= 100MB decoded per task). Sizing is by VOLUME,
+        not session width: a measured sweep at sf0.1 (PLANS.md) shows
+        q_phrase flat from 4->8 slices and degrading at 16/32 — when
+        per-slice volume is small, extra slices only add task/file
+        overhead, so parallelism-based sizing would pessimize exactly
+        the corpora it fits in. Explicit n_slices always wins (an
+        operator sizing for a known cluster); a stored index's layout
+        always wins over both."""
         self.spark = spark
         self.index_dir = index_dir
         self.key_cols = list(key_cols)
@@ -540,7 +557,7 @@ class IndexBuilder:
         self.text_col = self.text_cols[0]
         self.meta_cols = list(meta_cols)
         self.block_size = block_size
-        self.n_slices = n_slices
+        self.n_slices = n_slices  # None -> resolved at first build()
         self.store_positions = store_positions
         self.salt_max_postings = salt_max_postings
         self.analyzer = analyzer
@@ -653,6 +670,8 @@ class IndexBuilder:
         global refresh runs (idempotent replay after a crash between
         liveness commit and refresh)."""
         t0 = time.time()
+        if self.n_slices is None:
+            self.n_slices = self._resolve_auto_slices(df)
         meta_path = self._p("index_meta.json")
         if self.fs.exists(meta_path):
             existing = self.fs.read_json(meta_path)
@@ -706,7 +725,32 @@ class IndexBuilder:
         """
         return self.build(df, gen=gen, resume=resume)
 
+    DOCS_PER_SLICE = 1_000_000
+    MIN_SLICES = 8
+    MAX_SLICES = 4096
+
+    def _resolve_auto_slices(self, df: DataFrame) -> int:
+        """Size n_slices from the first build's corpus volume.
+
+        A LocalLimit probe answers "more than MIN_SLICES full slices of
+        docs?" with bounded cost regardless of input size (same trick
+        as the salt plan's heavy-term probe); only genuinely large
+        first builds pay the column-pruned count() that sizes them."""
+        cap = self.MIN_SLICES * self.DOCS_PER_SLICE
+        probe = df.select(F.lit(1).alias("one")).limit(cap + 1).count()
+        if probe <= cap:
+            return self.MIN_SLICES
+        n_docs = df.count()
+        return int(
+            min(self.MAX_SLICES, -(-n_docs // self.DOCS_PER_SLICE))
+        )
+
     def _slice_col(self):
+        if self.n_slices is None:
+            raise RuntimeError(
+                "n_slices unresolved — auto sizing happens at the first "
+                "build(); open an existing index or pass n_slices"
+            )
         return F.pmod(
             F.xxhash64(F.lit(7), F.col("doc_id")), F.lit(self.n_slices)
         ).cast("int")

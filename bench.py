@@ -87,7 +87,13 @@ def _n_turns() -> int:
     return _SF_TURNS.get(_sf_label(), 200_000)
 
 
-def _build(spark, df, idx_dir, n_slices=4):
+def _build(spark, df, idx_dir, n_slices=None):
+    # n_slices=None -> IndexBuilder auto-sizes by corpus volume (~1M docs
+    # per slice, floor 8): every bench scale (200k..3M turns) resolves to
+    # 8, so scaling-leg workloads stay identical in shape across
+    # parallelism levels. Volume-based (not width-based) sizing is the
+    # measured optimum: the sf0.1 slice sweep in PLANS.md shows q_phrase
+    # flat 4->8 and degrading at 16/32 slices.
     from aspublic_spark.index.build import IndexBuilder
 
     shutil.rmtree(idx_dir, ignore_errors=True)
@@ -454,6 +460,7 @@ QUERY_SET = [
     ("q_and", "query spark", {}),
     ("q_and_not", "query spark !shuffle", {}),
     ("q_phrase", '"the the"', {}),
+    ("q_phrase3", '"the the the"', {}),
     ("q_filtered", "data", {"role": "assistant"}),
     ("q_recency", "status", {"order": "recency"}),
 ]
@@ -537,6 +544,7 @@ def main():
             ("and", "q=" + _q("query spark") + "&k=50"),
             ("not", "q=" + _q("query spark !shuffle") + "&k=50"),
             ("phrase", "q=" + _q('"the the"') + "&k=50"),
+            ("phrase3", "q=" + _q('"the the the"') + "&k=50"),
             ("filtered", "q=data&k=50&role=assistant"),
             ("recency", "q=status&k=50&order=recency"),
         ]

@@ -176,3 +176,40 @@ def test_selective_phrase_docs_broadcast_into_semi_join(spark, workdir):
     semi = [l for l in plan.splitlines() if "LeftSemi" in l]
     assert semi and all("BroadcastHashJoin" in l for l in semi), plan
     assert res.df.count() == 10  # only the adjacent variant matches
+
+
+def test_auto_n_slices_resolves_by_volume_at_first_build(spark, workdir):
+    """VERDICT r4 #3: n_slices=None auto-sizes from the first build's
+    corpus volume (floor 8 at small scale — the measured optimum of the
+    PLANS.md slice sweep), resolution is persisted in index_meta.json,
+    and a stored layout overrides any later constructor value."""
+    import json
+
+    idx = os.path.join(workdir, "auto_slices_idx")
+    b = IndexBuilder(
+        spark, idx, key_cols=["conv_id", "turn_idx"], text_col="text",
+        meta_cols=["role", "tool", "ts"], block_size=8,
+    )
+    assert b.n_slices is None  # unresolved until the input is seen
+    b.build(_mk_rows(spark, "cA", 24, 1_000_000, "alpha beta"))
+    assert b.n_slices == IndexBuilder.MIN_SLICES
+    with open(os.path.join(idx, "index_meta.json")) as f:
+        assert json.load(f)["n_slices"] == IndexBuilder.MIN_SLICES
+    # reopening with auto again: the stored layout wins, no re-probe
+    b2 = IndexBuilder(spark, idx)
+    assert b2.n_slices == IndexBuilder.MIN_SLICES
+    # reopening with a DIFFERENT explicit value: stored layout still wins
+    b3 = IndexBuilder(spark, idx, n_slices=64)
+    assert b3.n_slices == IndexBuilder.MIN_SLICES
+    # volume formula: ceil(n_docs / DOCS_PER_SLICE) clamped to [8, 4096]
+    r = IndexBuilder._resolve_auto_slices
+    fake = type("B", (), {"MIN_SLICES": 8, "MAX_SLICES": 4096,
+                          "DOCS_PER_SLICE": IndexBuilder.DOCS_PER_SLICE})()
+    class _Probe:
+        def __init__(self, n): self.n = n
+        def select(self, *a): return self
+        def limit(self, k): return _Probe(min(self.n, k))
+        def count(self): return self.n
+    assert r(fake, _Probe(1000)) == 8
+    assert r(fake, _Probe(9_000_000)) == 9
+    assert r(fake, _Probe(10**13)) == 4096
