@@ -284,7 +284,8 @@ def main(argv=None) -> int:
     b.add_argument("--text-col", default="text")
     b.add_argument("--text-cols", default="", help="comma list for a multi-field index (e.g. text,subject)")
     b.add_argument("--meta-cols", default="role,tool,ts")
-    b.add_argument("--slices", type=int, default=8)
+    b.add_argument("--slices", type=int, default=None,
+                   help="doc-hash slices; default auto-sizes by corpus volume")
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--salt-max", type=int, default=100_000)
     b.add_argument("--analyzer", default="fts5", choices=["fts5", "english"])
@@ -326,7 +327,8 @@ def main(argv=None) -> int:
     ig.add_argument("--horizon-days", type=int, default=7)
     ig.add_argument("--html-text", action="store_true", help="run the HTML->text normalize stage on ingest")
     ig.add_argument("--auto-compact-gens", type=int, default=None)
-    ig.add_argument("--slices", type=int, default=8)
+    ig.add_argument("--slices", type=int, default=None,
+                    help="doc-hash slices; default auto-sizes by corpus volume")
     ig.add_argument("--block-size", type=int, default=128)
 
     pr = sub.add_parser("prune")

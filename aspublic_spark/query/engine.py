@@ -211,6 +211,7 @@ class SearchEngine:
         prune_min_postings: int = 2_000_000,
         cache_tables: bool = False,
         auto_refresh: bool = False,
+        adaptive_execution: bool = False,
     ):
         """``cache_tables=True`` pins docs + dictionary in executor memory
         — the right call for a long-lived query server (the reference's
@@ -233,8 +234,36 @@ class SearchEngine:
         cheaper than the round-trips (measured 2.7x at 200k docs), while
         at Zipf-head scale (10^8+ postings) pruning is the only viable
         plan. Set 0 to force it (tests assert the pruned plan is
-        result-identical to exhaustive)."""
+        result-identical to exhaustive).
+
+        ``adaptive_execution``: queries run with AQE OFF by default, in
+        a child SparkSession scoped to this engine (the caller's
+        session — and the index BUILD, where AQE's skew re-planning
+        earns its keep — is untouched). An interactive search has
+        driver-known sizes everywhere (the dictionary bounds every
+        join side, small sides carry explicit broadcast hints), so
+        AQE's only observable effect is materializing each exchange as
+        its own job — measured at sf0.1/local[32]: 15-30% of latency
+        on EVERY query family (q_and 0.79->0.54 s, q_phrase
+        1.27->0.94 s, q_single 0.39->0.28 s). Pass True to plan
+        queries on the caller's session with whatever AQE setting it
+        has."""
         self.spark = spark
+        if not adaptive_execution:
+            try:
+                child = spark.newSession()
+                # newSession starts from the STATIC conf: re-apply the
+                # caller's runtime SQL overrides (shuffle width, session
+                # timezone, ...) so only the AQE flag differs
+                for row in spark.sql("SET").collect():
+                    try:
+                        child.conf.set(row["key"], row["value"])
+                    except Exception:
+                        pass  # static/non-settable entries
+                child.conf.set("spark.sql.adaptive.enabled", "false")
+                self.spark = child
+            except Exception:
+                pass  # non-JVM test doubles: keep the caller's session
         self.index_dir = index_dir
         self.prune_min_postings = prune_min_postings
         # cap on block intervals materialized to the driver for range

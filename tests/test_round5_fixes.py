@@ -213,3 +213,36 @@ def test_auto_n_slices_resolves_by_volume_at_first_build(spark, workdir):
     assert r(fake, _Probe(1000)) == 8
     assert r(fake, _Probe(9_000_000)) == 9
     assert r(fake, _Probe(10**13)) == 4096
+
+
+def test_engine_plans_queries_without_aqe_in_child_session(spark, workdir):
+    """r5 perf: interactive queries have dictionary-bounded join sides
+    with explicit broadcast hints, so AQE only adds one job per
+    exchange (15-30% of latency). The engine must plan on a child
+    session with AQE off, leave the caller's session untouched, and
+    return identical results either way."""
+    idx = os.path.join(workdir, "aqe_child_idx")
+    b = _builder(spark, idx)
+    b.build(_mk_rows(spark, "cQ", 30, 1_000_000, "alpha beta gamma"))
+
+    eng = SearchEngine(spark, idx)
+    assert eng.spark is not spark
+    assert eng.spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    # caller's session keeps its own setting (and the runtime overrides
+    # were cloned into the child: shuffle width must match)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert eng.spark.conf.get("spark.sql.shuffle.partitions") == spark.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    assert "AdaptiveSparkPlan" not in (
+        eng.search("alpha beta", k=10).df._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+
+    opt_in = SearchEngine(spark, idx, adaptive_execution=True)
+    assert opt_in.spark is spark
+    a = [(r["turn_idx"], round(r["score"], 9))
+         for r in eng.search('"alpha beta"', k=10).df.collect()]
+    bb = [(r["turn_idx"], round(r["score"], 9))
+          for r in opt_in.search('"alpha beta"', k=10).df.collect()]
+    assert a == bb and len(a) == 10
