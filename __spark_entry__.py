@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from aspublic_spark import BM25_B, BM25_K1
 from aspublic_spark.index.build import IndexBuilder
 from aspublic_spark.query.engine import SearchEngine
-from aspublic_spark.query.parser import parse_websearch
+from aspublic_spark.query.parser import parse_fts5, parse_websearch
 from aspublic_spark.session import ensure_package
 
 SF0001 = "/root/testdata/sf0.001"
@@ -155,6 +155,7 @@ def _bm25_sql(
     not_groups: list[list[str]] | None = None,
     phrase: list[str] | None = None,
     or_mixed: list[tuple[list[str], list[list[str]]]] | None = None,
+    near: tuple[list[str], int] | None = None,
     doc_filter: str | None = None,
     k: int = 20,
 ) -> str:
@@ -211,6 +212,24 @@ def _bm25_sql(
     phrase_sql = ""
     if phrase:
         phrase_sql = f"and s.doc_id in ({_phrase_subq(phrase)})"
+    if near:
+        # FTS5 NEAR(t1..tk, n), live-probe-pinned semantics: one
+        # occurrence per DISTINCT operand within max-min <= n+1
+        # (single-field; the documents corpus is single-field so the
+        # tokpos join needs no field key)
+        nterms, nn = near
+        uniq = sorted(set(nterms))
+        joins = " ".join(
+            f"join tokpos n{i} on n{i}.doc_id = n0.doc_id"
+            for i in range(1, len(uniq))
+        )
+        conds = " and ".join(f"n{i}.term = '{t}'" for i, t in enumerate(uniq))
+        poss = ", ".join(f"n{i}.pos" for i in range(len(uniq)))
+        phrase_sql += (
+            f" and s.doc_id in (select distinct n0.doc_id from tokpos n0 "
+            f"{joins} where {conds} "
+            f"and greatest({poss}) - least({poss}) <= {int(nn) + 1})"
+        )
     for tg, pgs in or_mixed or []:
         parts = []
         if tg:
@@ -342,6 +361,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf, '"hash join" OR dup', k=20, parser=parse_websearch
     )
     q["fts_not_group"] = lambda spark, sf: _fts(spark, sf, 'table !"hash join"', k=20)
+    # FTS5 proximity operator (raw-FTS5 surface the sqlite backend's
+    # MATCH accepts, db_sqlite.py:131): one occurrence of each operand
+    # within a window, any order — strictly wider than the phrase
+    q["fts_near"] = lambda spark, sf: _fts(
+        spark, sf, "NEAR(hash join, 2)", k=20, parser=parse_fts5
+    )
     # two-field index (text + derived subject): 'src3' only exists in
     # the subject field, so the AND can only be satisfied cross-field
     q["fts_two_field"] = lambda spark, sf: _fts(
@@ -763,6 +788,10 @@ def oracle_sql() -> dict[str, str]:
     )
     o["fts_not_group"] = _bm25_sql(
         ["table"], and_terms=["table"], not_groups=[["hash", "join"]]
+    )
+    o["fts_near"] = _bm25_sql(
+        ["hash", "join"], and_terms=["hash", "join"],
+        near=(["hash", "join"], 2),
     )
     o["fts_or_phrase"] = _bm25_sql(
         ["hash", "join", "dup"], or_mixed=[(["dup"], [["hash", "join"]])]

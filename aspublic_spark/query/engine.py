@@ -105,6 +105,106 @@ def _unpack_factory(with_positions: bool):
     return unpack
 
 
+def _decode_positions_by_term(batches):
+    """Decode PACKED position blocks into per-term occurrence arrays:
+    term -> (doc_ids, flds, abs_positions), all int64 numpy.
+
+    Fully vectorized: per block, positions decode in one varint pass
+    with record boundaries derived from the tfs column (record k is
+    [n=tf_k, first, deltas...]), absolute positions via grouped cumsum.
+    Shared by the phrase and NEAR matchers."""
+    from collections import defaultdict
+
+    per = defaultdict(lambda: ([], [], []))  # term -> (docs, flds, pos)
+    for pdf in batches:
+        for row in pdf.itertuples(index=False):
+            r = row._asdict()
+            ids = codec.delta_decode_docs(r["doc_gaps"])
+            if ids.size == 0:
+                continue
+            tfs = codec.decode_varints(r["tfs"]).astype(np.int64)
+            flat = codec.decode_varints(r["positions"]).astype(np.int64)
+            # vectorized record split: header positions from tfs
+            lens = tfs + 1
+            hstart = np.zeros(lens.size, dtype=np.int64)
+            np.cumsum(lens[:-1], out=hstart[1:])
+            keep = np.ones(flat.size, dtype=bool)
+            keep[hstart] = False  # drop the n_pos headers
+            vals = flat[keep]
+            c = np.cumsum(vals)
+            vstart = np.zeros(tfs.size, dtype=np.int64)
+            np.cumsum(tfs[:-1], out=vstart[1:])
+            base = np.where(vstart > 0, c[vstart - 1], 0)
+            abs_pos = c - np.repeat(base, tfs)  # grouped cumsum
+            if abs_pos.size and int(abs_pos.max()) >= (1 << 24):
+                raise RuntimeError(
+                    "position exceeds 2^24 (16M tokens in one field "
+                    "of one doc) — positional key packing would overflow"
+                )
+            d, f, p = per[r["term"]]
+            d.append(np.repeat(ids, tfs))
+            f.append(np.full(abs_pos.size, int(r["fld"]), dtype=np.int64))
+            p.append(abs_pos)
+    return {t: tuple(np.concatenate(x) for x in v) for t, v in per.items()}
+
+
+def _near_match_factory(terms: list[str], n: int):
+    """mapInPandas fn over PACKED blocks of the NEAR group's terms (one
+    partition holds complete doc-hash slices): emit doc_ids where ONE
+    occurrence of each DISTINCT term can be chosen within a single
+    field such that max(pos) - min(pos) <= n + 1.
+
+    That is FTS5's observable ``NEAR(t1 .. tk, n)`` semantics for
+    single-token operands, pinned by live probes (tests): duplicate
+    operands collapse (NEAR(a a, 0) matches a lone 'a'), matching never
+    spans columns, the window is k-independent, and the default n is
+    10 (parser).
+
+    Vectorized window test: occurrences pack into the same int64 keys
+    as the phrase matcher (doc ordinal << 32 | fld << 24 | pos). Every
+    occurrence of any term is a candidate window START (the chosen
+    minimum is always one of them); for each start a and term t, the
+    first key of t >= a must lie within [a, a+n+1] in the same
+    (doc, fld) group — one searchsorted per term over the partition's
+    anchors, no per-occurrence Python. Position overflow past the
+    window into the next field ordinal is impossible: positions are
+    capped at 2^24-1, so a start within n+1 of the cap has no
+    same-group key beyond it to falsely match, and the explicit
+    group-equality check rejects cross-field hits."""
+    uniq = sorted(set(terms))
+    span = int(n) + 1
+
+    def run(batches):
+        cat = _decode_positions_by_term(batches)
+        empty = pd.DataFrame({"doc_id": np.empty(0, dtype=np.int64)})
+        if any(t not in cat for t in uniq):
+            yield empty
+            return
+        alldocs = np.unique(np.concatenate([cat[t][0] for t in uniq]))
+        keys = {}
+        for t in uniq:
+            d, f, p = cat[t]
+            o = np.searchsorted(alldocs, d)
+            keys[t] = np.unique((o << 32) | (f << 24) | p)
+        anchors = np.unique(np.concatenate([keys[t] for t in uniq]))
+        ok = np.ones(anchors.size, dtype=bool)
+        grp = anchors >> 24  # (doc ordinal, fld)
+        for t in uniq:
+            ks = keys[t]
+            idx = np.searchsorted(ks, anchors)
+            hit = idx < ks.size
+            v = ks[np.minimum(idx, ks.size - 1)]
+            ok &= hit & (v <= anchors + span) & ((v >> 24) == grp)
+        docs = (
+            alldocs[np.unique(anchors[ok] >> 32)]
+            if ok.any()
+            else np.empty(0, dtype=np.int64)
+        )
+        yield pd.DataFrame({"doc_id": docs})
+
+    return run
+
+
 def _phrase_match_factory(phrase: list[str]):
     """mapInPandas fn over PACKED blocks of the phrase's terms (one
     partition holds complete doc-hash slices): emit doc_ids where the
@@ -131,45 +231,11 @@ def _phrase_match_factory(phrase: list[str]):
     terms = list(phrase)
 
     def run(batches):
-        from collections import defaultdict
-
-        per = defaultdict(lambda: ([], [], []))  # term -> (docs, flds, pos)
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                r = row._asdict()
-                ids = codec.delta_decode_docs(r["doc_gaps"])
-                if ids.size == 0:
-                    continue
-                tfs = codec.decode_varints(r["tfs"]).astype(np.int64)
-                flat = codec.decode_varints(r["positions"]).astype(np.int64)
-                # vectorized record split: header positions from tfs
-                lens = tfs + 1
-                hstart = np.zeros(lens.size, dtype=np.int64)
-                np.cumsum(lens[:-1], out=hstart[1:])
-                keep = np.ones(flat.size, dtype=bool)
-                keep[hstart] = False  # drop the n_pos headers
-                vals = flat[keep]
-                c = np.cumsum(vals)
-                vstart = np.zeros(tfs.size, dtype=np.int64)
-                np.cumsum(tfs[:-1], out=vstart[1:])
-                base = np.where(vstart > 0, c[vstart - 1], 0)
-                abs_pos = c - np.repeat(base, tfs)  # grouped cumsum
-                if abs_pos.size and int(abs_pos.max()) >= (1 << 24):
-                    raise RuntimeError(
-                        "position exceeds 2^24 (16M tokens in one field "
-                        "of one doc) — phrase key packing would overflow"
-                    )
-                d, f, p = per[r["term"]]
-                d.append(np.repeat(ids, tfs))
-                f.append(np.full(abs_pos.size, int(r["fld"]), dtype=np.int64))
-                p.append(abs_pos)
+        cat = _decode_positions_by_term(batches)
         empty = pd.DataFrame({"doc_id": np.empty(0, dtype=np.int64)})
-        if any(t not in per for t in set(terms)):
+        if any(t not in cat for t in set(terms)):
             yield empty
             return
-        cat = {
-            t: tuple(np.concatenate(x) for x in per[t]) for t in set(terms)
-        }
         alldocs = np.unique(np.concatenate([cat[t][0] for t in set(terms)]))
 
         def keys(t: str, off: int) -> np.ndarray:
@@ -504,6 +570,20 @@ class SearchEngine:
             _phrase_match_factory(list(phrase)), "doc_id long"
         )
 
+    def _near_docs(self, terms: list[str], n: int, blocks: DataFrame) -> DataFrame:
+        """Docs matching FTS5 ``NEAR(t1 .. tk, n)``: one occurrence per
+        distinct term within a single field, max-min position <= n+1
+        (semantics pinned by live FTS5 probes — see
+        _near_match_factory). Same plan shape as a phrase: the terms'
+        PACKED blocks shuffle by slice still compressed, one mapInPandas
+        does the vectorized window test."""
+        nb = blocks.filter(F.col("term").isin(sorted(set(terms)))).select(
+            "slice", "term", "fld", "doc_gaps", "tfs", "positions"
+        )
+        return nb.repartition("slice").mapInPandas(
+            _near_match_factory(list(terms), n), "doc_id long"
+        )
+
     def _coarse_intervals(self, rare: DataFrame, nbuck: int) -> DataFrame:
         """Coarsen a term's (min_doc, max_doc) block intervals to at most
         ``nbuck`` covering intervals, fully distributed: bucket by the
@@ -571,7 +651,11 @@ class SearchEngine:
         # ---- doc-range intersection pruning for AND/phrase queries ----
         # (a doc satisfies term t if it matches in ANY field, so the
         # rarest term's intervals span its blocks across all fields)
-        and_like = list(pq.and_terms) + [t for ph in pq.phrases for t in ph]
+        and_like = (
+            list(pq.and_terms)
+            + [t for ph in pq.phrases for t in ph]
+            + [t for tg, _n in pq.nears for t in tg]  # conjunctive too
+        )
         # intersecting a single term's blocks with their own intervals
         # keeps everything — only worth the extra job when a SECOND
         # term's (or the NOT side's) blocks can actually be dropped
@@ -618,11 +702,13 @@ class SearchEngine:
                 info["n_intervals"] = len(merged)
 
         # ---- threshold (theta) pruning --------------------------------
-        # Valid only when no phrases (adjacency could invalidate partial
-        # candidates' qualification). NOT terms and structured doc
+        # Valid only when no phrases or NEAR groups (positional
+        # constraints could invalidate partial candidates'
+        # qualification, making the probe's k-th score a superset bound
+        # — too HIGH to prune with). NOT terms and structured doc
         # filters are applied inside the phase-1 candidate scoring, so
         # theta stays a valid lower bound of the true k-th result.
-        if not pq.phrases and scaled_map:
+        if not pq.phrases and not pq.nears and scaled_map:
             gub = {
                 (t, f): v
                 * self._safe_ub_w(
@@ -814,8 +900,12 @@ class SearchEngine:
         )
         self.term_stats(list(dict.fromkeys(pos_terms)) + sorted(ng_all))
         stats = self.term_stats(pos_terms)
-        # an AND/phrase term absent from the corpus -> empty result
-        required = set(pq.and_terms) | {t for ph in pq.phrases for t in ph}
+        # an AND/phrase/NEAR term absent from the corpus -> empty result
+        required = (
+            set(pq.and_terms)
+            | {t for ph in pq.phrases for t in ph}
+            | {t for tg, _n in pq.nears for t in tg}
+        )
         if any(t not in stats for t in required) or not any(t in stats for t in pos_terms):
             empty = docs_f.limit(0).withColumn("score", F.lit(0.0)).select(
                 "doc_id", *key_meta, "score"
@@ -883,7 +973,9 @@ class SearchEngine:
         # run: LIVE alternatives/NOT-phrases (a dead phrase — one whose
         # terms are absent from the corpus — never evaluates positions,
         # so a positionless index answers the rest of the query fine)
-        if (pq.phrases or mixed_groups or live_nphrases) and not self.store_positions:
+        if (
+            pq.phrases or mixed_groups or live_nphrases or pq.nears
+        ) and not self.store_positions:
             raise ValueError(
                 "phrase queries need positions, but this index was built "
                 "with store_positions=False"
@@ -896,6 +988,7 @@ class SearchEngine:
         single_path = (
             len(scaled_map) == 1
             and not pq.phrases
+            and not pq.nears
             and not or_ops
             and len(set(pq.and_terms)) <= 1
         )
@@ -945,6 +1038,15 @@ class SearchEngine:
             if bound <= self.broadcast_cand_max_postings:
                 phd = F.broadcast(phd)
             cand = cand.join(phd, "doc_id", "left_semi")
+        for tg, nn in pq.nears:
+            # NEAR doc sets share the phrase path's estimation hole
+            # (mapInPandas output): broadcast under the dictionary
+            # bound (near docs <= min term df)
+            nd = self._near_docs(tg, nn, pos_blocks)
+            bound = min(sum(s["df"] for s in stats[t].values()) for t in set(tg))
+            if bound <= self.broadcast_cand_max_postings:
+                nd = F.broadcast(nd)
+            cand = cand.join(nd, "doc_id", "left_semi")
         for tg, pg in mixed_groups:
             # satisfied by any term alternative OR any adjacent phrase
             # alternative (websearch `"a b" OR c` keeps adjacency)

@@ -52,6 +52,11 @@ class ParsedQuery:
     # negated phrases with adjacency: excluded iff the exact phrase
     # occurs (websearch_to_tsquery's `-"a b"` -> `!(a <-> b)`)
     not_phrases: list[list[str]] = field(default_factory=list)
+    # NEAR proximity groups (parse_fts5 extension): (terms, n) — the
+    # doc must contain one occurrence of each DISTINCT term within a
+    # single field with max(pos) - min(pos) <= n + 1 (FTS5's observable
+    # NEAR semantics for single-token operands, pinned by live probes)
+    nears: list[tuple[list[str], int]] = field(default_factory=list)
     # list of OR groups; each group is a list of alternative terms of
     # which at least one must match (websearch extension; empty for the
     # sqlite-style parser)
@@ -85,6 +90,9 @@ class ParsedQuery:
         for ph in self.phrases:
             for t in ph:
                 seen.setdefault(t)
+        for tg, _n in self.nears:
+            for t in tg:
+                seen.setdefault(t)
         for g in self.or_groups:
             for t in g:
                 seen.setdefault(t)
@@ -96,7 +104,11 @@ class ParsedQuery:
 
     def is_empty(self) -> bool:
         return not (
-            self.and_terms or self.phrases or self.or_groups or self.or_phrase_groups
+            self.and_terms
+            or self.phrases
+            or self.nears
+            or self.or_groups
+            or self.or_phrase_groups
         )
 
 
@@ -201,3 +213,47 @@ def parse_websearch(q: str, tok=tokenize) -> ParsedQuery:
                 out.and_terms.extend(payload)
         i += 1
     return out
+
+
+_NEAR_GROUP = re.compile(r"NEAR\(\s*([^(),]*?)\s*(?:,\s*(\d+)\s*)?\)")
+
+
+def parse_fts5(q: str, tok=tokenize) -> ParsedQuery:
+    """Raw-FTS5 surface extension: ``parse_query`` plus ``NEAR(...)``.
+
+    The reference's sqlite backend hands its MATCH string straight to
+    FTS5 (db_sqlite.py:131), whose query language includes proximity
+    groups — ``NEAR(a b c, 5)``, ``NEAR(a b)`` (default n=10). This
+    parser accepts that operator on top of the translateSearchString
+    semantics; everything outside NEAR(...) parses exactly like
+    ``parse_query`` (so NOT/phrases compose: ``NEAR(a b, 3) !c``).
+    The keyword is case-sensitive like FTS5's (lowercase ``near(`` is
+    ordinary text). NEAR operands are single tokens (FTS5 also allows
+    quoted phrases inside NEAR; unsupported here — a quoted operand
+    tokenizes to its words, i.e. it degrades to the unquoted form).
+    Matching semantics are pinned by live FTS5 probes in the tests:
+    duplicate operands collapse, a single-operand NEAR is a plain
+    term, and the window test is max(pos)-min(pos) <= n+1 over one
+    occurrence per distinct term within one field."""
+    out = ParsedQuery()
+    rest = q or ""
+
+    def near(m: re.Match) -> str:
+        toks = tok(m.group(1))
+        n = int(m.group(2)) if m.group(2) is not None else 10
+        # positions are capped at 2^24 (engine key packing), so any
+        # larger window is equivalent to unlimited; the clamp also keeps
+        # the matcher's int64 window arithmetic overflow-free
+        n = min(n, 1 << 24)
+        uniq = list(dict.fromkeys(toks))
+        if len(uniq) >= 2:
+            out.nears.append((uniq, n))
+        elif uniq:
+            out.and_terms.extend(uniq)  # NEAR(a, n) == a (probed)
+        return " "
+
+    rest = _NEAR_GROUP.sub(near, rest)
+    base = parse_query(rest, tok=tok)
+    base.nears = out.nears
+    base.and_terms = out.and_terms + base.and_terms
+    return base

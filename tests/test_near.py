@@ -1,0 +1,175 @@
+"""FTS5 NEAR proximity queries (parse_fts5 extension).
+
+Semantics pinned by LIVE FTS5 probes (stdlib sqlite3): for
+single-token operands, ``NEAR(t1 .. tk, n)`` matches a doc iff one
+occurrence of each DISTINCT operand can be chosen within a single
+column such that max(pos) - min(pos) <= n + 1; duplicate operands
+collapse; a single-operand NEAR is a plain term; default n is 10.
+The reference's sqlite backend passes its MATCH string straight to
+FTS5 (db_sqlite.py:131), so this operator is part of the backend's
+native query language even though translateSearchString never emits
+it."""
+
+import os
+import random
+import sqlite3
+
+import pytest
+from pyspark.sql import functions as F
+
+from aspublic_spark.index.build import IndexBuilder
+from aspublic_spark.query import SearchEngine, parse_fts5
+from aspublic_spark.query.parser import parse_query
+
+
+def _fts5_available() -> bool:
+    try:
+        sqlite3.connect(":memory:").execute(
+            "CREATE VIRTUAL TABLE _p USING fts5(t)"
+        )
+        return True
+    except sqlite3.OperationalError:
+        return False
+
+
+# ---------------------------------------------------------------- parser
+def test_parse_fts5_near_groups():
+    p = parse_fts5("NEAR(Alpha beta, 3) gamma !delta")
+    assert p.nears == [(["alpha", "beta"], 3)]
+    assert p.and_terms == ["gamma"] and p.not_terms == ["delta"]
+    # default n = 10 (FTS5 doc'd default, confirmed by probe)
+    assert parse_fts5("NEAR(a b)").nears == [(["a", "b"], 10)]
+    # duplicate operands collapse; a single operand is a plain term
+    # (probed: NEAR(a a, 0) matches a doc with ONE 'a')
+    p2 = parse_fts5('NEAR(a a, 2) "x y"')
+    assert p2.nears == [] and p2.and_terms == ["a"]
+    assert p2.phrases == [["x", "y"]]
+    # keyword is case-sensitive like FTS5's: lowercase near( is text
+    assert parse_fts5("near(a b)").nears == []
+    assert parse_fts5("near(a b)").and_terms == ["near", "a", "b"]
+    # plain parse_query never produces NEAR groups
+    assert parse_query("NEAR(a b, 2)").nears == []
+
+
+# ----------------------------------------------------- engine vs live FTS5
+@pytest.mark.skipif(not _fts5_available(), reason="sqlite without FTS5")
+def test_near_differential_vs_live_fts5(spark, workdir):
+    """300 random docs, 20+ NEAR query shapes: the engine's matched doc
+    set must equal live FTS5's rowid set exactly."""
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta"] + ["x"] * 6
+    docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 14)))
+        for _ in range(300)
+    ]
+
+    db = sqlite3.connect(":memory:")
+    db.execute("CREATE VIRTUAL TABLE f USING fts5(text, tokenize='unicode61')")
+    for d in docs:
+        db.execute("INSERT INTO f VALUES (?)", (d,))
+
+    idx = os.path.join(workdir, "near_diff_idx")
+    sdf = spark.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    b = IndexBuilder(
+        spark, idx, key_cols=["doc_id"], text_col="text", meta_cols=[],
+        n_slices=3, block_size=8,
+    )
+    b.build(sdf)
+    eng = SearchEngine(spark, idx)
+
+    shapes = []  # (engine query, FTS5 MATCH string)
+    for terms in (["alpha", "beta"], ["alpha", "beta", "gamma"],
+                  ["alpha", "beta", "gamma", "delta"], ["alpha", "alpha", "beta"]):
+        for n in (0, 1, 2, 5, 10):
+            q = f"NEAR({' '.join(terms)}, {n})"
+            shapes.append((q, q))
+    shapes.append(("NEAR(alpha beta)",) * 2)  # default n
+    shapes.append(("NEAR(alpha beta, 1) gamma",) * 2)  # implicit AND on top
+    # NOT: ours spells it !term, FTS5 spells it NOT
+    shapes.append(("NEAR(alpha beta, 1) !delta", "NEAR(alpha beta, 1) NOT delta"))
+
+    for q, fq in shapes:
+        want = {
+            r[0] for r in db.execute("SELECT rowid FROM f WHERE f MATCH ?", (fq,))
+        }
+        got = {
+            r["doc_id"]
+            for r in eng.search(q, k=100, parser=parse_fts5).df.collect()
+        }
+        if len(want) <= 100:
+            assert got == want, (q, sorted(got - want)[:5], sorted(want - got)[:5])
+        else:  # engine k-clamps at 100: top-k must be a subset
+            assert len(got) == 100 and got <= want, q
+
+
+def test_near_single_field_locality_and_scoring(spark, workdir):
+    """NEAR never matches across columns (probed), absent terms empty
+    the result, and NEAR terms score exactly like the same AND query
+    (FTS5 bm25 scores the member terms; proximity only gates matching)."""
+    idx = os.path.join(workdir, "near_2f_idx")
+    rows = [
+        # doc 1: alpha..beta within text only
+        (1, "alpha x beta", "zz"),
+        # doc 2: alpha in text, beta in subject — must NOT match
+        (2, "alpha x x", "beta"),
+        # doc 3: far apart in text
+        (3, "alpha " + "x " * 30 + "beta", "zz"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string, subject string")
+    b = IndexBuilder(
+        spark, idx, key_cols=["doc_id"], text_cols=["text", "subject"],
+        meta_cols=[], n_slices=2, block_size=8,
+    )
+    b.build(sdf)
+    eng = SearchEngine(spark, idx)
+
+    got = {r["doc_id"] for r in
+           eng.search("NEAR(alpha beta, 5)", k=10, parser=parse_fts5).df.collect()}
+    assert got == {1}
+    # wide window still can't cross fields
+    got = {r["doc_id"] for r in
+           eng.search("NEAR(alpha beta, 100)", k=10, parser=parse_fts5).df.collect()}
+    assert got == {1, 3}
+    # absent operand -> empty result (conjunctive, like AND/phrase)
+    assert eng.search(
+        "NEAR(alpha zzznope, 5)", k=10, parser=parse_fts5
+    ).df.count() == 0
+    # scoring identity: NEAR(a b, big) == "a b" AND query scores where
+    # both match (same scaled_map, same fold)
+    near = {(r["doc_id"], round(r["score"], 9)) for r in
+            eng.search("NEAR(alpha beta, 100)", k=10, parser=parse_fts5).df.collect()}
+    anded = {(r["doc_id"], round(r["score"], 9)) for r in
+             eng.search("alpha beta", k=10).df.collect()
+             if r["doc_id"] in {1, 3}}
+    assert near == anded
+
+
+def test_near_blockmax_forced_is_identical_and_theta_gated(spark, workdir):
+    """With pruning forced on, a NEAR query must return identical
+    results to the exhaustive plan, and theta pruning must NOT fire
+    (the probe's k-th score ignores the window constraint, so it is a
+    superset bound — pruning with it could drop true results)."""
+    idx = os.path.join(workdir, "near_bm_idx")
+    rng = random.Random(13)
+    vocab = ["alpha", "beta", "x", "y"]
+    rows = [
+        (i + 1, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 12))))
+        for i in range(120)
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    IndexBuilder(
+        spark, idx, key_cols=["doc_id"], text_col="text", meta_cols=[],
+        n_slices=2, block_size=8,
+    ).build(sdf)
+
+    plain = SearchEngine(spark, idx)
+    forced = SearchEngine(spark, idx, prune_min_postings=0)
+    q = "NEAR(alpha beta, 1)"
+    a = [(r["doc_id"], round(r["score"], 9))
+         for r in plain.search(q, k=50, parser=parse_fts5).df.collect()]
+    res = forced.search(q, k=50, parser=parse_fts5)
+    bb = [(r["doc_id"], round(r["score"], 9)) for r in res.df.collect()]
+    assert a == bb and len(a) > 0
+    assert not res.pruning.get("theta_pruned", False)
