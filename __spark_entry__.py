@@ -156,6 +156,7 @@ def _bm25_sql(
     phrase: list[str] | None = None,
     or_mixed: list[tuple[list[str], list[list[str]]]] | None = None,
     near: tuple[list[str], int] | None = None,
+    anchor: list[str] | None = None,
     doc_filter: str | None = None,
     k: int = 20,
 ) -> str:
@@ -230,6 +231,18 @@ def _bm25_sql(
             f"{joins} where {conds} "
             f"and greatest({poss}) - least({poss}) <= {int(nn) + 1})"
         )
+    if anchor:
+        # FTS5 ^-anchor: the term/phrase starts a column (this corpus
+        # is single-field, so: position 0 of text)
+        if len(anchor) == 1:
+            phrase_sql += (
+                f" and s.doc_id in (select distinct doc_id from tokpos "
+                f"where term = '{anchor[0]}' and pos = 0)"
+            )
+        else:
+            phrase_sql += (
+                f" and s.doc_id in ({_phrase_subq(anchor)} and p0.pos = 0)"
+            )
     for tg, pgs in or_mixed or []:
         parts = []
         if tg:
@@ -366,6 +379,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # within a window, any order — strictly wider than the phrase
     q["fts_near"] = lambda spark, sf: _fts(
         spark, sf, "NEAR(hash join, 2)", k=20, parser=parse_fts5
+    )
+    # FTS5 ^-anchor: the term must START the document's text column
+    q["fts_anchor"] = lambda spark, sf: _fts(
+        spark, sf, "^key", k=20, parser=parse_fts5
     )
     # two-field index (text + derived subject): 'src3' only exists in
     # the subject field, so the AND can only be satisfied cross-field
@@ -793,6 +810,7 @@ def oracle_sql() -> dict[str, str]:
         ["hash", "join"], and_terms=["hash", "join"],
         near=(["hash", "join"], 2),
     )
+    o["fts_anchor"] = _bm25_sql(["key"], and_terms=["key"], anchor=["key"])
     o["fts_or_phrase"] = _bm25_sql(
         ["hash", "join", "dup"], or_mixed=[(["dup"], [["hash", "join"]])]
     )

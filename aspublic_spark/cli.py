@@ -80,7 +80,7 @@ def cmd_build(args) -> int:
 
 def cmd_search(args) -> int:
     from aspublic_spark.query.engine import SearchEngine
-    from aspublic_spark.query.parser import parse_query, parse_websearch
+    from aspublic_spark.query.parser import parse_fts5, parse_query, parse_websearch
     from aspublic_spark.server import shape_response, validate_conv_prefix
 
     spark = _spark(args)
@@ -101,7 +101,11 @@ def cmd_search(args) -> int:
         role=args.role,
         conv_prefix=conv_prefix,
         order=args.order,
-        parser=parse_websearch if args.websearch else parse_query,
+        parser=(
+            parse_websearch if args.websearch
+            else parse_fts5 if args.fts5
+            else parse_query
+        ),
         field_weights=fw,
     )
     t0 = time.time()
@@ -300,6 +304,8 @@ def main(argv=None) -> int:
     s.add_argument("--conv-prefix")
     s.add_argument("--order", default="bm25", choices=["bm25", "recency"])
     s.add_argument("--websearch", action="store_true")
+    s.add_argument("--fts5", action="store_true",
+                   help="raw-FTS5 query surface: adds NEAR(a b, n) proximity")
     s.add_argument("--field-weights", default="", help="comma list, bm25(fts, w1, w2) analog")
 
     sv = sub.add_parser("serve", help="resident query server (warm engine, HTTP/JSON)")

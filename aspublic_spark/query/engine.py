@@ -205,7 +205,7 @@ def _near_match_factory(terms: list[str], n: int):
     return run
 
 
-def _phrase_match_factory(phrase: list[str]):
+def _phrase_match_factory(phrase: list[str], anchored: bool = False):
     """mapInPandas fn over PACKED blocks of the phrase's terms (one
     partition holds complete doc-hash slices): emit doc_ids where the
     phrase occurs adjacently within a single field.
@@ -252,6 +252,11 @@ def _phrase_match_factory(phrase: list[str]):
             if cur.size == 0:
                 break
             cur = np.intersect1d(cur, nxt, assume_unique=True)
+        if anchored and cur.size:
+            # FTS5 ^-anchor: the window must START the column — keep
+            # only matches whose first-token position is 0 (the packed
+            # key's low 24 bits are the offset-corrected position)
+            cur = cur[(cur & 0xFFFFFF) == 0]
         docs = (
             alldocs[np.unique(cur >> 32)]
             if cur.size
@@ -570,6 +575,19 @@ class SearchEngine:
             _phrase_match_factory(list(phrase)), "doc_id long"
         )
 
+    def _anchor_docs(self, phrase: list[str], blocks: DataFrame) -> DataFrame:
+        """Docs matching FTS5's ``^``-anchor (``^term`` / ``^"a b"``):
+        the term/phrase occurs at the very START of a column (live
+        probe: position 0 of ANY indexed field qualifies). Same packed-
+        block plan as a phrase; the matcher just keeps windows whose
+        first-token position is 0."""
+        pb = blocks.filter(F.col("term").isin(sorted(set(phrase)))).select(
+            "slice", "term", "fld", "doc_gaps", "tfs", "positions"
+        )
+        return pb.repartition("slice").mapInPandas(
+            _phrase_match_factory(list(phrase), anchored=True), "doc_id long"
+        )
+
     def _near_docs(self, terms: list[str], n: int, blocks: DataFrame) -> DataFrame:
         """Docs matching FTS5 ``NEAR(t1 .. tk, n)``: one occurrence per
         distinct term within a single field, max-min position <= n+1
@@ -655,6 +673,7 @@ class SearchEngine:
             list(pq.and_terms)
             + [t for ph in pq.phrases for t in ph]
             + [t for tg, _n in pq.nears for t in tg]  # conjunctive too
+            + [t for ph in pq.anchors for t in ph]
         )
         # intersecting a single term's blocks with their own intervals
         # keeps everything — only worth the extra job when a SECOND
@@ -708,7 +727,7 @@ class SearchEngine:
         # — too HIGH to prune with). NOT terms and structured doc
         # filters are applied inside the phase-1 candidate scoring, so
         # theta stays a valid lower bound of the true k-th result.
-        if not pq.phrases and not pq.nears and scaled_map:
+        if not pq.phrases and not pq.nears and not pq.anchors and scaled_map:
             gub = {
                 (t, f): v
                 * self._safe_ub_w(
@@ -900,11 +919,12 @@ class SearchEngine:
         )
         self.term_stats(list(dict.fromkeys(pos_terms)) + sorted(ng_all))
         stats = self.term_stats(pos_terms)
-        # an AND/phrase/NEAR term absent from the corpus -> empty result
+        # an AND/phrase/NEAR/anchor term absent from the corpus -> empty
         required = (
             set(pq.and_terms)
             | {t for ph in pq.phrases for t in ph}
             | {t for tg, _n in pq.nears for t in tg}
+            | {t for ph in pq.anchors for t in ph}
         )
         if any(t not in stats for t in required) or not any(t in stats for t in pos_terms):
             empty = docs_f.limit(0).withColumn("score", F.lit(0.0)).select(
@@ -974,7 +994,7 @@ class SearchEngine:
         # terms are absent from the corpus — never evaluates positions,
         # so a positionless index answers the rest of the query fine)
         if (
-            pq.phrases or mixed_groups or live_nphrases or pq.nears
+            pq.phrases or mixed_groups or live_nphrases or pq.nears or pq.anchors
         ) and not self.store_positions:
             raise ValueError(
                 "phrase queries need positions, but this index was built "
@@ -989,6 +1009,7 @@ class SearchEngine:
             len(scaled_map) == 1
             and not pq.phrases
             and not pq.nears
+            and not pq.anchors
             and not or_ops
             and len(set(pq.and_terms)) <= 1
         )
@@ -1047,6 +1068,13 @@ class SearchEngine:
             if bound <= self.broadcast_cand_max_postings:
                 nd = F.broadcast(nd)
             cand = cand.join(nd, "doc_id", "left_semi")
+        for ph in pq.anchors:
+            # ^-anchored term/phrase: same bound, same semi-join shape
+            ad = self._anchor_docs(ph, pos_blocks)
+            bound = min(sum(s["df"] for s in stats[t].values()) for t in set(ph))
+            if bound <= self.broadcast_cand_max_postings:
+                ad = F.broadcast(ad)
+            cand = cand.join(ad, "doc_id", "left_semi")
         for tg, pg in mixed_groups:
             # satisfied by any term alternative OR any adjacent phrase
             # alternative (websearch `"a b" OR c` keeps adjacency)

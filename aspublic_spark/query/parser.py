@@ -57,6 +57,10 @@ class ParsedQuery:
     # single field with max(pos) - min(pos) <= n + 1 (FTS5's observable
     # NEAR semantics for single-token operands, pinned by live probes)
     nears: list[tuple[list[str], int]] = field(default_factory=list)
+    # ^-anchored terms/phrases (parse_fts5 extension): each entry must
+    # occur at the very START of some indexed column (FTS5 `^a`,
+    # `^"a b"` — live probe: position 0 of ANY column qualifies)
+    anchors: list[list[str]] = field(default_factory=list)
     # list of OR groups; each group is a list of alternative terms of
     # which at least one must match (websearch extension; empty for the
     # sqlite-style parser)
@@ -93,6 +97,9 @@ class ParsedQuery:
         for tg, _n in self.nears:
             for t in tg:
                 seen.setdefault(t)
+        for ph in self.anchors:
+            for t in ph:
+                seen.setdefault(t)
         for g in self.or_groups:
             for t in g:
                 seen.setdefault(t)
@@ -107,6 +114,7 @@ class ParsedQuery:
             self.and_terms
             or self.phrases
             or self.nears
+            or self.anchors
             or self.or_groups
             or self.or_phrase_groups
         )
@@ -216,10 +224,13 @@ def parse_websearch(q: str, tok=tokenize) -> ParsedQuery:
 
 
 _NEAR_GROUP = re.compile(r"NEAR\(\s*([^(),]*?)\s*(?:,\s*(\d+)\s*)?\)")
+_ANCHOR_PHRASE = re.compile(r'\^"([^"]*)"')
+_ANCHOR_WORD = re.compile(r"\^(\w+)", re.UNICODE)
 
 
 def parse_fts5(q: str, tok=tokenize) -> ParsedQuery:
-    """Raw-FTS5 surface extension: ``parse_query`` plus ``NEAR(...)``.
+    """Raw-FTS5 surface extension: ``parse_query`` plus ``NEAR(...)``
+    proximity groups and ``^``-anchored terms/phrases.
 
     The reference's sqlite backend hands its MATCH string straight to
     FTS5 (db_sqlite.py:131), whose query language includes proximity
@@ -234,7 +245,12 @@ def parse_fts5(q: str, tok=tokenize) -> ParsedQuery:
     Matching semantics are pinned by live FTS5 probes in the tests:
     duplicate operands collapse, a single-operand NEAR is a plain
     term, and the window test is max(pos)-min(pos) <= n+1 over one
-    occurrence per distinct term within one field."""
+    occurrence per distinct term within one field.
+
+    ``^term`` / ``^"a b"`` require the term/phrase at the very start
+    of some indexed column (probed: position 0 of ANY column
+    qualifies); the anchored terms still score like ordinary query
+    terms, exactly as FTS5's bm25 does."""
     out = ParsedQuery()
     rest = q or ""
 
@@ -252,8 +268,17 @@ def parse_fts5(q: str, tok=tokenize) -> ParsedQuery:
             out.and_terms.extend(uniq)  # NEAR(a, n) == a (probed)
         return " "
 
+    def anchor(m: re.Match) -> str:
+        toks = tok(m.group(1))
+        if toks:
+            out.anchors.append(toks)
+        return " "
+
     rest = _NEAR_GROUP.sub(near, rest)
+    rest = _ANCHOR_PHRASE.sub(anchor, rest)
+    rest = _ANCHOR_WORD.sub(anchor, rest)
     base = parse_query(rest, tok=tok)
     base.nears = out.nears
+    base.anchors = out.anchors
     base.and_terms = out.and_terms + base.and_terms
     return base

@@ -83,6 +83,8 @@ def shape_response(res, rows, dbtime_ms):
                 "not": res.parsed.not_terms,
                 "not_groups": res.parsed.not_groups,
                 "not_phrases": res.parsed.not_phrases,
+                "near": [[tg, n] for tg, n in res.parsed.nears],
+                "anchor": res.parsed.anchors,
                 "or": res.parsed.or_groups,
                 "or_phrases": res.parsed.or_phrase_groups,
             },
@@ -177,7 +179,11 @@ class QueryServer:
     # ---- request handling ----
 
     def handle_search(self, params: dict) -> tuple[int, dict]:
-        from aspublic_spark.query.parser import parse_query, parse_websearch
+        from aspublic_spark.query.parser import (
+            parse_fts5,
+            parse_query,
+            parse_websearch,
+        )
 
         def one(name, default=None):
             v = params.get(name)
@@ -194,6 +200,7 @@ class QueryServer:
             tool_present = tool_present.lower() in ("1", "true", "yes")
         order = one("order", "bm25")
         websearch = one("websearch", "0").lower() in ("1", "true", "yes")
+        fts5 = one("fts5", "0").lower() in ("1", "true", "yes")
         fw = one("field_weights")
         fw = [float(x) for x in fw.split(",")] if fw else None
         try:
@@ -212,7 +219,11 @@ class QueryServer:
                 before=before,
                 conv_prefix=conv_prefix,
                 order=order,
-                parser=parse_websearch if websearch else parse_query,
+                parser=(
+                    parse_websearch if websearch
+                    else parse_fts5 if fts5
+                    else parse_query
+                ),
                 field_weights=fw,
             )
             t0 = time.time()

@@ -173,3 +173,84 @@ def test_near_blockmax_forced_is_identical_and_theta_gated(spark, workdir):
     bb = [(r["doc_id"], round(r["score"], 9)) for r in res.df.collect()]
     assert a == bb and len(a) > 0
     assert not res.pruning.get("theta_pruned", False)
+
+
+def test_near_through_server_and_cli_flag(spark, workdir):
+    """fts5=1 routes the server's query through parse_fts5 (and the
+    parsed echo carries the NEAR group); without the flag NEAR( is
+    literal text, matching the reference's default surface."""
+    import json
+    import urllib.request
+    from urllib.parse import quote
+
+    from aspublic_spark.server import QueryServer
+
+    idx = os.path.join(workdir, "near_srv_idx")
+    rows = [(i + 1, t) for i, t in enumerate(
+        ["alpha x beta", "alpha x x x beta", "beta y alpha", "alpha only here"]
+    )]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    IndexBuilder(
+        spark, idx, key_cols=["doc_id"], text_col="text", meta_cols=[],
+        n_slices=2, block_size=8,
+    ).build(sdf)
+
+    srv = QueryServer(spark, idx, port=0).start()
+    try:
+        q = quote("NEAR(alpha beta, 1)")
+        res = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/search?q={q}&k=10&fts5=1"
+        ).read())
+        got = {r["doc_id"] for r in res["results"]}
+        assert got == {1, 3}  # windows of 2; doc 2's window is 4
+        assert res["debug"]["parsed"]["near"] == [[["alpha", "beta"], 1]]
+        # default surface: NEAR( is literal text -> tokenizes to
+        # and-terms [near, alpha, beta, 1] -> 'near'/'1' absent -> empty
+        res2 = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/search?q={q}&k=10"
+        ).read())
+        assert res2["results"] == []
+    finally:
+        srv.stop()
+
+
+@pytest.mark.skipif(not _fts5_available(), reason="sqlite without FTS5")
+def test_anchor_differential_vs_live_fts5(spark, workdir):
+    """FTS5 ^-anchor (^term, ^"a b"): live-FTS5 differential over a
+    two-column corpus — position 0 of ANY column qualifies (probed)."""
+    rng = random.Random(21)
+    vocab = ["alpha", "beta", "gamma", "x", "y"]
+    rows = []
+    for i in range(200):
+        t = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 8)))
+        s = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3)))
+        rows.append((i + 1, t, s))
+
+    db = sqlite3.connect(":memory:")
+    db.execute(
+        "CREATE VIRTUAL TABLE f USING fts5(text, subject, tokenize='unicode61')"
+    )
+    for _i, t, s in rows:
+        db.execute("INSERT INTO f VALUES (?, ?)", (t, s))
+
+    idx = os.path.join(workdir, "anchor_diff_idx")
+    sdf = spark.createDataFrame(rows, "doc_id long, text string, subject string")
+    IndexBuilder(
+        spark, idx, key_cols=["doc_id"], text_cols=["text", "subject"],
+        meta_cols=[], n_slices=2, block_size=8,
+    ).build(sdf)
+    eng = SearchEngine(spark, idx)
+
+    for q in ('^alpha', '^"alpha beta"', '^alpha gamma', '^alpha !beta'):
+        fq = q.replace("!", "NOT ") if "!" in q else q
+        want = {
+            r[0] for r in db.execute("SELECT rowid FROM f WHERE f MATCH ?", (fq,))
+        }
+        got = {
+            r["doc_id"]
+            for r in eng.search(q, k=100, parser=parse_fts5).df.collect()
+        }
+        if len(want) <= 100:
+            assert got == want, (q, sorted(got - want)[:5], sorted(want - got)[:5])
+        else:
+            assert len(got) == 100 and got <= want, q
