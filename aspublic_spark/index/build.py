@@ -707,7 +707,7 @@ class IndexBuilder:
         # must never survive over data about to be replaced
         self._clear_gen_manifests(gen)
         n_docs = self._stage_docs(df, gen)
-        self._stage_pack_fused(df, gen)
+        self._stage_pack_fused(df, gen, n_rows=n_docs)
         self._stage_gen_dict(gen, n_docs=n_docs)
         # liveness flip: the generation becomes visible only now, with
         # every piece of its state already on disk
@@ -801,7 +801,7 @@ class IndexBuilder:
             )
         )
 
-    def _salt_plan(self, df: DataFrame | None) -> DataFrame:
+    def _salt_plan(self, df: DataFrame | None, n_rows: int | None = None) -> DataFrame:
         """Heavy-hitter salting plan: a tiny (term, fld, n_salts) table,
         broadcast-joined pre-shuffle so no reducer materializes a full
         Zipf-head posting list. df(term) must be known BEFORE the
@@ -826,19 +826,23 @@ class IndexBuilder:
             )
         # df(term, fld) is bounded by the input row count: an input
         # smaller than salt_max cannot contain a heavy term at all, so
-        # skip the sample scan entirely. The row-count check is a LIMIT
-        # probe, not a count(): LocalLimit stops every partition at
-        # salt_max+1 rows, so the probe's cost is bounded regardless of
-        # input size or lineage (a full count() on a transformed input
-        # would be a second complete pre-pass). For a huge FIRST bulk
-        # build the sample costs one extra text-column read — chunk
-        # bulk loads into generations + compact() to avoid it (every
-        # generation after the first plans from the dictionary).
-        probe = (
-            df.select(F.lit(1).alias("one"))
-            .limit(self.salt_max_postings + 1)
-            .count()
-        )
+        # skip the sample scan entirely. ``n_rows`` (the docs stage's
+        # observed count, already paid for) answers that directly and
+        # skips the probe job; without it the row-count check is a
+        # LIMIT probe, not a count(): LocalLimit stops every partition
+        # at salt_max+1 rows, so the probe's cost is bounded regardless
+        # of input size or lineage (a full count() on a transformed
+        # input would be a second complete pre-pass). For a huge FIRST
+        # bulk build the sample costs one extra text-column read —
+        # chunk bulk loads into generations + compact() to avoid it
+        # (every generation after the first plans from the dictionary).
+        probe = n_rows
+        if probe is None:
+            probe = (
+                df.select(F.lit(1).alias("one"))
+                .limit(self.salt_max_postings + 1)
+                .count()
+            )
         if probe <= self.salt_max_postings:
             return self.spark.createDataFrame(
                 [], "term string, fld int, n_salts int"
@@ -1121,11 +1125,14 @@ class IndexBuilder:
             },
         )
 
-    def _stage_pack_fused(self, df: DataFrame, gen: int):
+    def _stage_pack_fused(self, df: DataFrame, gen: int, n_rows: int | None = None):
         """tokenize -> salt -> shuffle -> pack, in ONE job (the only
         pass over the corpus text and the only data shuffle of the
-        build)."""
-        self._pack_and_write(self._tokenized(df), gen, self._salt_plan(df))
+        build). ``n_rows``: the docs stage's observed input count —
+        lets the salt plan skip its LIMIT-probe job."""
+        self._pack_and_write(
+            self._tokenized(df), gen, self._salt_plan(df, n_rows=n_rows)
+        )
 
     def _unpacked_postings(self, gens: list[int]) -> DataFrame:
         """Shuffle-ready postings reconstructed from the packed blocks
