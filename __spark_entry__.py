@@ -119,6 +119,22 @@ def _documents_engine_2f(spark: SparkSession, sf_dir: str) -> SearchEngine:
     )
 
 
+def _documents_engine_2fo(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Two-field index whose subject OVERLAPS the text vocabulary
+    (source + lang + the text's first word) — the corpus where a
+    column filter is load-bearing: `subject:<word>` must match and
+    score differently from plain `<word>`."""
+    return _build_cached_engine(
+        spark, sf_dir, "2fo_v1",
+        lambda d: d.withColumn(
+            "subject",
+            F.concat_ws(" ", "source", "lang", F.split("text", " ")[0]),
+        ),
+        dict(key_cols=["doc_id"], text_cols=["text", "subject"],
+             meta_cols=["lang", "source", "n_chars"]),
+    )
+
+
 def _fts(spark, sf_dir, q, k=20, parser=None, engine_fn=None, **kw) -> DataFrame:
     eng = (engine_fn or _documents_engine)(spark, sf_dir)
     kwargs = dict(kw)
@@ -292,6 +308,62 @@ limit {k}
 """
 
 
+def _bm25_col_filter_sql(free: str, restricted: str, k: int = 20) -> str:
+    """Oracle for `subject:<restricted> <free>` on the OVERLAPPING
+    two-field index (subject = source + lang + first text word):
+    ``free`` scores in both fields, ``restricted`` matches AND scores
+    in subject only; qualification needs both."""
+    return f"""
+with docs2 as (
+  select doc_id, text,
+         source || ' ' || lang || ' ' || string_split(text, ' ')[1] as subject
+  from documents
+),
+tok0 as (
+  select doc_id, unnest(string_split(text, ' ')) as term from docs2
+),
+tok1 as (
+  select doc_id, unnest(string_split(subject, ' ')) as term from docs2
+),
+dl0 as (select doc_id, count(*) as dl from tok0 group by doc_id),
+dl1 as (select doc_id, count(*) as dl from tok1 group by doc_id),
+st as (
+  select (select count(*) from docs2) as n,
+         (select sum(dl) from dl0) * 1.0 / (select count(*) from docs2) as avg0,
+         (select sum(dl) from dl1) * 1.0 / (select count(*) from docs2) as avg1
+),
+contrib as (
+  select t.doc_id, t.term,
+         ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1)
+           * t.tf * {BM25_K1 + 1.0}
+           / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avg0)) as w
+  from (select doc_id, term, count(*) as tf from tok0
+        where term = '{free}' group by doc_id, term) t
+  join (select term, count(distinct doc_id) as df from tok0
+        where term = '{free}' group by term) f using (term)
+  join dl0 l using (doc_id)
+  cross join st s
+  union all
+  select t.doc_id, t.term,
+         ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1)
+           * t.tf * {BM25_K1 + 1.0}
+           / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avg1)) as w
+  from (select doc_id, term, count(*) as tf from tok1
+        where term in ('{free}', '{restricted}') group by doc_id, term) t
+  join (select term, count(distinct doc_id) as df from tok1
+        where term in ('{free}', '{restricted}') group by term) f using (term)
+  join dl1 l using (doc_id)
+  cross join st s
+)
+select doc_id, round(sum(w), 4) as score
+from contrib
+group by doc_id
+having count(distinct term) = 2
+order by round(sum(w), 4) desc, doc_id asc
+limit {k}
+"""
+
+
 def _bm25_two_field_sql(terms: list[str], k: int = 20) -> str:
     """DuckDB SQL mirroring the two-field engine: per-field df/tf/dl/
     avgdl (denominated over ALL docs), score = BM25_text + BM25_subject
@@ -383,6 +455,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FTS5 ^-anchor: the term must START the document's text column
     q["fts_anchor"] = lambda spark, sf: _fts(
         spark, sf, "^key", k=20, parser=parse_fts5
+    )
+    # FTS5 column filter on an index whose subject overlaps the text
+    # vocabulary: 'table' restricted to subject (= docs whose FIRST
+    # text word is 'table'), 'query' unrestricted — both the match set
+    # and the scores differ from the unfiltered query
+    q["fts_col_filter"] = lambda spark, sf: _fts(
+        spark, sf, "subject:table query", k=20, parser=parse_fts5,
+        engine_fn=_documents_engine_2fo,
     )
     # two-field index (text + derived subject): 'src3' only exists in
     # the subject field, so the AND can only be satisfied cross-field
@@ -811,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
         near=(["hash", "join"], 2),
     )
     o["fts_anchor"] = _bm25_sql(["key"], and_terms=["key"], anchor=["key"])
+    o["fts_col_filter"] = _bm25_col_filter_sql("query", "table")
     o["fts_or_phrase"] = _bm25_sql(
         ["hash", "join", "dup"], or_mixed=[(["dup"], [["hash", "join"]])]
     )

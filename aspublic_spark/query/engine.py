@@ -588,6 +588,53 @@ class SearchEngine:
             _phrase_match_factory(list(phrase), anchored=True), "doc_id long"
         )
 
+    def _resolve_col_filters(self, pq: ParsedQuery):
+        """Resolve ``col:`` filters to field ordinals.
+
+        Returns (col_single: term -> fld, col_phrases: [(tokens, fld)],
+        fld_of: term -> fld for EVERY restricted term). Raises FTS5's
+        "no such column" for unknown names, and a clear error for the
+        shapes our per-(term, field) scoring model cannot express
+        (one term both restricted and unrestricted, or restricted to
+        two different columns — FTS5 treats those as independent
+        phrases; we refuse rather than silently misscore)."""
+        if not pq.col_filters:
+            return {}, [], {}
+        col_map = {c.lower(): i for i, c in enumerate(self.text_cols)}
+        col_single: dict[str, int] = {}
+        col_phrases: list[tuple[list[str], int]] = []
+        fld_of: dict[str, int] = {}
+        for cname, toks in pq.col_filters:
+            f = col_map.get(cname.lower())
+            if f is None:
+                raise ValueError(f"no such column: {cname}")
+            for t in toks:
+                if t in fld_of and fld_of[t] != f:
+                    raise ValueError(
+                        f"term '{t}' is column-filtered to two different "
+                        "columns — unsupported"
+                    )
+                fld_of[t] = f
+            if len(toks) == 1:
+                col_single[toks[0]] = f
+            elif toks:
+                col_phrases.append((toks, f))
+        unrestricted = (
+            set(pq.and_terms)
+            | {t for ph in pq.phrases for t in ph}
+            | {t for tg, _n in pq.nears for t in tg}
+            | {t for ph in pq.anchors for t in ph}
+            | {t for g in pq.or_groups for t in g}
+            | {t for g in pq.or_phrase_groups for ph in g for t in ph}
+        )
+        both = sorted(set(fld_of) & unrestricted)
+        if both:
+            raise ValueError(
+                f"terms {both} appear both column-filtered and "
+                "unfiltered in one query — unsupported"
+            )
+        return col_single, col_phrases, fld_of
+
     def _near_docs(self, terms: list[str], n: int, blocks: DataFrame) -> DataFrame:
         """Docs matching FTS5 ``NEAR(t1 .. tk, n)``: one occurrence per
         distinct term within a single field, max-min position <= n+1
@@ -919,14 +966,21 @@ class SearchEngine:
         )
         self.term_stats(list(dict.fromkeys(pos_terms)) + sorted(ng_all))
         stats = self.term_stats(pos_terms)
-        # an AND/phrase/NEAR/anchor term absent from the corpus -> empty
+        col_single, col_phrases, fld_of = self._resolve_col_filters(pq)
+        # an AND/phrase/NEAR/anchor/col-filter term absent -> empty
         required = (
             set(pq.and_terms)
             | {t for ph in pq.phrases for t in ph}
             | {t for tg, _n in pq.nears for t in tg}
             | {t for ph in pq.anchors for t in ph}
+            | set(fld_of)
         )
-        if any(t not in stats for t in required) or not any(t in stats for t in pos_terms):
+        if (
+            any(t not in stats for t in required)
+            or not any(t in stats for t in pos_terms)
+            # a col-restricted term absent from THAT column -> empty
+            or any(f not in stats.get(t, {}) for t, f in fld_of.items())
+        ):
             empty = docs_f.limit(0).withColumn("score", F.lit(0.0)).select(
                 "doc_id", *key_meta, "score"
             )
@@ -955,8 +1009,21 @@ class SearchEngine:
             (t, f): fw[f] * self.idf(s["df"])
             for t in live_terms
             for f, s in stats[t].items()
+            # a col-restricted term scores ONLY its column (FTS5:
+            # col:t matches — and bm25 counts — that column's hits)
+            if t not in fld_of or fld_of[t] == f
         }
         pos_blocks = self.blocks(live_terms)
+        if fld_of:
+            # drop the restricted terms' other-field blocks at the scan
+            # (fld rides the block metadata, so this is a pushed filter,
+            # and the phrase/NEAR matchers downstream see only the
+            # restricted column's positions)
+            cond = None
+            for t, f in fld_of.items():
+                c = (F.col("term") == F.lit(t)) & (F.col("fld") != F.lit(f))
+                cond = c if cond is None else (cond | c)
+            pos_blocks = pos_blocks.filter(~cond)
         # NOT side: single terms exclude on any match; conjunctive NOT
         # groups (sqlite `!"a b"` -> NOT (a AND b)) exclude only docs
         # containing ALL group terms; negated phrases (websearch
@@ -984,8 +1051,21 @@ class SearchEngine:
         # pruning pays for its extra jobs only when there is real volume
         # to skip; below the threshold the exhaustive plan is faster
         if block_max and order == "bm25" and total_df >= self.prune_min_postings:
+            pq_pr = pq
+            if pq.col_filters:
+                # the pruner sees col-restricted singles as AND terms
+                # (their scoring rows are already field-restricted, so
+                # term-level qualification is exact) and col phrases as
+                # phrases (adjacency -> theta must stay off)
+                from dataclasses import replace as _dc_replace
+
+                pq_pr = _dc_replace(
+                    pq,
+                    and_terms=list(pq.and_terms) + sorted(col_single),
+                    phrases=list(pq.phrases) + [ph for ph, _f in col_phrases],
+                )
             pos_blocks, not_blocks, info = self._prune_blocks(
-                pos_blocks, not_blocks, pq, scaled_map, k, docs_f, has_doc_filters, stats
+                pos_blocks, not_blocks, pq_pr, scaled_map, k, docs_f, has_doc_filters, stats
             )
 
         mixed_groups = [(tg, pg) for tg, pg in or_ops if pg]
@@ -994,7 +1074,12 @@ class SearchEngine:
         # terms are absent from the corpus — never evaluates positions,
         # so a positionless index answers the rest of the query fine)
         if (
-            pq.phrases or mixed_groups or live_nphrases or pq.nears or pq.anchors
+            pq.phrases
+            or mixed_groups
+            or live_nphrases
+            or pq.nears
+            or pq.anchors
+            or col_phrases
         ) and not self.store_positions:
             raise ValueError(
                 "phrase queries need positions, but this index was built "
@@ -1010,6 +1095,7 @@ class SearchEngine:
             and not pq.phrases
             and not pq.nears
             and not pq.anchors
+            and not col_phrases  # col-restricted SINGLES still qualify
             and not or_ops
             and len(set(pq.and_terms)) <= 1
         )
@@ -1045,7 +1131,12 @@ class SearchEngine:
             # pure-term OR groups qualify here; groups with live phrase
             # alternatives need the positional phrase-doc sets below
             cand = self._qualify(
-                scored, pq.and_terms, [tg for tg, pg in or_ops if not pg]
+                # col-restricted singles qualify as AND terms: their
+                # scoring rows are already field-restricted, so term
+                # presence here IS presence in the required column
+                scored,
+                list(pq.and_terms) + sorted(col_single),
+                [tg for tg, pg in or_ops if not pg],
             )
 
         for ph in pq.phrases:
@@ -1075,6 +1166,15 @@ class SearchEngine:
             if bound <= self.broadcast_cand_max_postings:
                 ad = F.broadcast(ad)
             cand = cand.join(ad, "doc_id", "left_semi")
+        for ph, f in col_phrases:
+            # col-restricted phrase: pos_blocks already dropped these
+            # terms' other-field blocks, so the phrase matcher only
+            # sees — and can only match within — the required column
+            phd = self._phrase_docs(ph, pos_blocks)
+            bound = min(stats[t][f]["df"] for t in set(ph))
+            if bound <= self.broadcast_cand_max_postings:
+                phd = F.broadcast(phd)
+            cand = cand.join(phd, "doc_id", "left_semi")
         for tg, pg in mixed_groups:
             # satisfied by any term alternative OR any adjacent phrase
             # alternative (websearch `"a b" OR c` keeps adjacency)

@@ -61,6 +61,13 @@ class ParsedQuery:
     # occur at the very START of some indexed column (FTS5 `^a`,
     # `^"a b"` — live probe: position 0 of ANY column qualifies)
     anchors: list[list[str]] = field(default_factory=list)
+    # column filters (parse_fts5 extension): (column_name, tokens) —
+    # FTS5 `col:term` / `col:"a b"`: the term/phrase must match in
+    # that column only (live probe: column names are case-insensitive;
+    # the filter binds to the NEXT phrase only). The engine resolves
+    # the name to a field ordinal and raises FTS5's "no such column"
+    # for unknown names.
+    col_filters: list[tuple[str, list[str]]] = field(default_factory=list)
     # list of OR groups; each group is a list of alternative terms of
     # which at least one must match (websearch extension; empty for the
     # sqlite-style parser)
@@ -100,6 +107,9 @@ class ParsedQuery:
         for ph in self.anchors:
             for t in ph:
                 seen.setdefault(t)
+        for _c, toks in self.col_filters:
+            for t in toks:
+                seen.setdefault(t)
         for g in self.or_groups:
             for t in g:
                 seen.setdefault(t)
@@ -115,6 +125,7 @@ class ParsedQuery:
             or self.phrases
             or self.nears
             or self.anchors
+            or self.col_filters
             or self.or_groups
             or self.or_phrase_groups
         )
@@ -226,6 +237,8 @@ def parse_websearch(q: str, tok=tokenize) -> ParsedQuery:
 _NEAR_GROUP = re.compile(r"NEAR\(\s*([^(),]*?)\s*(?:,\s*(\d+)\s*)?\)")
 _ANCHOR_PHRASE = re.compile(r'\^"([^"]*)"')
 _ANCHOR_WORD = re.compile(r"\^(\w+)", re.UNICODE)
+_COL_PHRASE = re.compile(r'(\w+)\s*:\s*"([^"]*)"')
+_COL_WORD = re.compile(r"(\w+)\s*:\s*(\w+)", re.UNICODE)
 
 
 def parse_fts5(q: str, tok=tokenize) -> ParsedQuery:
@@ -250,7 +263,14 @@ def parse_fts5(q: str, tok=tokenize) -> ParsedQuery:
     ``^term`` / ``^"a b"`` require the term/phrase at the very start
     of some indexed column (probed: position 0 of ANY column
     qualifies); the anchored terms still score like ordinary query
-    terms, exactly as FTS5's bm25 does."""
+    terms, exactly as FTS5's bm25 does.
+
+    ``col:term`` / ``col:"a b"`` restrict the term/phrase to one
+    indexed column (probed: names are case-insensitive, the filter
+    binds to the next phrase only; an unknown name raises FTS5's
+    "no such column"). Column exclusion (``-col:``), column sets
+    (``{a b}:``), and column-filtered NEAR are NOT supported and
+    raise rather than silently misparse."""
     out = ParsedQuery()
     rest = q or ""
 
@@ -274,11 +294,26 @@ def parse_fts5(q: str, tok=tokenize) -> ParsedQuery:
             out.anchors.append(toks)
         return " "
 
+    def col_filter(m: re.Match) -> str:
+        toks = tok(m.group(2))
+        if toks:
+            out.col_filters.append((m.group(1).lower(), toks))
+        return " "
+
+    if re.search(r"\w+\s*:\s*NEAR\(", rest):
+        raise ValueError("column-filtered NEAR(...) is not supported")
+    if re.search(r"[!-]\s*\w+\s*:\s*\S", rest):
+        raise ValueError("column exclusion (-col: / !col:) is not supported")
+    if re.search(r"\{[^}]*\}\s*:", rest):
+        raise ValueError("column-set filters ({a b}:) are not supported")
+    rest = _COL_PHRASE.sub(col_filter, rest)
+    rest = _COL_WORD.sub(col_filter, rest)
     rest = _NEAR_GROUP.sub(near, rest)
     rest = _ANCHOR_PHRASE.sub(anchor, rest)
     rest = _ANCHOR_WORD.sub(anchor, rest)
     base = parse_query(rest, tok=tok)
     base.nears = out.nears
     base.anchors = out.anchors
+    base.col_filters = out.col_filters
     base.and_terms = out.and_terms + base.and_terms
     return base

@@ -85,6 +85,7 @@ def shape_response(res, rows, dbtime_ms):
                 "not_phrases": res.parsed.not_phrases,
                 "near": [[tg, n] for tg, n in res.parsed.nears],
                 "anchor": res.parsed.anchors,
+                "col": [[c, toks] for c, toks in res.parsed.col_filters],
                 "or": res.parsed.or_groups,
                 "or_phrases": res.parsed.or_phrase_groups,
             },

@@ -254,3 +254,124 @@ def test_anchor_differential_vs_live_fts5(spark, workdir):
             assert got == want, (q, sorted(got - want)[:5], sorted(want - got)[:5])
         else:
             assert len(got) == 100 and got <= want, q
+
+
+# ------------------------------------------------------ column filters
+def test_parse_fts5_col_filters():
+    p = parse_fts5("Subject:Table query")
+    assert p.col_filters == [("subject", ["table"])]
+    assert p.and_terms == ["query"]
+    p2 = parse_fts5('text:"a b" !c')
+    assert p2.col_filters == [("text", ["a", "b"])] and p2.not_terms == ["c"]
+    for bad in ("-text: a", "text: NEAR(a b)", "{text subject}: a"):
+        with pytest.raises(ValueError):
+            parse_fts5(bad)
+
+
+@pytest.mark.skipif(not _fts5_available(), reason="sqlite without FTS5")
+def test_col_filter_differential_vs_live_fts5(spark, workdir):
+    """col:term / col:"a b" — live-FTS5 differential over a two-column
+    corpus where the filtered terms exist in BOTH columns, so the
+    restriction is load-bearing for both matching and ranking."""
+    rng = random.Random(31)
+    vocab = ["alpha", "beta", "gamma", "x", "y"]
+    rows = []
+    for i in range(200):
+        t = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 8)))
+        s = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 4)))
+        rows.append((i + 1, t, s))
+
+    db = sqlite3.connect(":memory:")
+    db.execute(
+        "CREATE VIRTUAL TABLE f USING fts5(text, subject, tokenize='unicode61')"
+    )
+    for _i, t, s in rows:
+        db.execute("INSERT INTO f VALUES (?, ?)", (t, s))
+
+    idx = os.path.join(workdir, "colf_diff_idx")
+    sdf = spark.createDataFrame(rows, "doc_id long, text string, subject string")
+    IndexBuilder(
+        spark, idx, key_cols=["doc_id"], text_cols=["text", "subject"],
+        meta_cols=[], n_slices=2, block_size=8,
+    ).build(sdf)
+    eng = SearchEngine(spark, idx)
+
+    for q in ("subject:alpha", "text:alpha", "subject:alpha beta",
+              'subject:"alpha beta"', "SUBJECT:alpha !gamma",
+              "subject:alpha ^beta"):
+        fq = q.replace("!", "NOT ") if "!" in q else q
+        want = {
+            r[0] for r in db.execute("SELECT rowid FROM f WHERE f MATCH ?", (fq,))
+        }
+        got = {
+            r["doc_id"]
+            for r in eng.search(q, k=100, parser=parse_fts5).df.collect()
+        }
+        if len(want) <= 100:
+            assert got == want, (q, sorted(got - want)[:5], sorted(want - got)[:5])
+        else:
+            assert len(got) == 100 and got <= want, q
+
+    # unknown column: FTS5's error shape
+    with pytest.raises(ValueError, match="no such column: nosuch"):
+        eng.search("nosuch:alpha", k=5, parser=parse_fts5)
+    # one term both restricted and unrestricted: honest refusal
+    with pytest.raises(ValueError, match="unsupported"):
+        eng.search("subject:alpha alpha", k=5, parser=parse_fts5)
+
+
+def test_col_filter_restricts_scoring_to_the_column(spark, workdir):
+    """The restricted term scores ONLY its column: subject:alpha on a
+    doc matching in both columns must equal the subject-field BM25
+    contribution alone (checked via field_weights isolation)."""
+    idx = os.path.join(workdir, "colf_score_idx")
+    rows = [
+        (1, "alpha x", "alpha y"),   # alpha in both columns
+        (2, "x y", "alpha alpha"),   # alpha in subject only
+        (3, "alpha x", "y z"),       # alpha in text only -> excluded
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string, subject string")
+    IndexBuilder(
+        spark, idx, key_cols=["doc_id"], text_cols=["text", "subject"],
+        meta_cols=[], n_slices=2, block_size=8,
+    ).build(sdf)
+    eng = SearchEngine(spark, idx)
+
+    got = {r["doc_id"]: r["score"] for r in
+           eng.search("subject:alpha", k=10, parser=parse_fts5).df.collect()}
+    assert set(got) == {1, 2}
+    # reference scores: unrestricted 'alpha' with the text field weight
+    # zeroed = subject-only BM25
+    want = {r["doc_id"]: r["score"] for r in
+            eng.search("alpha", k=10, field_weights=[0.0, 1.0]).df.collect()
+            if r["doc_id"] in (1, 2)}
+    for d in (1, 2):
+        assert abs(got[d] - want[d]) < 1e-9, (d, got[d], want[d])
+
+
+def test_col_filter_blockmax_forced_is_identical(spark, workdir):
+    """Forced pruning with a col-filtered query returns identical
+    results (col singles are exact AND constraints for the probe; col
+    phrases gate theta off like phrases)."""
+    idx = os.path.join(workdir, "colf_bm_idx")
+    rng = random.Random(43)
+    vocab = ["alpha", "beta", "x"]
+    rows = [
+        (i + 1,
+         " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 10))),
+         " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 4))))
+        for i in range(150)
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string, subject string")
+    IndexBuilder(
+        spark, idx, key_cols=["doc_id"], text_cols=["text", "subject"],
+        meta_cols=[], n_slices=2, block_size=8,
+    ).build(sdf)
+    plain = SearchEngine(spark, idx)
+    forced = SearchEngine(spark, idx, prune_min_postings=0)
+    for q in ("subject:alpha beta", 'subject:"alpha beta"'):
+        a = [(r["doc_id"], round(r["score"], 9))
+             for r in plain.search(q, k=50, parser=parse_fts5).df.collect()]
+        bb = [(r["doc_id"], round(r["score"], 9))
+              for r in forced.search(q, k=50, parser=parse_fts5).df.collect()]
+        assert a == bb and len(a) > 0, q
