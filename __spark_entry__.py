@@ -364,6 +364,48 @@ limit {k}
 """
 
 
+def _bm25_prefix_sql(stem: str, and_term: str, k: int = 20) -> str:
+    """Oracle for the FTS5 prefix query `<stem>* <and_term>`: the stem
+    scores as ONE virtual term — tf summed over every token LIKE
+    'stem%' per doc, df = distinct matching docs (FTS5's bm25 counts a
+    prefix as a single phrase, pinned by live probe); the free term
+    scores normally; qualification needs both."""
+    return f"""
+with tok as (
+  select doc_id, unnest(string_split(text, ' ')) as term from documents
+),
+dl as (select doc_id, count(*) as dl from tok group by doc_id),
+stats as (
+  select count(*) as n_docs, avg(coalesce(l.dl, 0)) as avgdl
+  from documents d left join dl l using (doc_id)
+),
+tfa as (select doc_id, count(*) as tf from tok where term = '{and_term}' group by doc_id),
+dfa as (select count(distinct doc_id) as df from tok where term = '{and_term}'),
+tfv as (select doc_id, count(*) as tf from tok where term like '{stem}%' group by doc_id),
+dfv as (select count(distinct doc_id) as df from tok where term like '{stem}%'),
+contrib as (
+  select t.doc_id,
+         ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
+           * t.tf * {BM25_K1 + 1.0}
+           / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl)) as w
+  from tfa t cross join dfa f join dl l using (doc_id) cross join stats s
+  union all
+  select t.doc_id,
+         ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
+           * t.tf * {BM25_K1 + 1.0}
+           / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl)) as w
+  from tfv t cross join dfv f join dl l using (doc_id) cross join stats s
+),
+scored as (
+  select doc_id, sum(w) as score from contrib group by doc_id
+  having count(*) = 2
+)
+select doc_id, round(score, 4) as score from scored
+order by round(score, 4) desc, doc_id asc
+limit {k}
+"""
+
+
 def _bm25_two_field_sql(terms: list[str], k: int = 20) -> str:
     """DuckDB SQL mirroring the two-field engine: per-field df/tf/dl/
     avgdl (denominated over ALL docs), score = BM25_text + BM25_subject
@@ -463,6 +505,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_col_filter"] = lambda spark, sf: _fts(
         spark, sf, "subject:table query", k=20, parser=parse_fts5,
         engine_fn=_documents_engine_2fo,
+    )
+    # FTS5 prefix query: `s*` expands against the dictionary (scan,
+    # small, slow, sort, spark, stream, ...) and scores as ONE virtual
+    # term — tf summed over matching tokens, df = distinct matching
+    # docs, exactly FTS5's single-phrase bm25 accounting (probed)
+    q["fts_prefix"] = lambda spark, sf: _fts(
+        spark, sf, "s* dup", k=20, parser=parse_fts5
     )
     # two-field index (text + derived subject): 'src3' only exists in
     # the subject field, so the AND can only be satisfied cross-field
@@ -892,6 +941,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["fts_anchor"] = _bm25_sql(["key"], and_terms=["key"], anchor=["key"])
     o["fts_col_filter"] = _bm25_col_filter_sql("query", "table")
+    o["fts_prefix"] = _bm25_prefix_sql("s", "dup")
     o["fts_or_phrase"] = _bm25_sql(
         ["hash", "join", "dup"], or_mixed=[(["dup"], [["hash", "join"]])]
     )

@@ -227,16 +227,33 @@ def _phrase_match_factory(phrase: list[str], anchored: bool = False):
     (~24B per phrase-term posting occurrence in the slice). Size
     n_slices at build time so one slice's Zipf-head positions fit an
     executor: hundreds-to-thousands of slices at 100 TB, not the
-    single-digit defaults used for local tests."""
+    single-digit defaults used for local tests.
+
+    A slot may be a LIST of terms (FTS5 prefix phrase ``"a b"*``: the
+    last slot is the stem's dictionary expansion) — its occurrence set
+    is the union of its members', so ANY member extends the phrase.
+    Slice co-location still holds per member term, so the partition-
+    local match stays exact."""
     terms = list(phrase)
 
     def run(batches):
         cat = _decode_positions_by_term(batches)
         empty = pd.DataFrame({"doc_id": np.empty(0, dtype=np.int64)})
-        if any(t not in cat for t in set(terms)):
-            yield empty
-            return
-        alldocs = np.unique(np.concatenate([cat[t][0] for t in set(terms)]))
+        # a str slot absent from this partition's slices -> no match
+        # here; a list slot needs at least one member present
+        live_slots: list[list[str]] = []
+        for slot in terms:
+            members = [slot] if isinstance(slot, str) else [
+                t for t in slot if t in cat
+            ]
+            if isinstance(slot, str) and slot not in cat:
+                members = []
+            if not members:
+                yield empty
+                return
+            live_slots.append(members)
+        allterms = sorted({t for m in live_slots for t in m})
+        alldocs = np.unique(np.concatenate([cat[t][0] for t in allterms]))
 
         def keys(t: str, off: int) -> np.ndarray:
             d, f, p = cat[t]
@@ -244,8 +261,14 @@ def _phrase_match_factory(phrase: list[str], anchored: bool = False):
             o = np.searchsorted(alldocs, d[ok])
             return np.unique((o << 32) | (f[ok] << 24) | (p[ok] - off))
 
+        def slot_keys(members: list[str], off: int) -> np.ndarray:
+            if len(members) == 1:
+                return keys(members[0], off)
+            return np.unique(np.concatenate([keys(t, off) for t in members]))
+
         ks = sorted(
-            (keys(t, off) for off, t in enumerate(terms)), key=lambda a: a.size
+            (slot_keys(m, off) for off, m in enumerate(live_slots)),
+            key=lambda a: a.size,
         )
         cur = ks[0]
         for nxt in ks[1:]:
@@ -283,6 +306,7 @@ class SearchEngine:
         cache_tables: bool = False,
         auto_refresh: bool = False,
         adaptive_execution: bool = False,
+        prefix_max_expansion: int = 4096,
     ):
         """``cache_tables=True`` pins docs + dictionary in executor memory
         — the right call for a long-lived query server (the reference's
@@ -355,6 +379,14 @@ class SearchEngine:
         # actually queried are cached, negative lookups included)
         self._term_cache: dict[str, dict[int, dict]] = {}
         self._term_cache_max = 1_000_000
+        # driver-side stem -> {term: {fld: dictionary row}} cache for
+        # prefix queries (FTS5 `ab*`); bounded by the expansion cap —
+        # FTS5 itself has no cap (it walks the term btree), but the
+        # expansion becomes driver state (an In-filter + the branch's
+        # term list), so an unbounded head stem like `t*` must fail
+        # loudly rather than OOM the driver. Lengthen the stem instead.
+        self.prefix_max_expansion = prefix_max_expansion
+        self._prefix_cache: dict[str, dict[str, dict[int, dict]]] = {}
         # same filesystem seam as the builder: plain paths -> LocalFS,
         # URIs (hdfs://, s3a://, ...) -> the Hadoop client
         self.fs = fs_for(index_dir, spark)
@@ -451,6 +483,7 @@ class SearchEngine:
                 df.unpersist()
         self._docs_df = self._dict_df = self._blocks_df = None
         self._term_cache.clear()
+        self._prefix_cache.clear()
         self._snap_fp = self._manifest_fingerprint()
         st_rows = read_stats(self.index_dir, self.fs)
         self.n_docs = int(st_rows[0]["n_docs"])
@@ -567,8 +600,14 @@ class SearchEngine:
         intersects positions entirely in vectorized numpy. This
         replaced a per-(doc,fld) DataFrame self-join of decoded
         array<int> position columns (Arrow list transfer + join shuffle
-        of the arrays dominated q_phrase, ~2.6x q_and at sf0.1)."""
-        pb = blocks.filter(F.col("term").isin(sorted(set(phrase)))).select(
+        of the arrays dominated q_phrase, ~2.6x q_and at sf0.1).
+
+        A slot may be a LIST of terms (prefix phrase ``"a b"*``: the
+        stem's expansion) — any member extends the phrase."""
+        flat = sorted(
+            {t for s in phrase for t in ([s] if isinstance(s, str) else s)}
+        )
+        pb = blocks.filter(F.col("term").isin(flat)).select(
             "slice", "term", "fld", "doc_gaps", "tfs", "positions"
         )
         return pb.repartition("slice").mapInPandas(
@@ -624,6 +663,7 @@ class SearchEngine:
             | {t for ph in pq.phrases for t in ph}
             | {t for tg, _n in pq.nears for t in tg}
             | {t for ph in pq.anchors for t in ph}
+            | {t for lead, _s in pq.prefix_phrases for t in lead}
             | {t for g in pq.or_groups for t in g}
             | {t for g in pq.or_phrase_groups for ph in g for t in ph}
         )
@@ -634,6 +674,49 @@ class SearchEngine:
                 "unfiltered in one query — unsupported"
             )
         return col_single, col_phrases, fld_of
+
+    def expand_prefix(self, stems: list[str]) -> dict[str, dict[str, dict[int, dict]]]:
+        """Expand FTS5 prefix stems against the dictionary: stem ->
+        {term: {fld: dictionary row}}.
+
+        ONE dictionary job for all uncached stems (an OR of
+        ``startswith`` predicates — each pushes to the parquet scan as
+        StringStartsWith, so only matching dictionary row groups are
+        read). Expansions are cached per stem on the driver, like the
+        per-term cache; :meth:`refresh` clears both. A stem matching
+        more than ``prefix_max_expansion`` distinct terms raises —
+        FTS5 has no cap (its term btree walk is free), but here the
+        expansion becomes driver state and an In-filter, so a head
+        stem like ``t*`` must fail loudly with the remedy (lengthen
+        the stem) rather than OOM the driver."""
+        missing = sorted({s for s in stems if s not in self._prefix_cache})
+        if missing:
+            cond = None
+            for s in missing:
+                c = F.col("term").startswith(s)
+                cond = c if cond is None else (cond | c)
+            cap = self.prefix_max_expansion
+            # bound the driver materialization itself: collect at most
+            # one row past the worst-case legal volume, so a head stem
+            # on a 10^8-term dictionary raises instead of OOMing
+            lim = cap * len(missing) * self.n_fields + 1
+            rows = self.dictionary().filter(cond).limit(lim).collect()
+            if len(rows) >= lim:
+                raise ValueError(
+                    f"prefix expansion exceeds {cap} terms — lengthen the stem"
+                )
+            for s in missing:
+                exp: dict[str, dict[int, dict]] = {}
+                for r in rows:
+                    if r["term"].startswith(s):
+                        exp.setdefault(r["term"], {})[int(r["fld"])] = r.asDict()
+                if len(exp) > cap:
+                    raise ValueError(
+                        f"prefix '{s}*' expands to {len(exp)} terms "
+                        f"(> prefix_max_expansion={cap}) — lengthen the stem"
+                    )
+                self._prefix_cache[s] = exp
+        return {s: self._prefix_cache[s] for s in stems}
 
     def _near_docs(self, terms: list[str], n: int, blocks: DataFrame) -> DataFrame:
         """Docs matching FTS5 ``NEAR(t1 .. tk, n)``: one occurrence per
@@ -774,7 +857,17 @@ class SearchEngine:
         # — too HIGH to prune with). NOT terms and structured doc
         # filters are applied inside the phase-1 candidate scoring, so
         # theta stays a valid lower bound of the true k-th result.
-        if not pq.phrases and not pq.nears and not pq.anchors and scaled_map:
+        # prefixes gate theta off like phrases: the probe can't apply
+        # the stem's AND-qualification (the virtual branch isn't in the
+        # phase-1 blocks), so its k-th score would be a superset bound
+        if (
+            not pq.phrases
+            and not pq.nears
+            and not pq.anchors
+            and not pq.prefixes
+            and not pq.prefix_phrases
+            and scaled_map
+        ):
             gub = {
                 (t, f): v
                 * self._safe_ub_w(
@@ -967,17 +1060,31 @@ class SearchEngine:
         self.term_stats(list(dict.fromkeys(pos_terms)) + sorted(ng_all))
         stats = self.term_stats(pos_terms)
         col_single, col_phrases, fld_of = self._resolve_col_filters(pq)
+        # prefix stems (FTS5 `ab*`) expand against the dictionary: ONE
+        # job for all uncached stems; each positive stem becomes a
+        # VIRTUAL scoring term (tf summed over matching tokens, df =
+        # distinct matching docs — FTS5's bm25 counts a prefix as a
+        # single phrase, pinned by probe)
+        pos_stems = list(
+            dict.fromkeys(pq.prefixes + [s for _l, s in pq.prefix_phrases])
+        )
+        all_stems = sorted(set(pos_stems) | set(pq.not_prefixes))
+        pfx_exp = self.expand_prefix(all_stems) if all_stems else {}
         # an AND/phrase/NEAR/anchor/col-filter term absent -> empty
         required = (
             set(pq.and_terms)
             | {t for ph in pq.phrases for t in ph}
             | {t for tg, _n in pq.nears for t in tg}
             | {t for ph in pq.anchors for t in ph}
+            | {t for lead, _s in pq.prefix_phrases for t in lead}
             | set(fld_of)
         )
         if (
             any(t not in stats for t in required)
-            or not any(t in stats for t in pos_terms)
+            or not (any(t in stats for t in pos_terms) or pos_stems)
+            # a positive stem with an empty expansion -> empty (FTS5:
+            # `zz*` with no matching token matches nothing)
+            or any(not pfx_exp.get(s) for s in pos_stems)
             # a col-restricted term absent from THAT column -> empty
             or any(f not in stats.get(t, {}) for t, f in fld_of.items())
         ):
@@ -1024,6 +1131,48 @@ class SearchEngine:
                 c = (F.col("term") == F.lit(t)) & (F.col("fld") != F.lit(f))
                 cond = c if cond is None else (cond | c)
             pos_blocks = pos_blocks.filter(~cond)
+        # positive-prefix branch: each stem scores as ONE virtual term
+        # ("stem*" — NUL-free and star-free real terms can't collide).
+        # The expansion's packed blocks unpack positionless (same pushed
+        # In-filter scan as regular terms) and aggregate per (doc, fld):
+        # tf sums across matching tokens — one small extra shuffle,
+        # bounded by the expansion's postings. The virtual df (distinct
+        # matching docs per field, exact) needs one extra JOB over that
+        # branch — paid only when a stem expands to >=2 terms (a
+        # single-term stem's df is its dictionary df, free). In-field
+        # tf sums stay int32-safe: positions cap at 2^24 per field.
+        pfx_labels = [s + "*" for s in pos_stems]
+        pfx_branch = None
+        if pos_stems:
+            all_exp = sorted({t for s in pos_stems for t in pfx_exp[s]})
+            unp_pfx = self.unpack(self.blocks(all_exp))
+            parts = []
+            for s in pos_stems:
+                parts.append(
+                    unp_pfx.filter(F.col("term").isin(sorted(pfx_exp[s])))
+                    .groupBy("doc_id", "fld")
+                    .agg(
+                        F.sum("tf").cast("int").alias("tf"),
+                        F.max("dl").alias("dl"),
+                    )
+                    .select(
+                        F.lit(s + "*").alias("term"), "fld", "doc_id", "tf", "dl"
+                    )
+                )
+            pfx_branch = parts[0]
+            for p in parts[1:]:
+                pfx_branch = pfx_branch.unionByName(p)
+            if any(len(pfx_exp[s]) > 1 for s in pos_stems):
+                dfrows = pfx_branch.groupBy("term", "fld").count().collect()
+                for r in dfrows:
+                    scaled_map[(r["term"], int(r["fld"]))] = fw[
+                        int(r["fld"])
+                    ] * self.idf(int(r["count"]))
+            else:
+                for s in pos_stems:
+                    for m in pfx_exp[s].values():
+                        for f, row in m.items():
+                            scaled_map[(s + "*", f)] = fw[f] * self.idf(row["df"])
         # NOT side: single terms exclude on any match; conjunctive NOT
         # groups (sqlite `!"a b"` -> NOT (a AND b)) exclude only docs
         # containing ALL group terms; negated phrases (websearch
@@ -1039,8 +1188,15 @@ class SearchEngine:
         ng_stats = self.term_stats(sorted(ng_terms)) if ng_terms else {}
         live_groups = [g for g in pq.not_groups if all(t in ng_stats for t in g)]
         live_nphrases = [ph for ph in pq.not_phrases if all(t in ng_stats for t in ph)]
+        # NOT prefixes reduce exactly to single NOT terms: exclude on
+        # ANY expansion-term match (their dictionary rows came back
+        # with the expansion, so no extra stats job)
+        npfx_terms = sorted(
+            {t for s in pq.not_prefixes for t in pfx_exp.get(s, {})}
+        )
         not_all_terms = sorted(
             set(not_single)
+            | set(npfx_terms)
             | {t for g in live_groups for t in g}
             | {t for ph in live_nphrases for t in ph}
         )
@@ -1048,6 +1204,15 @@ class SearchEngine:
 
         info: dict = {}
         total_df = sum(s["df"] for t in live_terms for s in stats[t].values())
+        # the expansions' volume counts toward the broadcast/prune
+        # decisions (terms shared by overlapping stems count once per
+        # stem — a safe overestimate)
+        total_df += sum(
+            s2["df"]
+            for s in pos_stems
+            for m in pfx_exp[s].values()
+            for s2 in m.values()
+        )
         # pruning pays for its extra jobs only when there is real volume
         # to skip; below the threshold the exhaustive plan is faster
         if block_max and order == "bm25" and total_df >= self.prune_min_postings:
@@ -1080,6 +1245,7 @@ class SearchEngine:
             or pq.nears
             or pq.anchors
             or col_phrases
+            or pq.prefix_phrases  # standalone prefixes never need positions
         ) and not self.store_positions:
             raise ValueError(
                 "phrase queries need positions, but this index was built "
@@ -1096,6 +1262,8 @@ class SearchEngine:
             and not pq.nears
             and not pq.anchors
             and not col_phrases  # col-restricted SINGLES still qualify
+            and not pq.prefixes
+            and not pq.prefix_phrases
             and not or_ops
             and len(set(pq.and_terms)) <= 1
         )
@@ -1110,6 +1278,11 @@ class SearchEngine:
         if single_path and total_df <= self.broadcast_cand_max_postings:
             unpack_src = pos_blocks.coalesce(4)
         unpacked = self.unpack(unpack_src)
+        if pfx_branch is not None:
+            # the virtual prefix rows score through the same fold as
+            # real (term, field) postings — their scaled_map entries
+            # were added above
+            unpacked = unpacked.unionByName(pfx_branch)
         if single_path:
             # single (term, field): each doc appears exactly once in the
             # unpacked postings, so the groupBy-and-fold of _score is a
@@ -1133,9 +1306,15 @@ class SearchEngine:
             cand = self._qualify(
                 # col-restricted singles qualify as AND terms: their
                 # scoring rows are already field-restricted, so term
-                # presence here IS presence in the required column
+                # presence here IS presence in the required column.
+                # Standalone-prefix labels qualify exactly too: the
+                # virtual row exists iff some expansion term matched
+                # (prefix-PHRASE stems qualify via their adjacency
+                # semi-join below instead)
                 scored,
-                list(pq.and_terms) + sorted(col_single),
+                list(pq.and_terms)
+                + sorted(col_single)
+                + [s + "*" for s in pq.prefixes],
                 [tg for tg, pg in or_ops if not pg],
             )
 
@@ -1175,6 +1354,28 @@ class SearchEngine:
             if bound <= self.broadcast_cand_max_postings:
                 phd = F.broadcast(phd)
             cand = cand.join(phd, "doc_id", "left_semi")
+        for lead, stem in pq.prefix_phrases:
+            # FTS5 `"a b"*`: leading tokens adjacent, then ANY stem
+            # expansion term — the matcher's last slot is the term SET.
+            # Fresh blocks (not pos_blocks): the expansion terms were
+            # never in the scoring scan, and a range-pruned lead block
+            # set would under-match
+            exp_terms = sorted(pfx_exp[stem])
+            ppd = self._phrase_docs(
+                list(lead) + [exp_terms],
+                self.blocks(sorted(set(lead) | set(exp_terms))),
+            )
+            bound = min(
+                min(sum(s2["df"] for s2 in stats[t].values()) for t in set(lead)),
+                sum(
+                    s2["df"]
+                    for m in pfx_exp[stem].values()
+                    for s2 in m.values()
+                ),
+            )
+            if bound <= self.broadcast_cand_max_postings:
+                ppd = F.broadcast(ppd)
+            cand = cand.join(ppd, "doc_id", "left_semi")
         for tg, pg in mixed_groups:
             # satisfied by any term alternative OR any adjacent phrase
             # alternative (websearch `"a b" OR c` keeps adjacency)
@@ -1213,9 +1414,17 @@ class SearchEngine:
             def _total_df(t, st):
                 return sum(s["df"] for s in st.get(t, {}).values())
 
-            if not_single:
-                nd = unp_not.filter(F.col("term").isin(not_single)).select("doc_id")
-                bound = sum(_total_df(t, ns_stats) for t in not_single)
+            if not_single or npfx_terms:
+                nsingle = sorted(set(not_single) | set(npfx_terms))
+                nd = unp_not.filter(F.col("term").isin(nsingle)).select("doc_id")
+                # NOT-prefix bound from the expansion rows (a term in
+                # two stems counts twice — safe overestimate)
+                bound = sum(_total_df(t, ns_stats) for t in not_single) + sum(
+                    s2["df"]
+                    for s in pq.not_prefixes
+                    for m in pfx_exp.get(s, {}).values()
+                    for s2 in m.values()
+                )
                 if bound <= self.broadcast_cand_max_postings:
                     # no distinct: a broadcast hash anti-join is a set
                     # probe, duplicate build keys are harmless — the

@@ -68,6 +68,22 @@ class ParsedQuery:
     # the name to a field ordinal and raises FTS5's "no such column"
     # for unknown names.
     col_filters: list[tuple[str, list[str]]] = field(default_factory=list)
+    # prefix queries (parse_fts5 extension): FTS5 ``ab*`` — the doc must
+    # contain at least one token starting with the stem (probed: the
+    # exact token matches too, folding applies to both sides, and the
+    # star may be separated by whitespace — ``ab *`` is a prefix). The
+    # engine expands each stem against the dictionary and scores it as
+    # ONE virtual term (tf summed over matching tokens, df = distinct
+    # matching docs), mirroring FTS5's bm25 which counts a prefix as a
+    # single phrase. Stems are AND-required.
+    prefixes: list[str] = field(default_factory=list)
+    # negated prefixes: FTS5 ``NOT ab*`` (our ``!ab*``) — excluded iff
+    # ANY token with the stem occurs
+    not_prefixes: list[str] = field(default_factory=list)
+    # prefix phrases: FTS5 ``"a b"*`` — (leading tokens, stem): the
+    # leading tokens adjacent, followed by any token with the stem
+    # (probed: '"hello wor"*' matches 'hello world')
+    prefix_phrases: list[tuple[list[str], str]] = field(default_factory=list)
     # list of OR groups; each group is a list of alternative terms of
     # which at least one must match (websearch extension; empty for the
     # sqlite-style parser)
@@ -110,6 +126,11 @@ class ParsedQuery:
         for _c, toks in self.col_filters:
             for t in toks:
                 seen.setdefault(t)
+        for lead, _s in self.prefix_phrases:
+            # leading tokens are ordinary scoring terms; the stem is a
+            # VIRTUAL term the engine expands (never a dictionary key)
+            for t in lead:
+                seen.setdefault(t)
         for g in self.or_groups:
             for t in g:
                 seen.setdefault(t)
@@ -126,6 +147,8 @@ class ParsedQuery:
             or self.nears
             or self.anchors
             or self.col_filters
+            or self.prefixes
+            or self.prefix_phrases
             or self.or_groups
             or self.or_phrase_groups
         )
@@ -239,6 +262,12 @@ _ANCHOR_PHRASE = re.compile(r'\^"([^"]*)"')
 _ANCHOR_WORD = re.compile(r"\^(\w+)", re.UNICODE)
 _COL_PHRASE = re.compile(r'(\w+)\s*:\s*"([^"]*)"')
 _COL_WORD = re.compile(r"(\w+)\s*:\s*(\w+)", re.UNICODE)
+# FTS5 prefix forms (probed: the star may be whitespace-separated from
+# its operand — `ab *` and `"a b" *` are prefixes; a star INSIDE quotes
+# is dropped by the tokenizer, i.e. `"ab*"` is the plain term `ab`)
+_NEG_PREFIX = re.compile(r"[!-](\w+)\s*\*", re.UNICODE)
+_PHRASE_PREFIX = re.compile(r'"([^"]*)"\s*\*')
+_WORD_PREFIX = re.compile(r"(\w+)\s*\*", re.UNICODE)
 
 
 def parse_fts5(q: str, tok=tokenize) -> ParsedQuery:
@@ -270,7 +299,17 @@ def parse_fts5(q: str, tok=tokenize) -> ParsedQuery:
     binds to the next phrase only; an unknown name raises FTS5's
     "no such column"). Column exclusion (``-col:``), column sets
     (``{a b}:``), and column-filtered NEAR are NOT supported and
-    raise rather than silently misparse."""
+    raise rather than silently misparse.
+
+    ``ab*`` is an FTS5 prefix query (any token starting with the stem;
+    probed: the exact token matches, the star may be whitespace-
+    separated, a star inside quotes is tokenizer-dropped so ``"ab*"``
+    is the plain term ``ab``). ``!ab*`` excludes docs with any such
+    token; ``"a b"*`` requires the leading tokens adjacent followed by
+    a stem match. Anchored prefixes (``^a*``), column-filtered
+    prefixes (``col:a*``), prefixes inside NEAR, negated prefix
+    phrases (``!"a b"*``) and a leading/bare star raise rather than
+    silently misparse (FTS5 itself errors on a bare star)."""
     out = ParsedQuery()
     rest = q or ""
 
@@ -300,20 +339,69 @@ def parse_fts5(q: str, tok=tokenize) -> ParsedQuery:
             out.col_filters.append((m.group(1).lower(), toks))
         return " "
 
+    def neg_prefix(m: re.Match) -> str:
+        toks = tok(m.group(1))
+        if toks:
+            out.not_prefixes.append(toks[-1])
+            out.not_terms.extend(toks[:-1])
+        return " "
+
+    def phrase_prefix(m: re.Match) -> str:
+        toks = tok(m.group(1))
+        if len(toks) >= 2:
+            out.prefix_phrases.append((toks[:-1], toks[-1]))
+        elif toks:
+            out.prefixes.append(toks[0])  # "ab"* == ab* (probed)
+        return " "
+
+    def word_prefix(m: re.Match) -> str:
+        toks = tok(m.group(1))
+        if toks:
+            out.prefixes.append(toks[-1])
+            out.and_terms.extend(toks[:-1])
+        return " "
+
     if re.search(r"\w+\s*:\s*NEAR\(", rest):
         raise ValueError("column-filtered NEAR(...) is not supported")
     if re.search(r"[!-]\s*\w+\s*:\s*\S", rest):
         raise ValueError("column exclusion (-col: / !col:) is not supported")
     if re.search(r"\{[^}]*\}\s*:", rest):
         raise ValueError("column-set filters ({a b}:) are not supported")
+    if re.search(r"NEAR\([^)]*\*", rest):
+        raise ValueError("prefix operands inside NEAR(...) are not supported")
+    if re.search(r'\^\s*(\w+|"[^"]*")\s*\*', rest):
+        raise ValueError("anchored prefix (^a*) is not supported")
+    if re.search(r'\w+\s*:\s*(\w+|"[^"]*")\s*\*', rest):
+        raise ValueError("column-filtered prefix (col:a*) is not supported")
+    if re.search(r'[!-]\s*"[^"]*"\s*\*', rest):
+        raise ValueError("negated prefix phrase (!\"a b\"*) is not supported")
     rest = _COL_PHRASE.sub(col_filter, rest)
     rest = _COL_WORD.sub(col_filter, rest)
     rest = _NEAR_GROUP.sub(near, rest)
     rest = _ANCHOR_PHRASE.sub(anchor, rest)
     rest = _ANCHOR_WORD.sub(anchor, rest)
+    rest = _PHRASE_PREFIX.sub(phrase_prefix, rest)
+    # stars INSIDE quoted phrases are dropped by the tokenizer (probed:
+    # `"ab*"` is the plain term `ab`), so the word-prefix and bare-star
+    # passes only see the segments OUTSIDE quotes
+    segs = re.split(r'("[^"]*")', rest)
+    for i, seg in enumerate(segs):
+        if seg.startswith('"'):
+            continue
+        seg = _NEG_PREFIX.sub(neg_prefix, seg)
+        seg = _WORD_PREFIX.sub(word_prefix, seg)
+        if "*" in seg:
+            # FTS5 errors on a bare/leading star ("unknown special query")
+            raise ValueError("unknown special query: *")
+        segs[i] = seg
+    rest = "".join(segs)
     base = parse_query(rest, tok=tok)
     base.nears = out.nears
     base.anchors = out.anchors
     base.col_filters = out.col_filters
+    base.prefixes = list(dict.fromkeys(out.prefixes))
+    base.not_prefixes = list(dict.fromkeys(out.not_prefixes))
+    base.prefix_phrases = out.prefix_phrases
     base.and_terms = out.and_terms + base.and_terms
+    base.not_terms = out.not_terms + base.not_terms
     return base

@@ -86,6 +86,11 @@ def shape_response(res, rows, dbtime_ms):
                 "near": [[tg, n] for tg, n in res.parsed.nears],
                 "anchor": res.parsed.anchors,
                 "col": [[c, toks] for c, toks in res.parsed.col_filters],
+                "prefix": res.parsed.prefixes,
+                "not_prefix": res.parsed.not_prefixes,
+                "prefix_phrase": [
+                    [lead, s] for lead, s in res.parsed.prefix_phrases
+                ],
                 "or": res.parsed.or_groups,
                 "or_phrases": res.parsed.or_phrase_groups,
             },
