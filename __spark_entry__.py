@@ -364,6 +364,63 @@ limit {k}
 """
 
 
+def _bm25_col_exclude_sql(free: str, restricted: str, k: int = 20) -> str:
+    """Oracle for `-subject:<restricted> <free>` on the OVERLAPPING
+    two-field index: the exclusion resolves to {text}, so
+    ``restricted`` matches AND scores in text only while ``free``
+    scores in both fields (probed FTS5 `-col:` semantics: match in
+    any column NOT listed)."""
+    return f"""
+with docs2 as (
+  select doc_id, text,
+         source || ' ' || lang || ' ' || string_split(text, ' ')[1] as subject
+  from documents
+),
+tok0 as (
+  select doc_id, unnest(string_split(text, ' ')) as term from docs2
+),
+tok1 as (
+  select doc_id, unnest(string_split(subject, ' ')) as term from docs2
+),
+dl0 as (select doc_id, count(*) as dl from tok0 group by doc_id),
+dl1 as (select doc_id, count(*) as dl from tok1 group by doc_id),
+st as (
+  select (select count(*) from docs2) as n,
+         (select sum(dl) from dl0) * 1.0 / (select count(*) from docs2) as avg0,
+         (select sum(dl) from dl1) * 1.0 / (select count(*) from docs2) as avg1
+),
+contrib as (
+  select t.doc_id, t.term,
+         ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1)
+           * t.tf * {BM25_K1 + 1.0}
+           / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avg0)) as w
+  from (select doc_id, term, count(*) as tf from tok0
+        where term in ('{free}', '{restricted}') group by doc_id, term) t
+  join (select term, count(distinct doc_id) as df from tok0
+        where term in ('{free}', '{restricted}') group by term) f using (term)
+  join dl0 l using (doc_id)
+  cross join st s
+  union all
+  select t.doc_id, t.term,
+         ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1)
+           * t.tf * {BM25_K1 + 1.0}
+           / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avg1)) as w
+  from (select doc_id, term, count(*) as tf from tok1
+        where term = '{free}' group by doc_id, term) t
+  join (select term, count(distinct doc_id) as df from tok1
+        where term = '{free}' group by term) f using (term)
+  join dl1 l using (doc_id)
+  cross join st s
+)
+select doc_id, round(sum(w), 4) as score
+from contrib
+group by doc_id
+having count(distinct term) = 2
+order by round(sum(w), 4) desc, doc_id asc
+limit {k}
+"""
+
+
 def _bm25_prefix_sql(stem: str, and_term: str, k: int = 20) -> str:
     """Oracle for the FTS5 prefix query `<stem>* <and_term>`: the stem
     scores as ONE virtual term — tf summed over every token LIKE
@@ -512,6 +569,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # docs, exactly FTS5's single-phrase bm25 accounting (probed)
     q["fts_prefix"] = lambda spark, sf: _fts(
         spark, sf, "s* dup", k=20, parser=parse_fts5
+    )
+    # FTS5 column EXCLUSION on the same overlapping index: -subject:
+    # resolves to {text}, so 'table' matches and scores in text only
+    # — different match set AND ranks from both the unfiltered and the
+    # subject-restricted forms
+    q["fts_col_exclude"] = lambda spark, sf: _fts(
+        spark, sf, "-subject:table query", k=20, parser=parse_fts5,
+        engine_fn=_documents_engine_2fo,
     )
     # two-field index (text + derived subject): 'src3' only exists in
     # the subject field, so the AND can only be satisfied cross-field
@@ -942,6 +1007,7 @@ def oracle_sql() -> dict[str, str]:
     o["fts_anchor"] = _bm25_sql(["key"], and_terms=["key"], anchor=["key"])
     o["fts_col_filter"] = _bm25_col_filter_sql("query", "table")
     o["fts_prefix"] = _bm25_prefix_sql("s", "dup")
+    o["fts_col_exclude"] = _bm25_col_exclude_sql("query", "table")
     o["fts_or_phrase"] = _bm25_sql(
         ["hash", "join", "dup"], or_mixed=[(["dup"], [["hash", "join"]])]
     )

@@ -628,36 +628,48 @@ class SearchEngine:
         )
 
     def _resolve_col_filters(self, pq: ParsedQuery):
-        """Resolve ``col:`` filters to field ordinals.
+        """Resolve column filters (``col:``, ``{a b}:``, ``-col:``,
+        ``-{a b}:``) to allowed field-ordinal SETS.
 
-        Returns (col_single: term -> fld, col_phrases: [(tokens, fld)],
-        fld_of: term -> fld for EVERY restricted term). Raises FTS5's
-        "no such column" for unknown names, and a clear error for the
-        shapes our per-(term, field) scoring model cannot express
-        (one term both restricted and unrestricted, or restricted to
-        two different columns — FTS5 treats those as independent
-        phrases; we refuse rather than silently misscore)."""
+        Returns (col_single: term -> fld set, col_phrases: [(tokens,
+        fld set)], fld_of: term -> fld set for EVERY restricted term).
+        Raises FTS5's "no such column" for unknown names, and a clear
+        error for the shapes our per-(term, field) scoring model
+        cannot express (one term both restricted and unrestricted, or
+        restricted by two DIFFERENT filters — FTS5 treats those as
+        independent phrases; we refuse rather than silently misscore).
+        An exclusion covering every indexed column yields an empty set,
+        which the caller resolves to an empty result (probed: FTS5
+        matches nothing there)."""
         if not pq.col_filters:
             return {}, [], {}
         col_map = {c.lower(): i for i, c in enumerate(self.text_cols)}
-        col_single: dict[str, int] = {}
-        col_phrases: list[tuple[list[str], int]] = []
-        fld_of: dict[str, int] = {}
-        for cname, toks in pq.col_filters:
-            f = col_map.get(cname.lower())
-            if f is None:
-                raise ValueError(f"no such column: {cname}")
+        col_single: dict[str, frozenset[int]] = {}
+        col_phrases: list[tuple[list[str], frozenset[int]]] = []
+        fld_of: dict[str, frozenset[int]] = {}
+        for cnames, exclude, toks in pq.col_filters:
+            listed = set()
+            for cname in cnames:
+                f = col_map.get(cname.lower())
+                if f is None:
+                    raise ValueError(f"no such column: {cname}")
+                listed.add(f)
+            fset = (
+                frozenset(range(self.n_fields)) - listed
+                if exclude
+                else frozenset(listed)
+            )
             for t in toks:
-                if t in fld_of and fld_of[t] != f:
+                if t in fld_of and fld_of[t] != fset:
                     raise ValueError(
-                        f"term '{t}' is column-filtered to two different "
-                        "columns — unsupported"
+                        f"term '{t}' is column-filtered by two different "
+                        "filters — unsupported"
                     )
-                fld_of[t] = f
+                fld_of[t] = fset
             if len(toks) == 1:
-                col_single[toks[0]] = f
+                col_single[toks[0]] = fset
             elif toks:
-                col_phrases.append((toks, f))
+                col_phrases.append((toks, fset))
         unrestricted = (
             set(pq.and_terms)
             | {t for ph in pq.phrases for t in ph}
@@ -1085,8 +1097,11 @@ class SearchEngine:
             # a positive stem with an empty expansion -> empty (FTS5:
             # `zz*` with no matching token matches nothing)
             or any(not pfx_exp.get(s) for s in pos_stems)
-            # a col-restricted term absent from THAT column -> empty
-            or any(f not in stats.get(t, {}) for t, f in fld_of.items())
+            # a col-restricted term absent from every ALLOWED column ->
+            # empty (this also covers an exclusion spanning all fields)
+            or any(
+                not (set(stats.get(t, {})) & fs) for t, fs in fld_of.items()
+            )
         ):
             empty = docs_f.limit(0).withColumn("score", F.lit(0.0)).select(
                 "doc_id", *key_meta, "score"
@@ -1116,9 +1131,9 @@ class SearchEngine:
             (t, f): fw[f] * self.idf(s["df"])
             for t in live_terms
             for f, s in stats[t].items()
-            # a col-restricted term scores ONLY its column (FTS5:
-            # col:t matches — and bm25 counts — that column's hits)
-            if t not in fld_of or fld_of[t] == f
+            # a col-restricted term scores ONLY its allowed columns
+            # (FTS5: col:t matches — and bm25 counts — those hits)
+            if t not in fld_of or f in fld_of[t]
         }
         pos_blocks = self.blocks(live_terms)
         if fld_of:
@@ -1127,8 +1142,8 @@ class SearchEngine:
             # and the phrase/NEAR matchers downstream see only the
             # restricted column's positions)
             cond = None
-            for t, f in fld_of.items():
-                c = (F.col("term") == F.lit(t)) & (F.col("fld") != F.lit(f))
+            for t, fs in fld_of.items():
+                c = (F.col("term") == F.lit(t)) & ~F.col("fld").isin(sorted(fs))
                 cond = c if cond is None else (cond | c)
             pos_blocks = pos_blocks.filter(~cond)
         # positive-prefix branch: each stem scores as ONE virtual term
@@ -1350,7 +1365,10 @@ class SearchEngine:
             # terms' other-field blocks, so the phrase matcher only
             # sees — and can only match within — the required column
             phd = self._phrase_docs(ph, pos_blocks)
-            bound = min(stats[t][f]["df"] for t in set(ph))
+            bound = min(
+                sum(s2["df"] for f2, s2 in stats[t].items() if f2 in f)
+                for t in set(ph)
+            )
             if bound <= self.broadcast_cand_max_postings:
                 phd = F.broadcast(phd)
             cand = cand.join(phd, "doc_id", "left_semi")

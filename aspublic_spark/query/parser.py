@@ -61,13 +61,17 @@ class ParsedQuery:
     # occur at the very START of some indexed column (FTS5 `^a`,
     # `^"a b"` — live probe: position 0 of ANY column qualifies)
     anchors: list[list[str]] = field(default_factory=list)
-    # column filters (parse_fts5 extension): (column_name, tokens) —
-    # FTS5 `col:term` / `col:"a b"`: the term/phrase must match in
-    # that column only (live probe: column names are case-insensitive;
-    # the filter binds to the NEXT phrase only). The engine resolves
-    # the name to a field ordinal and raises FTS5's "no such column"
-    # for unknown names.
-    col_filters: list[tuple[str, list[str]]] = field(default_factory=list)
+    # column filters (parse_fts5 extension): (column_names, exclude,
+    # tokens) — FTS5 `col:term`, `{a b}:term`, `-col:term`,
+    # `-{a b}:term` and their phrase forms: the term/phrase must match
+    # in one of the listed columns (or, with exclude=True, in any
+    # column NOT listed). Live probes: names are case-insensitive, the
+    # filter binds to the NEXT phrase only, whitespace after `-`/`:`
+    # is allowed, and an unknown name raises FTS5's "no such column".
+    # The engine resolves names to the allowed field-ordinal SET.
+    col_filters: list[tuple[tuple[str, ...], bool, list[str]]] = field(
+        default_factory=list
+    )
     # prefix queries (parse_fts5 extension): FTS5 ``ab*`` — the doc must
     # contain at least one token starting with the stem (probed: the
     # exact token matches too, folding applies to both sides, and the
@@ -123,7 +127,7 @@ class ParsedQuery:
         for ph in self.anchors:
             for t in ph:
                 seen.setdefault(t)
-        for _c, toks in self.col_filters:
+        for _cols, _neg, toks in self.col_filters:
             for t in toks:
                 seen.setdefault(t)
         for lead, _s in self.prefix_phrases:
@@ -260,8 +264,12 @@ def parse_websearch(q: str, tok=tokenize) -> ParsedQuery:
 _NEAR_GROUP = re.compile(r"NEAR\(\s*([^(),]*?)\s*(?:,\s*(\d+)\s*)?\)")
 _ANCHOR_PHRASE = re.compile(r'\^"([^"]*)"')
 _ANCHOR_WORD = re.compile(r"\^(\w+)", re.UNICODE)
-_COL_PHRASE = re.compile(r'(\w+)\s*:\s*"([^"]*)"')
-_COL_WORD = re.compile(r"(\w+)\s*:\s*(\w+)", re.UNICODE)
+_COL_PHRASE = re.compile(r'([!-]?)\s*(\w+)\s*:\s*"([^"]*)"')
+_COL_WORD = re.compile(r"([!-]?)\s*(\w+)\s*:\s*(\w+)", re.UNICODE)
+# column SETS: `{a b}:term` (match in any listed column) and the
+# exclusion forms `-col:` / `-{a b}:` (match in any column NOT listed)
+_COL_SET_PHRASE = re.compile(r'([!-]?)\s*\{([^{}]*)\}\s*:\s*"([^"]*)"')
+_COL_SET_WORD = re.compile(r"([!-]?)\s*\{([^{}]*)\}\s*:\s*(\w+)", re.UNICODE)
 # FTS5 prefix forms (probed: the star may be whitespace-separated from
 # its operand — `ab *` and `"a b" *` are prefixes; a star INSIDE quotes
 # is dropped by the tokenizer, i.e. `"ab*"` is the plain term `ab`)
@@ -295,11 +303,13 @@ def parse_fts5(q: str, tok=tokenize) -> ParsedQuery:
     terms, exactly as FTS5's bm25 does.
 
     ``col:term`` / ``col:"a b"`` restrict the term/phrase to one
-    indexed column (probed: names are case-insensitive, the filter
-    binds to the next phrase only; an unknown name raises FTS5's
-    "no such column"). Column exclusion (``-col:``), column sets
-    (``{a b}:``), and column-filtered NEAR are NOT supported and
-    raise rather than silently misparse.
+    indexed column; ``{a b}:term`` to any LISTED column; ``-col:`` /
+    ``-{a b}:`` to any column NOT listed (probed: names are
+    case-insensitive, the filter binds to the next phrase only,
+    whitespace after ``-``/``:`` is allowed; an unknown name raises
+    FTS5's "no such column"). ``!col:`` (our NOT spelling) and
+    column-filtered NEAR are NOT supported and raise rather than
+    silently misparse.
 
     ``ab*`` is an FTS5 prefix query (any token starting with the stem;
     probed: the exact token matches, the star may be whitespace-
@@ -333,11 +343,24 @@ def parse_fts5(q: str, tok=tokenize) -> ParsedQuery:
             out.anchors.append(toks)
         return " "
 
-    def col_filter(m: re.Match) -> str:
-        toks = tok(m.group(2))
+    def _col_entry(neg_mark: str, names_raw: list[str], content: str) -> str:
+        if neg_mark == "!":
+            # `!` is OUR NOT spelling; FTS5's column exclusion is `-`.
+            # Refusing keeps `!col:x` from silently meaning either one.
+            raise ValueError("use -col: for column exclusion, not !col:")
+        names = tuple(n.lower() for n in names_raw if n)
+        if not names:
+            raise ValueError("malformed column filter: empty column set")
+        toks = tok(content)
         if toks:
-            out.col_filters.append((m.group(1).lower(), toks))
+            out.col_filters.append((names, neg_mark == "-", toks))
         return " "
+
+    def col_filter(m: re.Match) -> str:
+        return _col_entry(m.group(1), [m.group(2)], m.group(3))
+
+    def col_set_filter(m: re.Match) -> str:
+        return _col_entry(m.group(1), m.group(2).split(), m.group(3))
 
     def neg_prefix(m: re.Match) -> str:
         toks = tok(m.group(1))
@@ -361,20 +384,18 @@ def parse_fts5(q: str, tok=tokenize) -> ParsedQuery:
             out.and_terms.extend(toks[:-1])
         return " "
 
-    if re.search(r"\w+\s*:\s*NEAR\(", rest):
+    if re.search(r"(\w+|\{[^{}]*\})\s*:\s*NEAR\(", rest):
         raise ValueError("column-filtered NEAR(...) is not supported")
-    if re.search(r"[!-]\s*\w+\s*:\s*\S", rest):
-        raise ValueError("column exclusion (-col: / !col:) is not supported")
-    if re.search(r"\{[^}]*\}\s*:", rest):
-        raise ValueError("column-set filters ({a b}:) are not supported")
     if re.search(r"NEAR\([^)]*\*", rest):
         raise ValueError("prefix operands inside NEAR(...) are not supported")
     if re.search(r'\^\s*(\w+|"[^"]*")\s*\*', rest):
         raise ValueError("anchored prefix (^a*) is not supported")
-    if re.search(r'\w+\s*:\s*(\w+|"[^"]*")\s*\*', rest):
+    if re.search(r'(\w+|\{[^{}]*\})\s*:\s*(\w+|"[^"]*")\s*\*', rest):
         raise ValueError("column-filtered prefix (col:a*) is not supported")
     if re.search(r'[!-]\s*"[^"]*"\s*\*', rest):
         raise ValueError("negated prefix phrase (!\"a b\"*) is not supported")
+    rest = _COL_SET_PHRASE.sub(col_set_filter, rest)
+    rest = _COL_SET_WORD.sub(col_set_filter, rest)
     rest = _COL_PHRASE.sub(col_filter, rest)
     rest = _COL_WORD.sub(col_filter, rest)
     rest = _NEAR_GROUP.sub(near, rest)

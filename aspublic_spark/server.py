@@ -85,7 +85,14 @@ def shape_response(res, rows, dbtime_ms):
                 "not_phrases": res.parsed.not_phrases,
                 "near": [[tg, n] for tg, n in res.parsed.nears],
                 "anchor": res.parsed.anchors,
-                "col": [[c, toks] for c, toks in res.parsed.col_filters],
+                "col": [
+                    [
+                        ("-" if neg else "")
+                        + (cols[0] if len(cols) == 1 else "{" + " ".join(cols) + "}"),
+                        toks,
+                    ]
+                    for cols, neg, toks in res.parsed.col_filters
+                ],
                 "prefix": res.parsed.prefixes,
                 "not_prefix": res.parsed.not_prefixes,
                 "prefix_phrase": [

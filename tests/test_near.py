@@ -259,11 +259,20 @@ def test_anchor_differential_vs_live_fts5(spark, workdir):
 # ------------------------------------------------------ column filters
 def test_parse_fts5_col_filters():
     p = parse_fts5("Subject:Table query")
-    assert p.col_filters == [("subject", ["table"])]
+    assert p.col_filters == [(("subject",), False, ["table"])]
     assert p.and_terms == ["query"]
     p2 = parse_fts5('text:"a b" !c')
-    assert p2.col_filters == [("text", ["a", "b"])] and p2.not_terms == ["c"]
-    for bad in ("-text: a", "text: NEAR(a b)", "{text subject}: a"):
+    assert p2.col_filters == [(("text",), False, ["a", "b"])]
+    assert p2.not_terms == ["c"]
+    # column sets and exclusions (probed FTS5 forms)
+    assert parse_fts5("{Text Subject}: a").col_filters == [
+        (("text", "subject"), False, ["a"])
+    ]
+    assert parse_fts5("-text: a").col_filters == [(("text",), True, ["a"])]
+    assert parse_fts5('- {text subject}:"a b"').col_filters == [
+        (("text", "subject"), True, ["a", "b"])
+    ]
+    for bad in ("!text: a", "text: NEAR(a b)", "{}: a", "{text}:a*"):
         with pytest.raises(ValueError):
             parse_fts5(bad)
 
@@ -298,7 +307,12 @@ def test_col_filter_differential_vs_live_fts5(spark, workdir):
 
     for q in ("subject:alpha", "text:alpha", "subject:alpha beta",
               'subject:"alpha beta"', "SUBJECT:alpha !gamma",
-              "subject:alpha ^beta"):
+              "subject:alpha ^beta",
+              # column sets + exclusions (on a 2-col index -subject:
+              # == text: — both sides must agree on that too)
+              "{text subject}:alpha beta", "{subject}:alpha",
+              "-subject:alpha", "-text:alpha beta",
+              '-subject:"alpha beta"', "-{subject}:alpha gamma"):
         fq = q.replace("!", "NOT ") if "!" in q else q
         want = {
             r[0] for r in db.execute("SELECT rowid FROM f WHERE f MATCH ?", (fq,))
