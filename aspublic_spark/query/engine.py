@@ -54,7 +54,7 @@ from aspublic_spark.index.build import (
     read_stats,
 )
 from aspublic_spark.index.fsio import fs_for
-from aspublic_spark.query.parser import ParsedQuery, parse_query
+from aspublic_spark.query.parser import Node, ParsedQuery, parse_query
 
 _UNPACK_SCHEMA = "term string, fld int, doc_id long, tf int, dl int"
 _UNPACK_POS_SCHEMA = _UNPACK_SCHEMA + ", positions array<int>"
@@ -288,6 +288,120 @@ def _phrase_match_factory(phrase: list[str], anchored: bool = False):
         yield pd.DataFrame({"doc_id": docs})
 
     return run
+
+
+# -- raw-FTS5 boolean tree helpers (generic evaluation path) ------------
+def _tree_walk_leaves(node: Node, specs: tuple, scoring: bool, out: list):
+    """Collect (leaf, colspec chain, scoring?) triples. A leaf under a
+    NOT right operand (or our hybrid ``!``) never scores — matching the
+    flat engine's treatment of NOT terms."""
+    k = node.kind
+    if k == "col":
+        _tree_walk_leaves(node.kids[0], specs + (node.spec,), scoring, out)
+    elif k in ("and", "or"):
+        for c in node.kids:
+            _tree_walk_leaves(c, specs, scoring, out)
+    elif k == "not":
+        _tree_walk_leaves(node.kids[0], specs, scoring, out)
+        _tree_walk_leaves(node.kids[1], specs, False, out)
+    elif k == "unot":
+        _tree_walk_leaves(node.kids[0], specs, False, out)
+    elif k not in ("true", "false"):
+        out.append((node, specs, scoring))
+
+
+def _tree_strip_col(node: Node) -> Node:
+    """Dissolve ``col`` wrappers — restrictions were recorded globally
+    per term/stem (and validated consistent), so the evaluated tree
+    doesn't need them."""
+    if node.kind == "col":
+        return _tree_strip_col(node.kids[0])
+    if node.kids:
+        return Node(
+            node.kind,
+            kids=tuple(_tree_strip_col(c) for c in node.kids),
+            toks=node.toks,
+            n=node.n,
+            stem=node.stem,
+        )
+    return node
+
+
+def _tree_simplify(node: Node, dead_leaf) -> Node:
+    """Constant-fold the tree after replacing dead leaves (terms absent
+    from the corpus / empty prefix expansions) with ``false``. NOT with
+    a false right side drops to its left (excluding nothing); a true
+    left (from a hybrid-negated absent term) reduces to pure negation."""
+    k = node.kind
+    if k == "and":
+        kids = [_tree_simplify(c, dead_leaf) for c in node.kids]
+        if any(c.kind == "false" for c in kids):
+            return Node("false")
+        kids = [c for c in kids if c.kind != "true"]
+        if not kids:
+            return Node("true")
+        return kids[0] if len(kids) == 1 else Node("and", kids=tuple(kids))
+    if k == "or":
+        kids = [_tree_simplify(c, dead_leaf) for c in node.kids]
+        if any(c.kind == "true" for c in kids):
+            return Node("true")
+        kids = [c for c in kids if c.kind != "false"]
+        if not kids:
+            return Node("false")
+        return kids[0] if len(kids) == 1 else Node("or", kids=tuple(kids))
+    if k == "not":
+        left = _tree_simplify(node.kids[0], dead_leaf)
+        right = _tree_simplify(node.kids[1], dead_leaf)
+        if left.kind == "false" or right.kind == "true":
+            return Node("false")
+        if right.kind == "false":
+            return left
+        if left.kind == "true":
+            return Node("unot", kids=(right,))
+        return Node("not", kids=(left, right))
+    if k == "unot":
+        kid = _tree_simplify(node.kids[0], dead_leaf)
+        if kid.kind == "false":
+            return Node("true")
+        if kid.kind == "true":
+            return Node("false")
+        return Node("unot", kids=(kid,))
+    if k in ("true", "false"):
+        return node
+    return Node("false") if dead_leaf(node) else node
+
+
+def _tree_matches_empty_doc(node: Node) -> bool:
+    """Boolean-evaluate the tree for a document containing NONE of the
+    query's terms. True means the query is (partly) pure negation —
+    unsatisfiable over an inverted index (FTS5 refuses ``NOT a``
+    outright; this catches the hybrid spellings that smuggle it in)."""
+    k = node.kind
+    if k == "and":
+        return all(_tree_matches_empty_doc(c) for c in node.kids)
+    if k == "or":
+        return any(_tree_matches_empty_doc(c) for c in node.kids)
+    if k == "not":
+        return _tree_matches_empty_doc(node.kids[0]) and not _tree_matches_empty_doc(
+            node.kids[1]
+        )
+    if k == "unot":
+        return not _tree_matches_empty_doc(node.kids[0])
+    return k == "true"
+
+
+def _tree_positional_key(leaf: Node):
+    """Identity of a positional leaf (shared flag column per distinct
+    phrase/NEAR/anchor/prefix-phrase across the tree)."""
+    if leaf.kind == "phrase" and len(leaf.toks) > 1:
+        return ("phrase", leaf.toks)
+    if leaf.kind == "near":
+        return ("near", leaf.toks, leaf.n)
+    if leaf.kind == "anchor":
+        return ("anchor", leaf.toks)
+    if leaf.kind == "prefix_phrase":
+        return ("pp", leaf.toks, leaf.stem)
+    return None
 
 
 @dataclass
@@ -1043,6 +1157,11 @@ class SearchEngine:
             else [F.col("ts").desc()] + [F.col(c).asc() for c in self.key_cols]
         )
 
+        if pq.tree is not None:
+            # raw-FTS5 boolean structure the flat model can't express:
+            # generic expression-tree evaluation
+            return self._search_tree(pq, k, docs_f, key_meta, order_cols, field_weights)
+
         if pq.is_empty():
             # pure structured query (reference requires q, but recency
             # browsing is well-defined): top-k most recent regardless of
@@ -1478,6 +1597,324 @@ class SearchEngine:
         cand_out = cand
         if total_df <= self.broadcast_cand_max_postings:
             cand_out = F.broadcast(cand)
+        out = (
+            cand_out.join(docs_f.select("doc_id", *key_meta), "doc_id")
+            .select("doc_id", *key_meta, "score")
+            .orderBy(*order_cols)
+            .limit(k)
+        )
+        return SearchResult(out, pq, info)
+
+    # -- generic boolean-tree evaluation (raw-FTS5 surface) --------------
+    def _search_tree(
+        self,
+        pq: ParsedQuery,
+        k: int,
+        docs_f: DataFrame,
+        key_meta: list[str],
+        order_cols: list,
+        field_weights: list[float] | None,
+    ) -> SearchResult:
+        """Evaluate a raw-FTS5 boolean expression tree that the flat
+        ParsedQuery model can't express (``a OR (b NOT c)``,
+        ``NEAR(a b) OR c``, ``text:(x OR y)``, ``col:NEAR(...)``,
+        ``col:a*``, ...).
+
+        Plan shape: ONE positionless unpack over every leaf term's
+        blocks (whatever its polarity — a doc can satisfy the tree
+        through negations, so the candidate universe is docs holding
+        ANY leaf term; docs holding none evaluate like the empty
+        document, which was proven non-matching below), the same
+        canonical-order score fold as the flat path (non-scoring
+        leaves — NOT right operands and hybrid ``!`` — carry weight
+        0.0: they flag presence without perturbing the sum, and
+        x + 0.0 == x in IEEE754 so scores stay bit-identical to the
+        flat plan on flat-equivalent trees), one flag column per
+        DISTINCT positional leaf (phrase/NEAR/anchor/prefix-phrase
+        doc sets LEFT-joined, broadcast under the dictionary bound),
+        and the tree compiled to a single Catalyst boolean over the
+        ``_terms`` array + flags. Block-max pruning stays off: theta
+        is unsound under OR/NOT structure and these queries are the
+        rare tail — the exhaustive plan is the correct default.
+
+        Column filters were already validated consistent per term /
+        stem (the per-(term, field) scoring model can't express one
+        term under two different restrictions — FTS5 treats those as
+        independent phrases; we refuse rather than misscore), so the
+        restriction lives in ``scaled_map`` and the block scan's
+        pushed field filter, and the tree itself drops its ``col``
+        wrappers before compilation."""
+        full = frozenset(range(self.n_fields))
+        col_map = {c.lower(): i for i, c in enumerate(self.text_cols)}
+
+        raw_leaves: list = []
+        _tree_walk_leaves(pq.tree, (), True, raw_leaves)
+
+        def spec_fset(specs: tuple) -> frozenset:
+            fs = set(full)
+            for names, exclude in specs:  # nested colspecs intersect
+                listed = set()
+                for nm in names:
+                    f = col_map.get(nm.lower())
+                    if f is None:
+                        raise ValueError(f"no such column: {nm}")
+                    listed.add(f)
+                fs &= (set(full) - listed) if exclude else listed
+            return frozenset(fs)
+
+        term_fld: dict[str, frozenset] = {}
+        stem_fld: dict[str, frozenset] = {}
+
+        def note(d: dict, key: str, fs: frozenset):
+            if d.setdefault(key, fs) != fs:
+                raise ValueError(
+                    f"'{key}' is column-filtered inconsistently across "
+                    "the query — unsupported (per-(term, field) scoring "
+                    "cannot express it)"
+                )
+
+        for leaf, specs, _sc in raw_leaves:
+            fs = spec_fset(specs)
+            for t in leaf.toks:
+                note(term_fld, t, fs)
+            if leaf.kind in ("prefix", "prefix_phrase"):
+                note(stem_fld, leaf.stem, fs)
+
+        # ONE dictionary job for all terms, one for all stems
+        stats = self.term_stats(sorted(term_fld))
+        pfx_exp = self.expand_prefix(sorted(stem_fld)) if stem_fld else {}
+
+        def live_flds(t: str) -> set:
+            return set(stats.get(t, {})) & term_fld[t]
+
+        def stem_live(s: str) -> dict:
+            """stem's expansion restricted to its allowed fields:
+            term -> {fld: dictionary row}."""
+            out = {}
+            for t, m in pfx_exp.get(s, {}).items():
+                mm = {f: r for f, r in m.items() if f in stem_fld[s]}
+                if mm:
+                    out[t] = mm
+            return out
+
+        def dead_leaf(leaf: Node) -> bool:
+            if leaf.kind == "prefix":
+                return not stem_live(leaf.stem)
+            if leaf.kind == "prefix_phrase":
+                return not stem_live(leaf.stem) or any(
+                    not live_flds(t) for t in leaf.toks
+                )
+            return any(not live_flds(t) for t in leaf.toks)
+
+        tree = _tree_simplify(_tree_strip_col(pq.tree), dead_leaf)
+        info: dict = {"tree": True}
+        if tree.kind == "false":
+            empty = docs_f.limit(0).withColumn("score", F.lit(0.0)).select(
+                "doc_id", *key_meta, "score"
+            )
+            return SearchResult(empty, pq, {**info, "empty": True})
+        if _tree_matches_empty_doc(tree):
+            raise ValueError(
+                "query is satisfied by documents containing none of its "
+                "terms — pure negation is unsatisfiable over an inverted "
+                "index (FTS5 refuses `NOT a` the same way)"
+            )
+
+        # surviving leaves: scoring is OR'd across duplicate occurrences
+        # (a term present anywhere in a scoring context scores, exactly
+        # like the flat path's positive_terms)
+        leaves: list = []
+        _tree_walk_leaves(tree, (), True, leaves)
+        scoring_terms: set[str] = set()
+        scoring_stems: set[str] = set()
+        used_terms: set[str] = set()
+        used_stems: set[str] = set()
+        pos_leaves: dict[tuple, Node] = {}
+        for leaf, _specs, sc in leaves:
+            key = _tree_positional_key(leaf)
+            if key is not None:
+                pos_leaves.setdefault(key, leaf)
+            used_terms.update(leaf.toks)
+            if leaf.kind in ("prefix", "prefix_phrase"):
+                used_stems.add(leaf.stem)
+            if sc:
+                scoring_terms.update(leaf.toks)
+                if leaf.kind in ("prefix", "prefix_phrase"):
+                    scoring_stems.add(leaf.stem)
+
+        if pos_leaves and not self.store_positions:
+            raise ValueError(
+                "phrase queries need positions, but this index was built "
+                "with store_positions=False"
+            )
+
+        live_terms = sorted(t for t in used_terms if live_flds(t))
+        live_stems = sorted(s for s in used_stems if stem_live(s))
+        fw = list(field_weights) if field_weights is not None else []
+        fw += [1.0] * (self.n_fields - len(fw))
+        # weight 0.0 for non-scoring (NOT-side) leaves: the fold keeps
+        # them out of the sum but their presence still lands in _terms
+        scaled_map = {
+            (t, f): (fw[f] * self.idf(stats[t][f]["df"]) if t in scoring_terms else 0.0)
+            for t in live_terms
+            for f in sorted(live_flds(t))
+        }
+
+        pos_blocks = self.blocks(live_terms)
+        restricted = {
+            t: fs for t in live_terms if (fs := term_fld[t]) != full
+        }
+        if restricted:
+            # drop restricted terms' other-field blocks at the scan (fld
+            # rides the block metadata — a pushed filter — and the
+            # positional matchers then only see the allowed columns)
+            cond = None
+            for t, fs in restricted.items():
+                c = (F.col("term") == F.lit(t)) & ~F.col("fld").isin(sorted(fs))
+                cond = c if cond is None else (cond | c)
+            pos_blocks = pos_blocks.filter(~cond)
+
+        unpacked = self.unpack(pos_blocks)
+
+        # virtual prefix branch, exactly the flat path's: per stem one
+        # "stem*" row per (doc, fld) with tf summed over the expansion
+        def _stem_df_total(s: str) -> int:
+            return sum(
+                r["df"] for m in stem_live(s).values() for r in m.values()
+            )
+
+        if live_stems:
+            all_exp = sorted({t for s in live_stems for t in stem_live(s)})
+            exp_blocks = self.blocks(all_exp)
+            parts = []
+            for s in live_stems:
+                src = exp_blocks.filter(
+                    F.col("term").isin(sorted(stem_live(s)))
+                )
+                if stem_fld[s] != full:
+                    src = src.filter(F.col("fld").isin(sorted(stem_fld[s])))
+                parts.append(
+                    self.unpack(src)
+                    .groupBy("doc_id", "fld")
+                    .agg(
+                        F.sum("tf").cast("int").alias("tf"),
+                        F.max("dl").alias("dl"),
+                    )
+                    .select(
+                        F.lit(s + "*").alias("term"), "fld", "doc_id", "tf", "dl"
+                    )
+                )
+            branch = parts[0]
+            for p in parts[1:]:
+                branch = branch.unionByName(p)
+            # virtual per-field df: exact (one job) when any stem has a
+            # multi-term expansion, free from the dictionary otherwise
+            if any(len(stem_live(s)) > 1 for s in live_stems):
+                for r in branch.groupBy("term", "fld").count().collect():
+                    s = r["term"][:-1]
+                    scaled_map[(r["term"], int(r["fld"]))] = (
+                        fw[int(r["fld"])] * self.idf(int(r["count"]))
+                        if s in scoring_stems
+                        else 0.0
+                    )
+            else:
+                for s in live_stems:
+                    for m in stem_live(s).values():
+                        for f, row in m.items():
+                            scaled_map[(s + "*", f)] = (
+                                fw[f] * self.idf(row["df"])
+                                if s in scoring_stems
+                                else 0.0
+                            )
+            unpacked = unpacked.unionByName(branch)
+
+        cand = self._score(unpacked, scaled_map)
+
+        # one flag column per distinct positional leaf (LEFT join: the
+        # tree may OR or negate it, so a semi/anti join would be wrong)
+        flag_col: dict[tuple, str] = {}
+        total_df = sum(
+            s["df"] for t in live_terms for f, s in stats[t].items()
+            if f in term_fld[t]
+        ) + sum(_stem_df_total(s) for s in live_stems)
+
+        def _term_df(t: str) -> int:
+            return sum(
+                s["df"] for f, s in stats[t].items() if f in term_fld[t]
+            )
+
+        for i, key in enumerate(sorted(pos_leaves)):
+            leaf = pos_leaves[key]
+            name = f"_pf{i}"
+            flag_col[key] = name
+            if leaf.kind == "near":
+                fdf = self._near_docs(list(leaf.toks), leaf.n, pos_blocks)
+                bound = min(_term_df(t) for t in set(leaf.toks))
+            elif leaf.kind == "anchor":
+                fdf = self._anchor_docs(list(leaf.toks), pos_blocks)
+                bound = min(_term_df(t) for t in set(leaf.toks))
+            elif leaf.kind == "prefix_phrase":
+                # fresh blocks: the expansion terms are not in the
+                # scoring scan (same as the flat prefix-phrase path)
+                exp_terms = sorted(stem_live(leaf.stem))
+                src = self.blocks(sorted(set(leaf.toks) | set(exp_terms)))
+                lim = {t: term_fld[t] for t in leaf.toks if term_fld[t] != full}
+                if stem_fld[leaf.stem] != full:
+                    lim.update({t: stem_fld[leaf.stem] for t in exp_terms})
+                if lim:
+                    c2 = None
+                    for t, fs in lim.items():
+                        c = (F.col("term") == F.lit(t)) & ~F.col("fld").isin(
+                            sorted(fs)
+                        )
+                        c2 = c if c2 is None else (c2 | c)
+                    src = src.filter(~c2)
+                fdf = self._phrase_docs(list(leaf.toks) + [exp_terms], src)
+                bound = min(
+                    min(_term_df(t) for t in set(leaf.toks)),
+                    _stem_df_total(leaf.stem),
+                )
+            else:  # multi-token phrase
+                fdf = self._phrase_docs(list(leaf.toks), pos_blocks)
+                bound = min(_term_df(t) for t in set(leaf.toks))
+            fdf = fdf.withColumn(name, F.lit(True))
+            if bound <= self.broadcast_cand_max_postings:
+                fdf = F.broadcast(fdf)
+            cand = cand.join(fdf, "doc_id", "left")
+
+        def compile_node(node: Node):
+            k2 = node.kind
+            if k2 in ("and", "or"):
+                cols = [compile_node(c) for c in node.kids]
+                out = cols[0]
+                for c in cols[1:]:
+                    out = (out & c) if k2 == "and" else (out | c)
+                return out
+            if k2 == "not":
+                return compile_node(node.kids[0]) & ~compile_node(node.kids[1])
+            if k2 == "unot":
+                return ~compile_node(node.kids[0])
+            if k2 == "true":
+                return F.lit(True)
+            if k2 == "false":
+                return F.lit(False)
+            key = _tree_positional_key(node)
+            if key is not None:
+                return F.coalesce(F.col(flag_col[key]), F.lit(False))
+            if k2 == "prefix":
+                return F.array_contains("_terms", node.stem + "*")
+            # term or single-token phrase (adjacency is vacuous)
+            return F.array_contains("_terms", node.toks[0])
+
+        cand = cand.filter(compile_node(tree)).drop(
+            "_terms", *flag_col.values()
+        )
+
+        cand_out = (
+            F.broadcast(cand)
+            if total_df <= self.broadcast_cand_max_postings
+            else cand
+        )
         out = (
             cand_out.join(docs_f.select("doc_id", *key_meta), "doc_id")
             .select("doc_id", *key_meta, "score")

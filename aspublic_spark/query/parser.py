@@ -39,6 +39,59 @@ _NEG_WORD = re.compile(r"[!-](\w+)", re.UNICODE)
 _PHRASE = re.compile(r'"([^"]*)"')
 
 
+@dataclass(frozen=True)
+class Node:
+    """One node of a raw-FTS5 boolean expression tree (``parse_fts5``).
+
+    Produced only when the query's boolean structure cannot be lowered
+    into the flat :class:`ParsedQuery` shape (e.g. ``a OR (b NOT c)``,
+    ``NEAR(a b) OR c``, ``text:(x OR y)``); the engine then evaluates
+    the tree generically. Kinds:
+
+    - ``term``/``phrase``/``anchor``: ``toks`` holds the tokens
+    - ``near``: ``toks`` + window ``n``
+    - ``prefix``: ``stem``; ``prefix_phrase``: lead ``toks`` + ``stem``
+    - ``and``/``or``: ``kids``; ``not``: binary FTS5 NOT, ``kids=(l, r)``
+    - ``unot``: unary hybrid negation (our ``!x`` spelling), one kid
+    - ``col``: column filter applied to ``kids[0]``; ``spec`` is
+      ``(names, exclude)`` — nested ``col`` nodes intersect (probed:
+      ``text:(subject:a)`` matches nothing on disjoint columns)
+    - ``false``/``true``: constants introduced by simplification
+    """
+
+    kind: str
+    kids: tuple = ()
+    toks: tuple = ()
+    n: int = 0
+    stem: str = ""
+    spec: tuple = ()
+
+    def describe(self) -> str:
+        """Compact s-expression of the tree (debug echo + tests)."""
+        k = self.kind
+        if k == "term":
+            return self.toks[0]
+        if k == "phrase":
+            return '"' + " ".join(self.toks) + '"'
+        if k == "anchor":
+            return '^"' + " ".join(self.toks) + '"'
+        if k == "near":
+            return f"(near:{self.n} {' '.join(self.toks)})"
+        if k == "prefix":
+            return self.stem + "*"
+        if k == "prefix_phrase":
+            return '"' + " ".join(self.toks) + f' {self.stem}*"'
+        if k == "col":
+            names, exclude = self.spec
+            tag = ("-" if exclude else "") + (
+                names[0] if len(names) == 1 else "{" + " ".join(names) + "}"
+            )
+            return f"({tag}: {self.kids[0].describe()})"
+        if k in ("true", "false"):
+            return k
+        return f"({k} {' '.join(c.describe() for c in self.kids)})"
+
+
 @dataclass
 class ParsedQuery:
     and_terms: list[str] = field(default_factory=list)
@@ -88,6 +141,12 @@ class ParsedQuery:
     # leading tokens adjacent, followed by any token with the stem
     # (probed: '"hello wor"*' matches 'hello world')
     prefix_phrases: list[tuple[list[str], str]] = field(default_factory=list)
+    # raw-FTS5 boolean expression tree (parse_fts5 extension): set ONLY
+    # when the query's boolean structure cannot be expressed by the
+    # flat fields above (e.g. `a OR (b NOT c)`, `NEAR(a b) OR c`,
+    # `text:(x OR y)`). When set, every flat field is empty and the
+    # engine evaluates the tree generically.
+    tree: "Node | None" = None
     # list of OR groups; each group is a list of alternative terms of
     # which at least one must match (websearch extension; empty for the
     # sqlite-style parser)
@@ -145,7 +204,7 @@ class ParsedQuery:
         return list(seen)
 
     def is_empty(self) -> bool:
-        return not (
+        return self.tree is None and not (
             self.and_terms
             or self.phrases
             or self.nears
@@ -261,168 +320,465 @@ def parse_websearch(q: str, tok=tokenize) -> ParsedQuery:
     return out
 
 
-_NEAR_GROUP = re.compile(r"NEAR\(\s*([^(),]*?)\s*(?:,\s*(\d+)\s*)?\)")
-_ANCHOR_PHRASE = re.compile(r'\^"([^"]*)"')
-_ANCHOR_WORD = re.compile(r"\^(\w+)", re.UNICODE)
-_COL_PHRASE = re.compile(r'([!-]?)\s*(\w+)\s*:\s*"([^"]*)"')
-_COL_WORD = re.compile(r"([!-]?)\s*(\w+)\s*:\s*(\w+)", re.UNICODE)
-# column SETS: `{a b}:term` (match in any listed column) and the
-# exclusion forms `-col:` / `-{a b}:` (match in any column NOT listed)
-_COL_SET_PHRASE = re.compile(r'([!-]?)\s*\{([^{}]*)\}\s*:\s*"([^"]*)"')
-_COL_SET_WORD = re.compile(r"([!-]?)\s*\{([^{}]*)\}\s*:\s*(\w+)", re.UNICODE)
-# FTS5 prefix forms (probed: the star may be whitespace-separated from
-# its operand — `ab *` and `"a b" *` are prefixes; a star INSIDE quotes
-# is dropped by the tokenizer, i.e. `"ab*"` is the plain term `ab`)
-_NEG_PREFIX = re.compile(r"[!-](\w+)\s*\*", re.UNICODE)
-_PHRASE_PREFIX = re.compile(r'"([^"]*)"\s*\*')
-_WORD_PREFIX = re.compile(r"(\w+)\s*\*", re.UNICODE)
+# Raw-FTS5 scanner. Alternative ORDER is load-bearing: keywords and
+# NEAR before plain words; column specs (colon required) before the
+# hybrid !/- negations; phrases before words. Anything no alternative
+# claims is separator junk the FTS5 tokenizer drops anyway. Keywords
+# are exact-uppercase like FTS5's (probed: `a NoT b` is three phrases).
+_FTS5_TOKENS = [
+    ("ws", re.compile(r"\s+")),
+    ("lp", re.compile(r"\(")),
+    ("rp", re.compile(r"\)")),
+    ("kw", re.compile(r"(AND|OR|NOT)(?!\w)")),
+    # probed: whitespace between NEAR and ( is valid FTS5
+    ("near", re.compile(r"NEAR\s*\(\s*([^(),]*?)\s*(?:,\s*(\d+)\s*)?\)")),
+    ("colset", re.compile(r"([!-]?)\s*\{([^{}]*)\}\s*:")),
+    ("col", re.compile(r"([!-]?)\s*(\w+)\s*:", re.UNICODE)),
+    ("aphrase", re.compile(r'\^"([^"]*)"(\s*\*)?')),
+    ("nphrase", re.compile(r'[!-]"([^"]*)"(\s*\*)?')),
+    # probed FTS5 prefix forms: the star may be whitespace-separated
+    # (`ab *`, `"a b" *`); a star INSIDE quotes is tokenizer-dropped
+    ("phrase", re.compile(r'"([^"]*)"(\s*\*)?')),
+    ("nword", re.compile(r"[!-](\w+)(\s*\*)?", re.UNICODE)),
+    ("aword", re.compile(r"\^(\w+)(\s*\*)?", re.UNICODE)),
+    ("word", re.compile(r"(\w+)(\s*\*)?", re.UNICODE)),
+    ("star", re.compile(r"\*")),
+    ("junk", re.compile(r".", re.DOTALL)),
+]
+
+
+def _scan_fts5(q: str, tok) -> list[tuple]:
+    """Lex a raw-FTS5 query into tokens: ``("lp",)``, ``("rp",)``,
+    ``("kw", name)``, ``("colspec", (names, exclude))``, and
+    ``("unit", Node)`` leaves (words/phrases/NEAR/anchors/prefixes,
+    hybrid ``!``/``-`` negations as ``unot`` nodes). One source word
+    may emit several unit tokens when the analyzer splits it."""
+    out: list[tuple] = []
+    i, n = 0, len(q)
+    while i < n:
+        for name, rx in _FTS5_TOKENS:
+            m = rx.match(q, i)
+            if not m:
+                continue
+            i = m.end()
+            if name in ("ws", "junk"):
+                break
+            if name == "lp" or name == "rp":
+                out.append((name,))
+                break
+            if name == "kw":
+                out.append(("kw", m.group(1)))
+                break
+            if name == "near":
+                content = m.group(1)
+                if "*" in content:
+                    raise ValueError(
+                        "prefix operands inside NEAR(...) are not supported"
+                    )
+                toks = tok(content)
+                nn = int(m.group(2)) if m.group(2) is not None else 10
+                # positions cap at 2^24 (engine key packing): larger
+                # windows are equivalent to unlimited and the clamp
+                # keeps the matcher's int64 arithmetic overflow-free
+                nn = min(nn, 1 << 24)
+                uniq = list(dict.fromkeys(toks))
+                if len(uniq) >= 2:
+                    out.append(("unit", Node("near", toks=tuple(uniq), n=nn)))
+                elif uniq:  # NEAR(a, n) == a (probed)
+                    out.append(("unit", Node("term", toks=(uniq[0],))))
+                break
+            if name in ("colset", "col"):
+                neg = m.group(1)
+                if neg == "!":
+                    # `!` is OUR NOT spelling; FTS5's column exclusion
+                    # is `-`. Refusing keeps `!col:x` from silently
+                    # meaning either one.
+                    raise ValueError("use -col: for column exclusion, not !col:")
+                names = tuple(
+                    s.lower()
+                    for s in (m.group(2).split() if name == "colset" else [m.group(2)])
+                    if s
+                )
+                if not names:
+                    raise ValueError("malformed column filter: empty column set")
+                out.append(("colspec", (names, neg == "-")))
+                break
+            if name == "aphrase" or name == "aword":
+                if m.group(2):
+                    raise ValueError("anchored prefix (^a*) is not supported")
+                toks = tok(m.group(1))
+                if toks:
+                    out.append(("unit", Node("anchor", toks=tuple(toks))))
+                break
+            if name == "nphrase":
+                if m.group(2):
+                    raise ValueError(
+                        'negated prefix phrase (!"a b"*) is not supported'
+                    )
+                toks = tok(m.group(1))
+                if len(toks) == 1:
+                    out.append(("unit", Node("unot", kids=(Node("term", toks=(toks[0],)),))))
+                elif toks:
+                    # translateSearchString semantics for OUR `!"a b"`
+                    # spelling: conjunctive NOT (a AND b) — the
+                    # reference emits negated phrases unquoted
+                    # (db_sqlite.py:125-126). The keyword form
+                    # `NOT "a b"` keeps adjacency instead (probed).
+                    grp = Node("and", kids=tuple(Node("term", toks=(t,)) for t in toks))
+                    out.append(("unit", Node("unot", kids=(grp,))))
+                break
+            if name == "phrase":
+                toks = tok(m.group(1))
+                if m.group(2):
+                    if len(toks) >= 2:
+                        out.append(
+                            ("unit", Node("prefix_phrase", toks=tuple(toks[:-1]), stem=toks[-1]))
+                        )
+                    elif toks:  # "ab"* == ab* (probed)
+                        out.append(("unit", Node("prefix", stem=toks[0])))
+                elif toks:
+                    out.append(("unit", Node("phrase", toks=tuple(toks))))
+                break
+            if name == "nword":
+                toks = tok(m.group(1))
+                kids: list[Node] = [Node("term", toks=(t,)) for t in toks]
+                if m.group(2):
+                    if not toks:
+                        break
+                    kids[-1] = Node("prefix", stem=toks[-1])
+                if len(kids) == 1:
+                    out.append(("unit", Node("unot", kids=(kids[0],))))
+                elif kids:
+                    # `!a_b` excluded any-of (extraction-order compat):
+                    # NOT (a OR b) == exclude docs with a or with b
+                    out.append(("unit", Node("unot", kids=(Node("or", kids=tuple(kids)),))))
+                break
+            if name == "word":
+                toks = tok(m.group(1))
+                if m.group(2):
+                    if not toks:
+                        break
+                    for t in toks[:-1]:
+                        out.append(("unit", Node("term", toks=(t,))))
+                    out.append(("unit", Node("prefix", stem=toks[-1])))
+                else:
+                    for t in toks:
+                        out.append(("unit", Node("term", toks=(t,))))
+                break
+            if name == "star":
+                # FTS5 errors on a bare/leading star
+                raise ValueError("unknown special query: *")
+    return out
+
+
+class _TS:
+    def __init__(self, toks: list[tuple]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+
+def _merge(kind: str, a: Node, b: Node) -> Node:
+    ka = a.kids if a.kind == kind else (a,)
+    kb = b.kids if b.kind == kind else (b,)
+    return Node(kind, kids=ka + kb)
+
+
+def _parse_or(ts: _TS) -> Node | None:
+    node = _parse_and(ts)
+    while (t := ts.peek()) and t[0] == "kw" and t[1] == "OR":
+        if node is None:
+            raise ValueError("fts5 syntax error near OR")
+        ts.next()
+        rhs = _parse_and(ts)
+        if rhs is None:
+            raise ValueError("fts5 syntax error: dangling OR")
+        node = _merge("or", node, rhs)
+    return node
+
+
+def _parse_and(ts: _TS) -> Node | None:
+    node = _parse_not(ts)
+    while (t := ts.peek()) and t[0] == "kw" and t[1] == "AND":
+        if node is None:
+            raise ValueError("fts5 syntax error near AND")
+        ts.next()
+        rhs = _parse_not(ts)
+        if rhs is None:
+            raise ValueError("fts5 syntax error: dangling AND")
+        node = _merge("and", node, rhs)
+    return node
+
+
+def _parse_not(ts: _TS) -> Node | None:
+    node = _parse_item(ts)
+    while (t := ts.peek()) and t[0] == "kw" and t[1] == "NOT":
+        if node is None:
+            raise ValueError("fts5 syntax error near NOT")
+        ts.next()
+        rhs = _parse_item(ts)
+        if rhs is None:
+            raise ValueError("fts5 syntax error: dangling NOT")
+        node = Node("not", kids=(node, rhs))
+    return node
+
+
+def _parse_item(ts: _TS) -> Node | None:
+    """One juxtaposition chain (implicit AND — binds tighter than NOT,
+    probed: ``a NOT b c`` == ``a NOT (b AND c)``). TOLERANT superset of
+    FTS5: parens may appear in a chain (FTS5 errors there), so legacy
+    inputs like ``near(a b)`` keep parsing as plain terms."""
+    members: list[Node] = []
+    while True:
+        t = ts.peek()
+        if t is None or t[0] in ("rp", "kw"):
+            break
+        if t[0] == "lp":
+            ts.next()
+            sub = _parse_or(ts)
+            nxt = ts.peek()
+            if nxt and nxt[0] == "rp":
+                ts.next()
+            if sub is not None:
+                members.append(sub)
+        elif t[0] == "colspec":
+            ts.next()
+            node = _parse_col_target(ts, t[1])
+            if node is not None:
+                members.append(node)
+        else:  # unit
+            ts.next()
+            members.append(t[1])
+    if not members:
+        return None
+    return members[0] if len(members) == 1 else Node("and", kids=tuple(members))
+
+
+def _parse_col_target(ts: _TS, spec: tuple) -> Node | None:
+    """The column filter binds to the NEXT unit or parenthesized
+    expression only (probed); nested colspecs INTERSECT (probed:
+    ``text:(subject:a)`` matches nothing on disjoint columns)."""
+    t = ts.peek()
+    if t is None or t[0] == "rp":
+        # dangling colspec: degrade the name(s) to plain terms (the
+        # legacy regexes never recognized a content-less filter)
+        return Node(
+            "and", kids=tuple(Node("term", toks=(nm,)) for nm in spec[0])
+        ) if len(spec[0]) > 1 else Node("term", toks=(spec[0][0],))
+    if t[0] == "kw":
+        # legacy tolerance: a keyword right after a colspec is content
+        # (`text: OR` was the column filter (text, [or]))
+        ts.next()
+        target: Node | None = Node("term", toks=(t[1].lower(),))
+    elif t[0] == "lp":
+        ts.next()
+        target = _parse_or(ts)
+        nxt = ts.peek()
+        if nxt and nxt[0] == "rp":
+            ts.next()
+        if target is None:
+            return None
+    elif t[0] == "colspec":
+        ts.next()
+        target = _parse_col_target(ts, t[1])
+        if target is None:
+            return None
+    else:
+        ts.next()
+        target = t[1]
+    return Node("col", kids=(target,), spec=spec)
+
+
+# ------------------------------------------------------- flat lowering
+def _lower_top(node: Node, pq: ParsedQuery) -> bool:
+    """Lower an AND-level tree into the flat ParsedQuery fields;
+    False = not flat-expressible (the caller keeps the tree)."""
+    members = node.kids if node.kind == "and" else (node,)
+    for m in members:
+        k = m.kind
+        if k == "term":
+            pq.and_terms.extend(m.toks)
+        elif k == "phrase":
+            pq.phrases.append(list(m.toks))
+        elif k == "near":
+            pq.nears.append((list(m.toks), m.n))
+        elif k == "anchor":
+            pq.anchors.append(list(m.toks))
+        elif k == "prefix":
+            if m.stem not in pq.prefixes:
+                pq.prefixes.append(m.stem)
+        elif k == "prefix_phrase":
+            pq.prefix_phrases.append((list(m.toks), m.stem))
+        elif k == "col":
+            kid = m.kids[0]
+            if kid.kind in ("term", "phrase"):
+                pq.col_filters.append((m.spec[0], m.spec[1], list(kid.toks)))
+            else:  # col over NEAR/prefix/anchor/boolean -> tree path
+                return False
+        elif k == "and":  # nested chain groups: AND is associative
+            if not _lower_top(m, pq):
+                return False
+        elif k == "unot":
+            if not _lower_unot(m.kids[0], pq):
+                return False
+        elif k == "or":
+            if not _lower_or(m, pq):
+                return False
+        elif k == "not":
+            if not _lower_top(m.kids[0], pq):
+                return False
+            if not _lower_not_right(m.kids[1], pq):
+                return False
+        else:
+            return False
+    return True
+
+
+def _lower_unot(kid: Node, pq: ParsedQuery) -> bool:
+    """Hybrid `!x`/-x negations: exclusion semantics follow the legacy
+    extraction (disjunctive across split tokens, conjunctive for
+    negated quoted phrases)."""
+    if kid.kind == "term":
+        pq.not_terms.extend(kid.toks)
+        return True
+    if kid.kind == "prefix":
+        if kid.stem not in pq.not_prefixes:
+            pq.not_prefixes.append(kid.stem)
+        return True
+    if kid.kind == "or":
+        return all(_lower_unot(op, pq) for op in kid.kids)
+    if kid.kind == "and":
+        if not all(op.kind == "term" for op in kid.kids):
+            return False
+        grp = [t for op in kid.kids for t in op.toks]
+        if len(grp) == 1:
+            pq.not_terms.extend(grp)
+        else:
+            pq.not_groups.append(grp)  # NOT (a AND b): FTS5 precedence
+        return True
+    return False
+
+
+def _lower_or(m: Node, pq: ParsedQuery) -> bool:
+    terms: list[str] = []
+    phrs: list[list[str]] = []
+    for op in m.kids:
+        if op.kind == "term":
+            terms.extend(op.toks)
+        elif op.kind == "phrase":
+            if len(op.toks) == 1:
+                terms.extend(op.toks)
+            else:
+                phrs.append(list(op.toks))  # adjacency kept inside OR
+        else:
+            return False
+    pq.or_groups.append(terms)
+    pq.or_phrase_groups.append(phrs)
+    return True
+
+
+def _lower_not_right(r: Node, pq: ParsedQuery) -> bool:
+    """Right operand of the FTS5 binary NOT. The keyword form keeps
+    phrase ADJACENCY (probed: `x NOT "b c"` keeps docs with b..c apart),
+    unlike our legacy `!"b c"` spelling."""
+    if r.kind == "term":
+        pq.not_terms.extend(r.toks)
+        return True
+    if r.kind == "phrase":
+        if len(r.toks) == 1:
+            pq.not_terms.extend(r.toks)
+        else:
+            pq.not_phrases.append(list(r.toks))
+        return True
+    if r.kind == "prefix":
+        if r.stem not in pq.not_prefixes:
+            pq.not_prefixes.append(r.stem)
+        return True
+    if r.kind == "and":
+        if not all(op.kind == "term" for op in r.kids):
+            return False
+        grp = [t for op in r.kids for t in op.toks]
+        if len(grp) == 1:
+            pq.not_terms.extend(grp)
+        else:
+            pq.not_groups.append(grp)
+        return True
+    if r.kind == "or":
+        # NOT (x OR y) == NOT x AND NOT y: lower each operand
+        return all(_lower_not_right(op, pq) for op in r.kids)
+    return False
 
 
 def parse_fts5(q: str, tok=tokenize) -> ParsedQuery:
-    """Raw-FTS5 surface extension: ``parse_query`` plus ``NEAR(...)``
-    proximity groups and ``^``-anchored terms/phrases.
+    """Raw-FTS5 surface: the full boolean query language the reference's
+    sqlite backend hands straight to FTS5 (db_sqlite.py:131), plus the
+    legacy ``!``/``-`` negation spellings of ``parse_query``.
 
-    The reference's sqlite backend hands its MATCH string straight to
-    FTS5 (db_sqlite.py:131), whose query language includes proximity
-    groups — ``NEAR(a b c, 5)``, ``NEAR(a b)`` (default n=10). This
-    parser accepts that operator on top of the translateSearchString
-    semantics; everything outside NEAR(...) parses exactly like
-    ``parse_query`` (so NOT/phrases compose: ``NEAR(a b, 3) !c``).
-    The keyword is case-sensitive like FTS5's (lowercase ``near(`` is
-    ordinary text). NEAR operands are single tokens (FTS5 also allows
-    quoted phrases inside NEAR; unsupported here — a quoted operand
-    tokenizes to its words, i.e. it degrades to the unquoted form).
-    Matching semantics are pinned by live FTS5 probes in the tests:
-    duplicate operands collapse, a single-operand NEAR is a plain
-    term, and the window test is max(pos)-min(pos) <= n+1 over one
-    occurrence per distinct term within one field.
+    Grammar, pinned by live FTS5 probes (tests): precedence from
+    tightest to loosest is juxtaposition (implicit AND) > ``NOT`` >
+    ``AND`` > ``OR``, all left-associative — so ``a NOT b c`` is
+    ``a NOT (b AND c)`` while ``a NOT b AND c`` is ``(a NOT b) AND c``,
+    and ``a OR b c`` is ``a OR (b AND c)``. Keywords are exact-
+    uppercase (lowercase spellings are plain terms). Parentheses group
+    arbitrarily; FTS5 itself refuses juxtaposed parens (``(a) (b)`` is
+    a syntax error there) — we tolerate them as implicit AND so legacy
+    inputs like ``near(a b)`` keep parsing as plain terms. Dangling
+    binary operators raise like FTS5's syntax errors.
 
-    ``^term`` / ``^"a b"`` require the term/phrase at the very start
-    of some indexed column (probed: position 0 of ANY column
-    qualifies); the anchored terms still score like ordinary query
-    terms, exactly as FTS5's bm25 does.
+    Operand surface:
 
-    ``col:term`` / ``col:"a b"`` restrict the term/phrase to one
-    indexed column; ``{a b}:term`` to any LISTED column; ``-col:`` /
-    ``-{a b}:`` to any column NOT listed (probed: names are
-    case-insensitive, the filter binds to the next phrase only,
-    whitespace after ``-``/``:`` is allowed; an unknown name raises
-    FTS5's "no such column"). ``!col:`` (our NOT spelling) and
-    column-filtered NEAR are NOT supported and raise rather than
-    silently misparse.
+    - ``NEAR(a b c, 5)`` / ``NEAR(a b)`` (default n=10; whitespace
+      before ``(`` allowed — probed). Operands are single tokens
+      (FTS5 also allows quoted phrases inside NEAR; a quoted operand
+      degrades to its words here). Window test: max(pos) - min(pos)
+      <= n+1 over one occurrence per distinct operand in one field.
+    - ``^term`` / ``^"a b"``: term/phrase starts a column (position 0
+      of ANY indexed column qualifies — probed).
+    - ``col:x`` / ``{a b}:x`` / ``-col:x`` / ``-{a b}:x``: column
+      filters (names case-insensitive; unknown name raises FTS5's
+      "no such column"). The filter binds to the next phrase or
+      parenthesized EXPRESSION (probed: ``text:(a OR b)`` restricts
+      the whole group; nested colspecs intersect) and composes with
+      NEAR/prefix/anchor operands (``text:NEAR(a b)``, ``col:a*``).
+    - ``ab*`` / ``"a b"*``: prefix queries (star may be whitespace-
+      separated; a star inside quotes is tokenizer-dropped).
+    - legacy ``!term`` / ``-term`` (NOT term) and ``!"a b"`` —
+      conjunctive NOT (a AND b), the translateSearchString quirk the
+      reference ships (db_sqlite.py:125-126). The KEYWORD form
+      ``NOT "a b"`` keeps phrase adjacency instead (probed).
 
-    ``ab*`` is an FTS5 prefix query (any token starting with the stem;
-    probed: the exact token matches, the star may be whitespace-
-    separated, a star inside quotes is tokenizer-dropped so ``"ab*"``
-    is the plain term ``ab``). ``!ab*`` excludes docs with any such
-    token; ``"a b"*`` requires the leading tokens adjacent followed by
-    a stem match. Anchored prefixes (``^a*``), column-filtered
-    prefixes (``col:a*``), prefixes inside NEAR, negated prefix
-    phrases (``!"a b"*``) and a leading/bare star raise rather than
-    silently misparse (FTS5 itself errors on a bare star)."""
-    out = ParsedQuery()
-    rest = q or ""
+    Still refused (raise, never silently misparse): anchored prefixes
+    (``^a*``), prefixes inside NEAR, negated prefix phrases
+    (``!"a b"*``), ``!col:``, bare ``*``.
 
-    def near(m: re.Match) -> str:
-        toks = tok(m.group(1))
-        n = int(m.group(2)) if m.group(2) is not None else 10
-        # positions are capped at 2^24 (engine key packing), so any
-        # larger window is equivalent to unlimited; the clamp also keeps
-        # the matcher's int64 window arithmetic overflow-free
-        n = min(n, 1 << 24)
-        uniq = list(dict.fromkeys(toks))
-        if len(uniq) >= 2:
-            out.nears.append((uniq, n))
-        elif uniq:
-            out.and_terms.extend(uniq)  # NEAR(a, n) == a (probed)
-        return " "
-
-    def anchor(m: re.Match) -> str:
-        toks = tok(m.group(1))
-        if toks:
-            out.anchors.append(toks)
-        return " "
-
-    def _col_entry(neg_mark: str, names_raw: list[str], content: str) -> str:
-        if neg_mark == "!":
-            # `!` is OUR NOT spelling; FTS5's column exclusion is `-`.
-            # Refusing keeps `!col:x` from silently meaning either one.
-            raise ValueError("use -col: for column exclusion, not !col:")
-        names = tuple(n.lower() for n in names_raw if n)
-        if not names:
-            raise ValueError("malformed column filter: empty column set")
-        toks = tok(content)
-        if toks:
-            out.col_filters.append((names, neg_mark == "-", toks))
-        return " "
-
-    def col_filter(m: re.Match) -> str:
-        return _col_entry(m.group(1), [m.group(2)], m.group(3))
-
-    def col_set_filter(m: re.Match) -> str:
-        return _col_entry(m.group(1), m.group(2).split(), m.group(3))
-
-    def neg_prefix(m: re.Match) -> str:
-        toks = tok(m.group(1))
-        if toks:
-            out.not_prefixes.append(toks[-1])
-            out.not_terms.extend(toks[:-1])
-        return " "
-
-    def phrase_prefix(m: re.Match) -> str:
-        toks = tok(m.group(1))
-        if len(toks) >= 2:
-            out.prefix_phrases.append((toks[:-1], toks[-1]))
-        elif toks:
-            out.prefixes.append(toks[0])  # "ab"* == ab* (probed)
-        return " "
-
-    def word_prefix(m: re.Match) -> str:
-        toks = tok(m.group(1))
-        if toks:
-            out.prefixes.append(toks[-1])
-            out.and_terms.extend(toks[:-1])
-        return " "
-
-    if re.search(r"(\w+|\{[^{}]*\})\s*:\s*NEAR\(", rest):
-        raise ValueError("column-filtered NEAR(...) is not supported")
-    if re.search(r"NEAR\([^)]*\*", rest):
-        raise ValueError("prefix operands inside NEAR(...) are not supported")
-    if re.search(r'\^\s*(\w+|"[^"]*")\s*\*', rest):
-        raise ValueError("anchored prefix (^a*) is not supported")
-    if re.search(r'(\w+|\{[^{}]*\})\s*:\s*(\w+|"[^"]*")\s*\*', rest):
-        raise ValueError("column-filtered prefix (col:a*) is not supported")
-    if re.search(r'[!-]\s*"[^"]*"\s*\*', rest):
-        raise ValueError("negated prefix phrase (!\"a b\"*) is not supported")
-    rest = _COL_SET_PHRASE.sub(col_set_filter, rest)
-    rest = _COL_SET_WORD.sub(col_set_filter, rest)
-    rest = _COL_PHRASE.sub(col_filter, rest)
-    rest = _COL_WORD.sub(col_filter, rest)
-    rest = _NEAR_GROUP.sub(near, rest)
-    rest = _ANCHOR_PHRASE.sub(anchor, rest)
-    rest = _ANCHOR_WORD.sub(anchor, rest)
-    rest = _PHRASE_PREFIX.sub(phrase_prefix, rest)
-    # stars INSIDE quoted phrases are dropped by the tokenizer (probed:
-    # `"ab*"` is the plain term `ab`), so the word-prefix and bare-star
-    # passes only see the segments OUTSIDE quotes
-    segs = re.split(r'("[^"]*")', rest)
-    for i, seg in enumerate(segs):
-        if seg.startswith('"'):
-            continue
-        seg = _NEG_PREFIX.sub(neg_prefix, seg)
-        seg = _WORD_PREFIX.sub(word_prefix, seg)
-        if "*" in seg:
-            # FTS5 errors on a bare/leading star ("unknown special query")
-            raise ValueError("unknown special query: *")
-        segs[i] = seg
-    rest = "".join(segs)
-    base = parse_query(rest, tok=tok)
-    base.nears = out.nears
-    base.anchors = out.anchors
-    base.col_filters = out.col_filters
-    base.prefixes = list(dict.fromkeys(out.prefixes))
-    base.not_prefixes = list(dict.fromkeys(out.not_prefixes))
-    base.prefix_phrases = out.prefix_phrases
-    base.and_terms = out.and_terms + base.and_terms
-    base.not_terms = out.not_terms + base.not_terms
-    return base
+    Queries whose boolean structure fits the flat :class:`ParsedQuery`
+    model lower into it (identical plans to the pre-boolean surface);
+    anything else returns ``ParsedQuery(tree=...)`` and the engine
+    evaluates the expression tree generically."""
+    root = None
+    ts = _TS(_scan_fts5(q or "", tok))
+    while ts.peek() is not None:
+        before = ts.i
+        sub = _parse_or(ts)
+        if sub is not None:
+            root = sub if root is None else _merge("and", root, sub)
+        t = ts.peek()
+        if t is not None and t[0] == "rp":
+            ts.next()  # unmatched ')' is junk, like the FTS5 tokenizer's
+        elif ts.i == before:
+            ts.next()  # safety: never stall on an unparseable token
+    pq = ParsedQuery()
+    if root is None:
+        return pq
+    if _lower_top(root, pq):
+        pq.prefixes = list(dict.fromkeys(pq.prefixes))
+        pq.not_prefixes = list(dict.fromkeys(pq.not_prefixes))
+        return pq
+    return ParsedQuery(tree=root)

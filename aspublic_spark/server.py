@@ -100,6 +100,11 @@ def shape_response(res, rows, dbtime_ms):
                 ],
                 "or": res.parsed.or_groups,
                 "or_phrases": res.parsed.or_phrase_groups,
+                # raw-FTS5 boolean structure the flat fields can't
+                # express (s-expression; None for flat-lowered queries)
+                "tree": (
+                    res.parsed.tree.describe() if res.parsed.tree else None
+                ),
             },
             "pruning": res.pruning,
         },

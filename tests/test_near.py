@@ -272,9 +272,14 @@ def test_parse_fts5_col_filters():
     assert parse_fts5('- {text subject}:"a b"').col_filters == [
         (("text", "subject"), True, ["a", "b"])
     ]
-    for bad in ("!text: a", "text: NEAR(a b)", "{}: a", "{text}:a*"):
+    for bad in ("!text: a", "{}: a"):
         with pytest.raises(ValueError):
             parse_fts5(bad)
+    # column-filtered NEAR groups and prefixes are supported since the
+    # boolean-tree surface (evaluated generically; differentially
+    # pinned against live FTS5 in test_fts5_tree.py)
+    assert parse_fts5("text: NEAR(a b)").tree.describe() == "(text: (near:10 a b))"
+    assert parse_fts5("{text}:a*").tree.describe() == "(text: a*)"
 
 
 @pytest.mark.skipif(not _fts5_available(), reason="sqlite without FTS5")

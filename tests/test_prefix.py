@@ -71,13 +71,17 @@ def test_parse_fts5_prefix_unsupported_shapes_raise():
         "*ab",            # leading star: FTS5 "unknown special query"
         "^ab*",           # anchored prefix
         '^"a b"*',
-        "t:ab*",          # column-filtered prefix
-        't:"a b"*',
         "NEAR(ab* x, 3)",  # prefix operand inside NEAR
         '!"a b"*',        # negated prefix phrase
     ):
         with pytest.raises(ValueError):
             parse_fts5(bad)
+    # column-filtered prefixes are supported since the boolean-tree
+    # surface: they parse to a `col` node over a prefix leaf and the
+    # engine evaluates the tree generically (test_fts5_tree.py runs
+    # them differentially against live FTS5)
+    assert parse_fts5("t:ab*").tree.describe() == "(t: ab*)"
+    assert parse_fts5('t:"a b" *').tree.describe() == '(t: "a b*")'
 
 
 # ----------------------------------------------------- engine vs live FTS5
