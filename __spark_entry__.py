@@ -174,6 +174,7 @@ def _bm25_sql(
     near: tuple[list[str], int] | None = None,
     anchor: list[str] | None = None,
     doc_filter: str | None = None,
+    bool_where: str | None = None,
     k: int = 20,
 ) -> str:
     """DuckDB SQL computing the exact same BM25 top-k as the engine.
@@ -268,6 +269,11 @@ def _bm25_sql(
             parts.append(f"s.doc_id in ({_phrase_subq(ph)})")
         phrase_sql += " and (" + " or ".join(parts) + ")"
     filt = f"and {doc_filter}" if doc_filter else ""
+    if bool_where:
+        # raw-FTS5 boolean-tree qualification (engine tree path): an
+        # arbitrary boolean over `s.doc_id in (select ... from tok)`
+        # membership subqueries — scoring stays sum-of-present terms
+        filt += f" and ({bool_where})"
     return f"""
 with tokpos as (
   select d.doc_id, t.term, t.pos
@@ -577,6 +583,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_col_exclude"] = lambda spark, sf: _fts(
         spark, sf, "-subject:table query", k=20, parser=parse_fts5,
         engine_fn=_documents_engine_2fo,
+    )
+    # raw-FTS5 boolean tree (engine generic-evaluation path): the
+    # structure `a OR (b NOT c)` cannot lower into the flat
+    # ParsedQuery model, so the engine compiles the expression tree to
+    # one Catalyst boolean over per-doc term flags; 'sort' is a
+    # non-scoring (NOT-side) leaf — present docs on the `vector`
+    # branch are excluded, but 'sort' never contributes to the score
+    q["fts_bool_tree"] = lambda spark, sf: _fts(
+        spark, sf, "dup OR (vector NOT sort)", k=20, parser=parse_fts5
     )
     # two-field index (text + derived subject): 'src3' only exists in
     # the subject field, so the AND can only be satisfied cross-field
@@ -1005,6 +1020,14 @@ def oracle_sql() -> dict[str, str]:
         near=(["hash", "join"], 2),
     )
     o["fts_anchor"] = _bm25_sql(["key"], and_terms=["key"], anchor=["key"])
+    o["fts_bool_tree"] = _bm25_sql(
+        ["dup", "vector"],
+        bool_where=(
+            "s.doc_id in (select doc_id from tok where term = 'dup') "
+            "or (s.doc_id in (select doc_id from tok where term = 'vector') "
+            "and s.doc_id not in (select doc_id from tok where term = 'sort'))"
+        ),
+    )
     o["fts_col_filter"] = _bm25_col_filter_sql("query", "table")
     o["fts_prefix"] = _bm25_prefix_sql("s", "dup")
     o["fts_col_exclude"] = _bm25_col_exclude_sql("query", "table")
