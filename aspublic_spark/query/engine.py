@@ -148,50 +148,77 @@ def _decode_positions_by_term(batches):
     return {t: tuple(np.concatenate(x) for x in v) for t, v in per.items()}
 
 
-def _near_match_factory(terms: list[str], n: int):
+def _near_match_factory(operands: list, n: int):
     """mapInPandas fn over PACKED blocks of the NEAR group's terms (one
     partition holds complete doc-hash slices): emit doc_ids where ONE
-    occurrence of each DISTINCT term can be chosen within a single
-    field such that max(pos) - min(pos) <= n + 1.
+    occurrence of each DISTINCT operand PHRASE can be chosen within a
+    single field such that max(start) - min(end) <= n + 1 over the
+    chosen occurrence intervals [start, end] (end = start + len - 1).
 
-    That is FTS5's observable ``NEAR(t1 .. tk, n)`` semantics for
-    single-token operands, pinned by live probes (tests): duplicate
-    operands collapse (NEAR(a a, 0) matches a lone 'a'), matching never
-    spans columns, the window is k-independent, and the default n is
-    10 (parser).
+    That is FTS5's observable ``NEAR(p1 .. pk, n)`` semantics — pinned
+    by randomized live-FTS5 differentials (tests): for single-token
+    operands it reduces to the previously pinned max(pos) - min(pos)
+    <= n + 1 (k-independent, NOT the documented span formula); phrase
+    operands contribute their occurrence INTERVALS; duplicate operands
+    collapse (NEAR(a a, 0) matches a lone 'a'); matching never spans
+    columns; the default n is 10 (parser).
 
-    Vectorized window test: occurrences pack into the same int64 keys
-    as the phrase matcher (doc ordinal << 32 | fld << 24 | pos). Every
-    occurrence of any term is a candidate window START (the chosen
-    minimum is always one of them); for each start a and term t, the
-    first key of t >= a must lie within [a, a+n+1] in the same
-    (doc, fld) group — one searchsorted per term over the partition's
-    anchors, no per-occurrence Python. Position overflow past the
-    window into the next field ordinal is impossible: positions are
-    capped at 2^24-1, so a start within n+1 of the cap has no
-    same-group key beyond it to falsely match, and the explicit
-    group-equality check rejects cross-field hits."""
-    uniq = sorted(set(terms))
+    Vectorized: occurrences pack into the same int64 keys as the
+    phrase matcher (doc ordinal << 32 | fld << 24 | pos); a phrase
+    operand's occurrence-START key set is the same offset-corrected
+    np.intersect1d chain the phrase matcher runs. Every operand
+    occurrence's END key is a candidate for min(end) (the chosen
+    minimum end is always one of them); at anchor e, operand i (length
+    L) matches iff it has a start in [e - L + 1, e + n + 1] within the
+    same (doc, fld) group — one searchsorted per operand over the
+    partition's anchors, no per-occurrence Python. The window lower
+    bound clamps to the group base (a phrase near position 0 must not
+    probe into the previous group); overflow past the upper bound into
+    the next field ordinal is impossible: positions cap at 2^24-1 and
+    the explicit group-equality check rejects cross-field hits."""
+    uniq = list(
+        dict.fromkeys(
+            (op,) if isinstance(op, str) else tuple(op) for op in operands
+        )
+    )
     span = int(n) + 1
 
     def run(batches):
         cat = _decode_positions_by_term(batches)
         empty = pd.DataFrame({"doc_id": np.empty(0, dtype=np.int64)})
-        if any(t not in cat for t in uniq):
+        allterms = sorted({t for op in uniq for t in op})
+        if any(t not in cat for t in allterms):
             yield empty
             return
-        alldocs = np.unique(np.concatenate([cat[t][0] for t in uniq]))
-        keys = {}
-        for t in uniq:
+        alldocs = np.unique(np.concatenate([cat[t][0] for t in allterms]))
+
+        def keys(t: str, off: int) -> np.ndarray:
             d, f, p = cat[t]
-            o = np.searchsorted(alldocs, d)
-            keys[t] = np.unique((o << 32) | (f << 24) | p)
-        anchors = np.unique(np.concatenate([keys[t] for t in uniq]))
+            ok = p >= off
+            o = np.searchsorted(alldocs, d[ok])
+            return np.unique((o << 32) | (f[ok] << 24) | (p[ok] - off))
+
+        starts = {}
+        for op in uniq:
+            ks = keys(op[0], 0)
+            for off in range(1, len(op)):
+                if ks.size == 0:
+                    break
+                ks = np.intersect1d(ks, keys(op[off], off), assume_unique=True)
+            if ks.size == 0:
+                yield empty
+                return
+            starts[op] = ks
+        anchors = np.unique(
+            np.concatenate([starts[op] + (len(op) - 1) for op in uniq])
+        )
         ok = np.ones(anchors.size, dtype=bool)
         grp = anchors >> 24  # (doc ordinal, fld)
-        for t in uniq:
-            ks = keys[t]
-            idx = np.searchsorted(ks, anchors)
+        base = grp << 24
+        for op in uniq:
+            ks = starts[op]
+            lo = np.maximum(anchors - (len(op) - 1), base)
+            idx = np.searchsorted(ks, lo)
             hit = idx < ks.size
             v = ks[np.minimum(idx, ks.size - 1)]
             ok &= hit & (v <= anchors + span) & ((v >> 24) == grp)
@@ -388,6 +415,14 @@ def _tree_matches_empty_doc(node: Node) -> bool:
     if k == "unot":
         return not _tree_matches_empty_doc(node.kids[0])
     return k == "true"
+
+
+def _leaf_terms(leaf: Node) -> tuple:
+    """Flat token tuple of a leaf (NEAR operands are nested phrase
+    tuples; every other leaf's toks are already flat)."""
+    if leaf.kind == "near":
+        return tuple(t for op in leaf.toks for t in op)
+    return leaf.toks
 
 
 def _tree_positional_key(leaf: Node):
@@ -844,18 +879,22 @@ class SearchEngine:
                 self._prefix_cache[s] = exp
         return {s: self._prefix_cache[s] for s in stems}
 
-    def _near_docs(self, terms: list[str], n: int, blocks: DataFrame) -> DataFrame:
-        """Docs matching FTS5 ``NEAR(t1 .. tk, n)``: one occurrence per
-        distinct term within a single field, max-min position <= n+1
-        (semantics pinned by live FTS5 probes — see
-        _near_match_factory). Same plan shape as a phrase: the terms'
-        PACKED blocks shuffle by slice still compressed, one mapInPandas
-        does the vectorized window test."""
-        nb = blocks.filter(F.col("term").isin(sorted(set(terms)))).select(
+    def _near_docs(self, operands: list, n: int, blocks: DataFrame) -> DataFrame:
+        """Docs matching FTS5 ``NEAR(p1 .. pk, n)``: one occurrence per
+        distinct operand phrase within a single field, max(start) -
+        min(end) <= n+1 over the chosen occurrence intervals (pinned by
+        randomized live-FTS5 differentials — see _near_match_factory).
+        Operands may be bare terms or token tuples (phrase operands).
+        Same plan shape as a phrase: the terms' PACKED blocks shuffle by
+        slice still compressed, one mapInPandas does the vectorized
+        window test."""
+        ops = [(op,) if isinstance(op, str) else tuple(op) for op in operands]
+        flat = sorted({t for op in ops for t in op})
+        nb = blocks.filter(F.col("term").isin(flat)).select(
             "slice", "term", "fld", "doc_gaps", "tfs", "positions"
         )
         return nb.repartition("slice").mapInPandas(
-            _near_match_factory(list(terms), n), "doc_id long"
+            _near_match_factory(ops, n), "doc_id long"
         )
 
     def _coarse_intervals(self, rare: DataFrame, nbuck: int) -> DataFrame:
@@ -1675,7 +1714,7 @@ class SearchEngine:
 
         for leaf, specs, _sc in raw_leaves:
             fs = spec_fset(specs)
-            for t in leaf.toks:
+            for t in _leaf_terms(leaf):
                 note(term_fld, t, fs)
             if leaf.kind in ("prefix", "prefix_phrase"):
                 note(stem_fld, leaf.stem, fs)
@@ -1704,7 +1743,7 @@ class SearchEngine:
                 return not stem_live(leaf.stem) or any(
                     not live_flds(t) for t in leaf.toks
                 )
-            return any(not live_flds(t) for t in leaf.toks)
+            return any(not live_flds(t) for t in _leaf_terms(leaf))
 
         tree = _tree_simplify(_tree_strip_col(pq.tree), dead_leaf)
         info: dict = {"tree": True}
@@ -1734,11 +1773,11 @@ class SearchEngine:
             key = _tree_positional_key(leaf)
             if key is not None:
                 pos_leaves.setdefault(key, leaf)
-            used_terms.update(leaf.toks)
+            used_terms.update(_leaf_terms(leaf))
             if leaf.kind in ("prefix", "prefix_phrase"):
                 used_stems.add(leaf.stem)
             if sc:
-                scoring_terms.update(leaf.toks)
+                scoring_terms.update(_leaf_terms(leaf))
                 if leaf.kind in ("prefix", "prefix_phrase"):
                     scoring_stems.add(leaf.stem)
 
@@ -1849,7 +1888,7 @@ class SearchEngine:
             flag_col[key] = name
             if leaf.kind == "near":
                 fdf = self._near_docs(list(leaf.toks), leaf.n, pos_blocks)
-                bound = min(_term_df(t) for t in set(leaf.toks))
+                bound = min(_term_df(t) for t in set(_leaf_terms(leaf)))
             elif leaf.kind == "anchor":
                 fdf = self._anchor_docs(list(leaf.toks), pos_blocks)
                 bound = min(_term_df(t) for t in set(leaf.toks))

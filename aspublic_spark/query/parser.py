@@ -76,7 +76,11 @@ class Node:
         if k == "anchor":
             return '^"' + " ".join(self.toks) + '"'
         if k == "near":
-            return f"(near:{self.n} {' '.join(self.toks)})"
+            ops = " ".join(
+                op[0] if len(op) == 1 else '"' + " ".join(op) + '"'
+                for op in self.toks
+            )
+            return f"(near:{self.n} {ops})"
         if k == "prefix":
             return self.stem + "*"
         if k == "prefix_phrase":
@@ -343,8 +347,47 @@ _FTS5_TOKENS = [
     ("aword", re.compile(r"\^(\w+)(\s*\*)?", re.UNICODE)),
     ("word", re.compile(r"(\w+)(\s*\*)?", re.UNICODE)),
     ("star", re.compile(r"\*")),
+    # FTS5 phrase concatenation: `a + b` is the PHRASE "a b" (probed:
+    # binds tightest, whitespace-insensitive, composes with anchors /
+    # column filters / a trailing prefix star; dangling forms error)
+    ("plus", re.compile(r"\+")),
     ("junk", re.compile(r".", re.DOTALL)),
 ]
+
+# NEAR(...) content: quoted phrase operands, single-token operands,
+# and `+` concatenation between them (probed: NEAR("one" + "two" x, 1)
+# is the two operands [one two] and [x])
+_NEAR_OPERAND = re.compile(r'"([^"]*)"|(\+)|([^\s"+]+)')
+
+
+def _near_operands(content: str, tok) -> list[tuple[str, ...]]:
+    """Parse a NEAR group's operand list into phrase tuples. A quoted
+    chunk is ONE operand (its tokens adjacent); an unquoted chunk's
+    tokens are SEPARATE single-token operands (legacy behavior, pinned);
+    ``+`` concatenates the two adjacent operands. Duplicate operands
+    collapse (probed)."""
+    ops: list[tuple[str, ...]] = []
+    pending = False
+    for m in _NEAR_OPERAND.finditer(content):
+        if m.group(2):
+            if not ops or pending:
+                raise ValueError("fts5 syntax error near + (inside NEAR)")
+            pending = True
+            continue
+        if m.group(1) is not None:
+            toks = tok(m.group(1))
+            units = [tuple(toks)] if toks else []
+        else:
+            units = [(t,) for t in tok(m.group(3))]
+        for u in units:
+            if pending:
+                ops[-1] = ops[-1] + u
+                pending = False
+            else:
+                ops.append(u)
+    if pending:
+        raise ValueError("fts5 syntax error near + (inside NEAR)")
+    return list(dict.fromkeys(ops))
 
 
 def _scan_fts5(q: str, tok) -> list[tuple]:
@@ -375,17 +418,22 @@ def _scan_fts5(q: str, tok) -> list[tuple]:
                     raise ValueError(
                         "prefix operands inside NEAR(...) are not supported"
                     )
-                toks = tok(content)
                 nn = int(m.group(2)) if m.group(2) is not None else 10
                 # positions cap at 2^24 (engine key packing): larger
                 # windows are equivalent to unlimited and the clamp
                 # keeps the matcher's int64 arithmetic overflow-free
                 nn = min(nn, 1 << 24)
-                uniq = list(dict.fromkeys(toks))
-                if len(uniq) >= 2:
-                    out.append(("unit", Node("near", toks=tuple(uniq), n=nn)))
-                elif uniq:  # NEAR(a, n) == a (probed)
-                    out.append(("unit", Node("term", toks=(uniq[0],))))
+                # operands are PHRASES (quoted chunks stay one operand;
+                # duplicates collapse — probed); all-single-token groups
+                # keep the flat plan, phrase operands ride the tree
+                ops = _near_operands(content, tok)
+                if len(ops) >= 2:
+                    out.append(("unit", Node("near", toks=tuple(ops), n=nn)))
+                elif ops and len(ops[0]) > 1:
+                    # NEAR("a b", n) == the phrase "a b" (probed)
+                    out.append(("unit", Node("phrase", toks=ops[0])))
+                elif ops:  # NEAR(a, n) == a (probed)
+                    out.append(("unit", Node("term", toks=(ops[0][0],))))
                 break
             if name in ("colset", "col"):
                 neg = m.group(1)
@@ -465,9 +513,55 @@ def _scan_fts5(q: str, tok) -> list[tuple]:
                     for t in toks:
                         out.append(("unit", Node("term", toks=(t,))))
                 break
+            if name == "plus":
+                out.append(("plus",))
+                break
             if name == "star":
                 # FTS5 errors on a bare/leading star
                 raise ValueError("unknown special query: *")
+    return _merge_plus(out)
+
+
+def _concat_units(left: Node, right: Node) -> Node:
+    """FTS5 ``+`` concatenation of two phrase units (probed: the result
+    is ONE phrase; an anchored left keeps its anchor over the whole
+    phrase; a prefix RIGHT yields a prefix phrase; a prefix LEFT, a
+    negation, or a NEAR group raise like FTS5's syntax errors)."""
+    if left.kind in ("near", "unot") or right.kind in ("near", "unot"):
+        raise ValueError("fts5 syntax error near +")
+    if left.kind in ("prefix", "prefix_phrase"):
+        raise ValueError("a prefix (*) must end a + concatenation")
+    if left.kind == "anchor" and right.kind in ("prefix", "prefix_phrase"):
+        raise ValueError("anchored prefix (^a*) is not supported")
+    if right.kind == "prefix":
+        return Node("prefix_phrase", toks=left.toks, stem=right.stem)
+    if right.kind == "prefix_phrase":
+        return Node(
+            "prefix_phrase", toks=left.toks + right.toks, stem=right.stem
+        )
+    kind = "anchor" if left.kind == "anchor" else "phrase"
+    return Node(kind, toks=left.toks + right.toks)
+
+
+def _merge_plus(toks: list[tuple]) -> list[tuple]:
+    """Fold ``+`` concatenations in the scanned token stream: each
+    ``plus`` must sit between two phrase UNITS (probed: `+ a`, `a +`,
+    `a ++ b`, `a + (x)`, `a + col:x`, `a + OR` are all FTS5 syntax
+    errors)."""
+    out: list[tuple] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t[0] != "plus":
+            out.append(t)
+            i += 1
+            continue
+        if not out or out[-1][0] != "unit":
+            raise ValueError("fts5 syntax error near +")
+        if i + 1 >= len(toks) or toks[i + 1][0] != "unit":
+            raise ValueError("fts5 syntax error near +")
+        out[-1] = ("unit", _concat_units(out[-1][1], toks[i + 1][1]))
+        i += 2
     return out
 
 
@@ -608,7 +702,9 @@ def _lower_top(node: Node, pq: ParsedQuery) -> bool:
         elif k == "phrase":
             pq.phrases.append(list(m.toks))
         elif k == "near":
-            pq.nears.append((list(m.toks), m.n))
+            if any(len(op) > 1 for op in m.toks):
+                return False  # phrase operands: generic tree evaluation
+            pq.nears.append(([op[0] for op in m.toks], m.n))
         elif k == "anchor":
             pq.anchors.append(list(m.toks))
         elif k == "prefix":
@@ -735,10 +831,17 @@ def parse_fts5(q: str, tok=tokenize) -> ParsedQuery:
     Operand surface:
 
     - ``NEAR(a b c, 5)`` / ``NEAR(a b)`` (default n=10; whitespace
-      before ``(`` allowed — probed). Operands are single tokens
-      (FTS5 also allows quoted phrases inside NEAR; a quoted operand
-      degrades to its words here). Window test: max(pos) - min(pos)
-      <= n+1 over one occurrence per distinct operand in one field.
+      before ``(`` allowed — probed). Operands are single tokens OR
+      quoted phrases (``NEAR("a b" c, 2)``), with ``+`` concatenation
+      between them. Window test: max(start) - min(end) <= n+1 over one
+      occurrence INTERVAL per distinct operand in one field (pinned by
+      randomized live-FTS5 differentials; reduces to the single-token
+      max-min <= n+1 rule when every operand is one token).
+    - ``a + b`` / ``"a b" + c`` / ``a + b*``: FTS5 phrase
+      concatenation — the result is ONE phrase (binds tightest,
+      composes with ``^`` anchors, column filters and a trailing
+      prefix star; dangling/misplaced ``+`` raises like FTS5's syntax
+      errors, including ``c++``).
     - ``^term`` / ``^"a b"``: term/phrase starts a column (position 0
       of ANY indexed column qualifies — probed).
     - ``col:x`` / ``{a b}:x`` / ``-col:x`` / ``-{a b}:x``: column

@@ -394,3 +394,67 @@ def test_col_filter_blockmax_forced_is_identical(spark, workdir):
         bb = [(r["doc_id"], round(r["score"], 9))
               for r in forced.search(q, k=50, parser=parse_fts5).df.collect()]
         assert a == bb and len(a) > 0, q
+
+
+# -------------------------------------------- NEAR with phrase operands
+def test_parse_fts5_near_phrase_operands():
+    """FTS5 NEAR operands may be quoted phrases (and `+` concatenations
+    of them); all-single-token groups keep the flat plan, phrase
+    operands ride the boolean-tree path."""
+    p = parse_fts5('NEAR("a b" c, 2)')
+    assert p.nears == [] and p.tree.describe() == '(near:2 "a b" c)'
+    p2 = parse_fts5('NEAR("one" + "two" three, 1)')
+    assert p2.tree.describe() == '(near:1 "one two" three)'
+    # single distinct operand degenerates like the single-token form
+    assert parse_fts5('NEAR("a b", 5)').phrases == [["a", "b"]]
+    assert parse_fts5('NEAR("a b" "a b", 5)').phrases == [["a", "b"]]
+    # flat single-token groups are untouched
+    assert parse_fts5("NEAR(a b, 2)").nears == [(["a", "b"], 2)]
+    with pytest.raises(ValueError):
+        parse_fts5('NEAR(a + , 2)')
+
+
+@pytest.mark.skipif(not _fts5_available(), reason="sqlite without FTS5")
+def test_near_phrase_operand_differential_vs_live_fts5(spark, workdir):
+    """Randomized pin of the interval window rule — max(start) -
+    min(end) <= n + 1 over one occurrence interval per distinct
+    operand (reduces to the single-token max-min rule): 400 random
+    docs x 24 shapes must match live FTS5's rowid sets exactly."""
+    rng = random.Random(97)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 10)))
+        for _ in range(400)
+    ]
+    db = sqlite3.connect(":memory:")
+    db.execute("CREATE VIRTUAL TABLE f USING fts5(t, tokenize='unicode61')")
+    for d in docs:
+        db.execute("INSERT INTO f VALUES (?)", (d,))
+
+    idx = os.path.join(workdir, "nearph_diff_idx")
+    sdf = spark.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    IndexBuilder(
+        spark, idx, key_cols=["doc_id"], text_col="text", meta_cols=[],
+        n_slices=3, block_size=8,
+    ).build(sdf)
+    eng = SearchEngine(spark, idx)
+
+    shapes = []
+    for inner in ('"a b"', '"a b" c', '"a b" "c d"', '"a b" "b c"',
+                  '"a b c" d', 'a "b c" d', 'a + b c', '"a b" + c d'):
+        for n in (0, 1, 3):
+            shapes.append(f"NEAR({inner}, {n})")
+    for q in shapes:
+        want = {
+            r[0] for r in db.execute("SELECT rowid FROM f WHERE f MATCH ?", (q,))
+        }
+        got = {
+            r["doc_id"]
+            for r in eng.search(q, k=100, parser=parse_fts5).df.collect()
+        }
+        if len(want) <= 100:
+            assert got == want, (q, sorted(got - want)[:5], sorted(want - got)[:5])
+        else:
+            assert len(got) == 100 and got <= want, q
