@@ -176,20 +176,34 @@ def _near_match_factory(operands: list, n: int):
     probe into the previous group); overflow past the upper bound into
     the next field ordinal is impossible: positions cap at 2^24-1 and
     the explicit group-equality check rejects cross-field hits."""
-    uniq = list(
-        dict.fromkeys(
-            (op,) if isinstance(op, str) else tuple(op) for op in operands
+    def _norm(op):
+        if isinstance(op, str):
+            return ((op,),)
+        return tuple(
+            (sl,) if isinstance(sl, str) else tuple(sl) for sl in op
         )
-    )
+
+    # operand = tuple of SLOTS, slot = tuple of member terms (a plain
+    # token is a 1-member slot; an expanded prefix marker is the stem's
+    # dictionary expansion — ANY member fills the slot, exactly like
+    # the phrase matcher's list slots)
+    uniq = list(dict.fromkeys(_norm(op) for op in operands))
     span = int(n) + 1
 
     def run(batches):
         cat = _decode_positions_by_term(batches)
         empty = pd.DataFrame({"doc_id": np.empty(0, dtype=np.int64)})
-        allterms = sorted({t for op in uniq for t in op})
-        if any(t not in cat for t in allterms):
-            yield empty
-            return
+        live_ops = []
+        for op in uniq:
+            slots = []
+            for sl in op:
+                members = [t for t in sl if t in cat]
+                if not members:
+                    yield empty
+                    return
+                slots.append(members)
+            live_ops.append(slots)
+        allterms = sorted({t for op in live_ops for sl in op for t in sl})
         alldocs = np.unique(np.concatenate([cat[t][0] for t in allterms]))
 
         def keys(t: str, off: int) -> np.ndarray:
@@ -198,25 +212,34 @@ def _near_match_factory(operands: list, n: int):
             o = np.searchsorted(alldocs, d[ok])
             return np.unique((o << 32) | (f[ok] << 24) | (p[ok] - off))
 
+        def slot_keys(members: list, off: int) -> np.ndarray:
+            if len(members) == 1:
+                return keys(members[0], off)
+            return np.unique(np.concatenate([keys(t, off) for t in members]))
+
         starts = {}
-        for op in uniq:
-            ks = keys(op[0], 0)
+        for i, op in enumerate(live_ops):
+            ks = slot_keys(op[0], 0)
             for off in range(1, len(op)):
                 if ks.size == 0:
                     break
-                ks = np.intersect1d(ks, keys(op[off], off), assume_unique=True)
+                ks = np.intersect1d(
+                    ks, slot_keys(op[off], off), assume_unique=True
+                )
             if ks.size == 0:
                 yield empty
                 return
-            starts[op] = ks
+            starts[i] = ks
         anchors = np.unique(
-            np.concatenate([starts[op] + (len(op) - 1) for op in uniq])
+            np.concatenate(
+                [starts[i] + (len(op) - 1) for i, op in enumerate(live_ops)]
+            )
         )
         ok = np.ones(anchors.size, dtype=bool)
         grp = anchors >> 24  # (doc ordinal, fld)
         base = grp << 24
-        for op in uniq:
-            ks = starts[op]
+        for i, op in enumerate(live_ops):
+            ks = starts[i]
             lo = np.maximum(anchors - (len(op) - 1), base)
             idx = np.searchsorted(ks, lo)
             hit = idx < ks.size
@@ -418,11 +441,27 @@ def _tree_matches_empty_doc(node: Node) -> bool:
 
 
 def _leaf_terms(leaf: Node) -> tuple:
-    """Flat token tuple of a leaf (NEAR operands are nested phrase
-    tuples; every other leaf's toks are already flat)."""
+    """Flat PLAIN-token tuple of a leaf: NEAR operands are nested
+    phrase tuples, and phrase/anchor/NEAR slots may be ``("*", stem)``
+    prefix markers — markers are excluded here (see _leaf_stems)."""
     if leaf.kind == "near":
-        return tuple(t for op in leaf.toks for t in op)
-    return leaf.toks
+        return tuple(
+            sl for op in leaf.toks for sl in op if isinstance(sl, str)
+        )
+    return tuple(sl for sl in leaf.toks if isinstance(sl, str))
+
+
+def _leaf_stems(leaf: Node) -> tuple:
+    """Prefix stems of a leaf: the ``stem`` field of prefix /
+    prefix-phrase leaves plus any ``("*", stem)`` marker slots inside
+    phrase/anchor/NEAR leaves."""
+    if leaf.kind in ("prefix", "prefix_phrase"):
+        return (leaf.stem,)
+    if leaf.kind == "near":
+        return tuple(
+            sl[1] for op in leaf.toks for sl in op if isinstance(sl, tuple)
+        )
+    return tuple(sl[1] for sl in leaf.toks if isinstance(sl, tuple))
 
 
 def _tree_positional_key(leaf: Node):
@@ -763,13 +802,17 @@ class SearchEngine:
             _phrase_match_factory(list(phrase)), "doc_id long"
         )
 
-    def _anchor_docs(self, phrase: list[str], blocks: DataFrame) -> DataFrame:
+    def _anchor_docs(self, phrase: list, blocks: DataFrame) -> DataFrame:
         """Docs matching FTS5's ``^``-anchor (``^term`` / ``^"a b"``):
         the term/phrase occurs at the very START of a column (live
         probe: position 0 of ANY indexed field qualifies). Same packed-
         block plan as a phrase; the matcher just keeps windows whose
-        first-token position is 0."""
-        pb = blocks.filter(F.col("term").isin(sorted(set(phrase)))).select(
+        first-token position is 0. A slot may be a LIST of terms (an
+        expanded prefix marker — ``^tw*`` is probed valid FTS5)."""
+        flat = sorted(
+            {t for sl in phrase for t in ([sl] if isinstance(sl, str) else sl)}
+        )
+        pb = blocks.filter(F.col("term").isin(flat)).select(
             "slice", "term", "fld", "doc_gaps", "tfs", "positions"
         )
         return pb.repartition("slice").mapInPandas(
@@ -888,8 +931,12 @@ class SearchEngine:
         Same plan shape as a phrase: the terms' PACKED blocks shuffle by
         slice still compressed, one mapInPandas does the vectorized
         window test."""
-        ops = [(op,) if isinstance(op, str) else tuple(op) for op in operands]
-        flat = sorted({t for op in ops for t in op})
+        ops = [
+            ((op,),) if isinstance(op, str)
+            else tuple((sl,) if isinstance(sl, str) else tuple(sl) for sl in op)
+            for op in operands
+        ]
+        flat = sorted({t for op in ops for sl in op for t in sl})
         nb = blocks.filter(F.col("term").isin(flat)).select(
             "slice", "term", "fld", "doc_gaps", "tfs", "positions"
         )
@@ -1716,8 +1763,8 @@ class SearchEngine:
             fs = spec_fset(specs)
             for t in _leaf_terms(leaf):
                 note(term_fld, t, fs)
-            if leaf.kind in ("prefix", "prefix_phrase"):
-                note(stem_fld, leaf.stem, fs)
+            for st in _leaf_stems(leaf):
+                note(stem_fld, st, fs)
 
         # ONE dictionary job for all terms, one for all stems
         stats = self.term_stats(sorted(term_fld))
@@ -1737,13 +1784,9 @@ class SearchEngine:
             return out
 
         def dead_leaf(leaf: Node) -> bool:
-            if leaf.kind == "prefix":
-                return not stem_live(leaf.stem)
-            if leaf.kind == "prefix_phrase":
-                return not stem_live(leaf.stem) or any(
-                    not live_flds(t) for t in leaf.toks
-                )
-            return any(not live_flds(t) for t in _leaf_terms(leaf))
+            return any(not live_flds(t) for t in _leaf_terms(leaf)) or any(
+                not stem_live(st) for st in _leaf_stems(leaf)
+            )
 
         tree = _tree_simplify(_tree_strip_col(pq.tree), dead_leaf)
         info: dict = {"tree": True}
@@ -1774,12 +1817,10 @@ class SearchEngine:
             if key is not None:
                 pos_leaves.setdefault(key, leaf)
             used_terms.update(_leaf_terms(leaf))
-            if leaf.kind in ("prefix", "prefix_phrase"):
-                used_stems.add(leaf.stem)
+            used_stems.update(_leaf_stems(leaf))
             if sc:
                 scoring_terms.update(_leaf_terms(leaf))
-                if leaf.kind in ("prefix", "prefix_phrase"):
-                    scoring_stems.add(leaf.stem)
+                scoring_stems.update(_leaf_stems(leaf))
 
         if pos_leaves and not self.store_positions:
             raise ValueError(
@@ -1882,40 +1923,63 @@ class SearchEngine:
                 s["df"] for f, s in stats[t].items() if f in term_fld[t]
             )
 
-        for i, key in enumerate(sorted(pos_leaves)):
+        def _leaf_block_src(leaf: Node) -> DataFrame:
+            """pos_blocks already covers a leaf's PLAIN terms (field-
+            restricted at the scan); leaves carrying prefix stems need
+            fresh blocks that include the expansions, with the same
+            pushed field filter. Within one leaf every slot shares one
+            colspec chain (the filter wraps the whole phrase/NEAR), so
+            per-term restrictions never conflict here."""
+            stems = set(_leaf_stems(leaf))
+            if not stems:
+                return pos_blocks
+            plain = set(_leaf_terms(leaf))
+            exp = {t for st in stems for t in stem_live(st)}
+            src = self.blocks(sorted(plain | exp))
+            lim = {t: term_fld[t] for t in plain if term_fld[t] != full}
+            for st in stems:
+                if stem_fld[st] != full:
+                    lim.update({t: stem_fld[st] for t in stem_live(st)})
+            if lim:
+                c2 = None
+                for t, fs in lim.items():
+                    c = (F.col("term") == F.lit(t)) & ~F.col("fld").isin(
+                        sorted(fs)
+                    )
+                    c2 = c if c2 is None else (c2 | c)
+                src = src.filter(~c2)
+            return src
+
+        def _expand_slots(slots) -> list:
+            """Marker slots become their stem's (field-restricted)
+            expansion — the positional matchers' list slots."""
+            return [
+                sl if isinstance(sl, str) else sorted(stem_live(sl[1]))
+                for sl in slots
+            ]
+
+        def _leaf_bound(leaf: Node) -> int:
+            vals = [_term_df(t) for t in set(_leaf_terms(leaf))]
+            vals += [_stem_df_total(st) for st in set(_leaf_stems(leaf))]
+            return min(vals)
+
+        for i, key in enumerate(sorted(pos_leaves, key=repr)):
             leaf = pos_leaves[key]
             name = f"_pf{i}"
             flag_col[key] = name
+            src = _leaf_block_src(leaf)
+            bound = _leaf_bound(leaf)
             if leaf.kind == "near":
-                fdf = self._near_docs(list(leaf.toks), leaf.n, pos_blocks)
-                bound = min(_term_df(t) for t in set(_leaf_terms(leaf)))
+                ops = [_expand_slots(op) for op in leaf.toks]
+                fdf = self._near_docs(ops, leaf.n, src)
             elif leaf.kind == "anchor":
-                fdf = self._anchor_docs(list(leaf.toks), pos_blocks)
-                bound = min(_term_df(t) for t in set(leaf.toks))
+                fdf = self._anchor_docs(_expand_slots(leaf.toks), src)
             elif leaf.kind == "prefix_phrase":
-                # fresh blocks: the expansion terms are not in the
-                # scoring scan (same as the flat prefix-phrase path)
-                exp_terms = sorted(stem_live(leaf.stem))
-                src = self.blocks(sorted(set(leaf.toks) | set(exp_terms)))
-                lim = {t: term_fld[t] for t in leaf.toks if term_fld[t] != full}
-                if stem_fld[leaf.stem] != full:
-                    lim.update({t: stem_fld[leaf.stem] for t in exp_terms})
-                if lim:
-                    c2 = None
-                    for t, fs in lim.items():
-                        c = (F.col("term") == F.lit(t)) & ~F.col("fld").isin(
-                            sorted(fs)
-                        )
-                        c2 = c if c2 is None else (c2 | c)
-                    src = src.filter(~c2)
-                fdf = self._phrase_docs(list(leaf.toks) + [exp_terms], src)
-                bound = min(
-                    min(_term_df(t) for t in set(leaf.toks)),
-                    _stem_df_total(leaf.stem),
+                fdf = self._phrase_docs(
+                    list(leaf.toks) + [sorted(stem_live(leaf.stem))], src
                 )
-            else:  # multi-token phrase
-                fdf = self._phrase_docs(list(leaf.toks), pos_blocks)
-                bound = min(_term_df(t) for t in set(leaf.toks))
+            else:  # multi-token phrase (slots may carry prefix markers)
+                fdf = self._phrase_docs(_expand_slots(leaf.toks), src)
             fdf = fdf.withColumn(name, F.lit(True))
             if bound <= self.broadcast_cand_max_postings:
                 fdf = F.broadcast(fdf)

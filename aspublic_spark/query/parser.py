@@ -68,16 +68,20 @@ class Node:
 
     def describe(self) -> str:
         """Compact s-expression of the tree (debug echo + tests)."""
+        def _slot(sl) -> str:
+            return sl if isinstance(sl, str) else sl[1] + "*"
+
         k = self.kind
         if k == "term":
             return self.toks[0]
         if k == "phrase":
-            return '"' + " ".join(self.toks) + '"'
+            return '"' + " ".join(_slot(sl) for sl in self.toks) + '"'
         if k == "anchor":
-            return '^"' + " ".join(self.toks) + '"'
+            return '^"' + " ".join(_slot(sl) for sl in self.toks) + '"'
         if k == "near":
             ops = " ".join(
-                op[0] if len(op) == 1 else '"' + " ".join(op) + '"'
+                _slot(op[0]) if len(op) == 1
+                else '"' + " ".join(_slot(sl) for sl in op) + '"'
                 for op in self.toks
             )
             return f"(near:{self.n} {ops})"
@@ -355,36 +359,54 @@ _FTS5_TOKENS = [
 ]
 
 # NEAR(...) content: quoted phrase operands, single-token operands,
-# and `+` concatenation between them (probed: NEAR("one" + "two" x, 1)
-# is the two operands [one two] and [x])
-_NEAR_OPERAND = re.compile(r'"([^"]*)"|(\+)|([^\s"+]+)')
+# `+` concatenation between them (probed: NEAR("one" + "two" x, 1) is
+# the two operands [one two] and [x]) and prefix stars — attached,
+# whitespace-detached, or on a quoted phrase (probed: NEAR(tw* one),
+# NEAR(tw * one) and NEAR("x tw"* one) are all valid FTS5)
+_NEAR_OPERAND = re.compile(r'"([^"]*)"(\s*\*)?|(\+)|(\*)|([^\s"*+]+)(\*)?')
 
 
-def _near_operands(content: str, tok) -> list[tuple[str, ...]]:
-    """Parse a NEAR group's operand list into phrase tuples. A quoted
+def _near_operands(content: str, tok) -> list[tuple]:
+    """Parse a NEAR group's operand list into phrase slot tuples (a
+    slot is a plain token or a ``("*", stem)`` prefix marker). A quoted
     chunk is ONE operand (its tokens adjacent); an unquoted chunk's
-    tokens are SEPARATE single-token operands (legacy behavior, pinned);
-    ``+`` concatenates the two adjacent operands. Duplicate operands
-    collapse (probed)."""
-    ops: list[tuple[str, ...]] = []
+    tokens are SEPARATE single-token operands (legacy behavior,
+    pinned); ``+`` concatenates the two adjacent operands; a star
+    marks the PREVIOUS slot as a prefix. Duplicate operands collapse
+    (probed)."""
+    ops: list[tuple] = []
     pending = False
+
+    def star_last():
+        if not ops or not ops[-1] or isinstance(ops[-1][-1], tuple):
+            raise ValueError("fts5 syntax error near * (inside NEAR)")
+        ops[-1] = ops[-1][:-1] + (("*", ops[-1][-1]),)
+
     for m in _NEAR_OPERAND.finditer(content):
-        if m.group(2):
+        if m.group(3):
             if not ops or pending:
                 raise ValueError("fts5 syntax error near + (inside NEAR)")
             pending = True
             continue
+        if m.group(4):
+            star_last()
+            continue
         if m.group(1) is not None:
             toks = tok(m.group(1))
             units = [tuple(toks)] if toks else []
+            starred = bool(m.group(2))
         else:
-            units = [(t,) for t in tok(m.group(3))]
+            toks = tok(m.group(5))
+            units = [(t,) for t in toks]
+            starred = bool(m.group(6))
         for u in units:
             if pending:
                 ops[-1] = ops[-1] + u
                 pending = False
             else:
                 ops.append(u)
+        if starred and units:
+            star_last()
     if pending:
         raise ValueError("fts5 syntax error near + (inside NEAR)")
     return list(dict.fromkeys(ops))
@@ -414,10 +436,6 @@ def _scan_fts5(q: str, tok) -> list[tuple]:
                 break
             if name == "near":
                 content = m.group(1)
-                if "*" in content:
-                    raise ValueError(
-                        "prefix operands inside NEAR(...) are not supported"
-                    )
                 nn = int(m.group(2)) if m.group(2) is not None else 10
                 # positions cap at 2^24 (engine key packing): larger
                 # windows are equivalent to unlimited and the clamp
@@ -429,11 +447,9 @@ def _scan_fts5(q: str, tok) -> list[tuple]:
                 ops = _near_operands(content, tok)
                 if len(ops) >= 2:
                     out.append(("unit", Node("near", toks=tuple(ops), n=nn)))
-                elif ops and len(ops[0]) > 1:
-                    # NEAR("a b", n) == the phrase "a b" (probed)
-                    out.append(("unit", Node("phrase", toks=ops[0])))
-                elif ops:  # NEAR(a, n) == a (probed)
-                    out.append(("unit", Node("term", toks=(ops[0][0],))))
+                elif ops:
+                    # NEAR(p, n) == p (probed): term / phrase / prefix
+                    out.append(("unit", _slots_node("phrase", list(ops[0]))))
                 break
             if name in ("colset", "col"):
                 neg = m.group(1)
@@ -452,11 +468,14 @@ def _scan_fts5(q: str, tok) -> list[tuple]:
                 out.append(("colspec", (names, neg == "-")))
                 break
             if name == "aphrase" or name == "aword":
-                if m.group(2):
-                    raise ValueError("anchored prefix (^a*) is not supported")
                 toks = tok(m.group(1))
                 if toks:
-                    out.append(("unit", Node("anchor", toks=tuple(toks))))
+                    slots = list(toks)
+                    if m.group(2):
+                        # anchored prefix `^a*` / `^"a b"*` (probed
+                        # valid FTS5): the last slot is a stem marker
+                        slots[-1] = ("*", slots[-1])
+                    out.append(("unit", Node("anchor", toks=tuple(slots))))
                 break
             if name == "nphrase":
                 if m.group(2):
@@ -522,25 +541,49 @@ def _scan_fts5(q: str, tok) -> list[tuple]:
     return _merge_plus(out)
 
 
+def _unit_slots(nd: Node) -> list:
+    """A phrase unit's slot list: plain tokens and ``("*", stem)``
+    prefix markers. Only phrase-like units concatenate."""
+    if nd.kind in ("term", "phrase", "anchor"):
+        return list(nd.toks)
+    if nd.kind == "prefix":
+        return [("*", nd.stem)]
+    if nd.kind == "prefix_phrase":
+        return list(nd.toks) + [("*", nd.stem)]
+    raise ValueError("fts5 syntax error near +")
+
+
+def _slots_node(kind: str, slots: list) -> Node:
+    """Normalize a slot list into the most specific node: plain slots
+    -> term/phrase; a single TRAILING marker -> prefix/prefix_phrase
+    (flat-lowerable); markers anywhere else stay marker slots on a
+    phrase/anchor node (boolean-tree path — probed valid FTS5:
+    ``tw* + one``, ``^tw*``, ``NEAR(tw* one, 2)``)."""
+    marks = [i for i, sl in enumerate(slots) if isinstance(sl, tuple)]
+    if kind == "phrase":
+        if not marks:
+            if len(slots) == 1:
+                return Node("term", toks=(slots[0],))
+            return Node("phrase", toks=tuple(slots))
+        if marks == [len(slots) - 1]:
+            if len(slots) == 1:
+                return Node("prefix", stem=slots[0][1])
+            return Node(
+                "prefix_phrase", toks=tuple(slots[:-1]), stem=slots[-1][1]
+            )
+    return Node(kind, toks=tuple(slots))
+
+
 def _concat_units(left: Node, right: Node) -> Node:
     """FTS5 ``+`` concatenation of two phrase units (probed: the result
     is ONE phrase; an anchored left keeps its anchor over the whole
-    phrase; a prefix RIGHT yields a prefix phrase; a prefix LEFT, a
-    negation, or a NEAR group raise like FTS5's syntax errors)."""
-    if left.kind in ("near", "unot") or right.kind in ("near", "unot"):
-        raise ValueError("fts5 syntax error near +")
-    if left.kind in ("prefix", "prefix_phrase"):
-        raise ValueError("a prefix (*) must end a + concatenation")
-    if left.kind == "anchor" and right.kind in ("prefix", "prefix_phrase"):
-        raise ValueError("anchored prefix (^a*) is not supported")
-    if right.kind == "prefix":
-        return Node("prefix_phrase", toks=left.toks, stem=right.stem)
-    if right.kind == "prefix_phrase":
-        return Node(
-            "prefix_phrase", toks=left.toks + right.toks, stem=right.stem
-        )
+    phrase; prefix slots may land ANYWHERE — ``tw* + one`` is the
+    phrase [tw-stem, one]; negations and NEAR groups raise like FTS5's
+    syntax errors)."""
+    if right.kind == "anchor":
+        raise ValueError("fts5 syntax error near + (misplaced ^)")
     kind = "anchor" if left.kind == "anchor" else "phrase"
-    return Node(kind, toks=left.toks + right.toks)
+    return _slots_node(kind, _unit_slots(left) + _unit_slots(right))
 
 
 def _merge_plus(toks: list[tuple]) -> list[tuple]:
@@ -700,12 +743,18 @@ def _lower_top(node: Node, pq: ParsedQuery) -> bool:
         if k == "term":
             pq.and_terms.extend(m.toks)
         elif k == "phrase":
+            if any(isinstance(sl, tuple) for sl in m.toks):
+                return False  # mid-phrase prefix slots: tree path
             pq.phrases.append(list(m.toks))
         elif k == "near":
-            if any(len(op) > 1 for op in m.toks):
-                return False  # phrase operands: generic tree evaluation
+            if any(
+                len(op) > 1 or isinstance(op[0], tuple) for op in m.toks
+            ):
+                return False  # phrase/prefix operands: tree path
             pq.nears.append(([op[0] for op in m.toks], m.n))
         elif k == "anchor":
+            if any(isinstance(sl, tuple) for sl in m.toks):
+                return False  # anchored prefix slots: tree path
             pq.anchors.append(list(m.toks))
         elif k == "prefix":
             if m.stem not in pq.prefixes:
@@ -769,6 +818,8 @@ def _lower_or(m: Node, pq: ParsedQuery) -> bool:
         if op.kind == "term":
             terms.extend(op.toks)
         elif op.kind == "phrase":
+            if any(isinstance(sl, tuple) for sl in op.toks):
+                return False  # prefix slots: tree path
             if len(op.toks) == 1:
                 terms.extend(op.toks)
             else:
@@ -788,6 +839,8 @@ def _lower_not_right(r: Node, pq: ParsedQuery) -> bool:
         pq.not_terms.extend(r.toks)
         return True
     if r.kind == "phrase":
+        if any(isinstance(sl, tuple) for sl in r.toks):
+            return False  # prefix slots: tree path
         if len(r.toks) == 1:
             pq.not_terms.extend(r.toks)
         else:
@@ -857,9 +910,12 @@ def parse_fts5(q: str, tok=tokenize) -> ParsedQuery:
       reference ships (db_sqlite.py:125-126). The KEYWORD form
       ``NOT "a b"`` keeps phrase adjacency instead (probed).
 
-    Still refused (raise, never silently misparse): anchored prefixes
-    (``^a*``), prefixes inside NEAR, negated prefix phrases
-    (``!"a b"*``), ``!col:``, bare ``*``.
+    Prefix stars compose everywhere FTS5 accepts them (all probed):
+    mid-phrase via ``+`` (``tw* + one``), anchored (``^tw*``,
+    ``^"x tw"*``), and as NEAR operands (``NEAR(tw* one, 2)``,
+    ``NEAR("x tw"* one, 5)``, detached stars bind the previous
+    operand). Still refused (raise, never silently misparse): negated
+    prefix phrases (``!"a b"*``), ``!col:``, bare ``*``.
 
     Queries whose boolean structure fits the flat :class:`ParsedQuery`
     model lower into it (identical plans to the pre-boolean surface);

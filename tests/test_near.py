@@ -421,7 +421,7 @@ def test_near_phrase_operand_differential_vs_live_fts5(spark, workdir):
     operand (reduces to the single-token max-min rule): 400 random
     docs x 24 shapes must match live FTS5's rowid sets exactly."""
     rng = random.Random(97)
-    vocab = ["a", "b", "c", "d"]
+    vocab = ["a", "b", "c", "d", "ax"]
     docs = [
         " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 10)))
         for _ in range(400)
@@ -443,7 +443,10 @@ def test_near_phrase_operand_differential_vs_live_fts5(spark, workdir):
 
     shapes = []
     for inner in ('"a b"', '"a b" c', '"a b" "c d"', '"a b" "b c"',
-                  '"a b c" d', 'a "b c" d', 'a + b c', '"a b" + c d'):
+                  '"a b c" d', 'a "b c" d', 'a + b c', '"a b" + c d',
+                  # prefix operands (a* expands to a AND ax — probed
+                  # valid FTS5, detached stars bind the previous operand)
+                  'a* d', 'a * d', '"c a"* b', 'b + a* c'):
         for n in (0, 1, 3):
             shapes.append(f"NEAR({inner}, {n})")
     for q in shapes:

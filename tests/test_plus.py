@@ -64,14 +64,16 @@ def test_parse_plus_errors_like_fts5():
         "one + OR",
         "one + (a b)",
         "one + text:two",
-        "tw* + one",       # a prefix must END a concatenation
         "!one + two",      # negations cannot join a concatenation
         "NEAR(a b, 1) + c",
-        "^one + tw*",      # anchored prefix stays refused
         "NEAR(a + , 2)",
     ):
         with pytest.raises(ValueError):
             parse_fts5(bad)
+    # prefix slots may land ANYWHERE in a concatenation (probed valid
+    # FTS5): tw* + one is the phrase [tw-stem, one]
+    assert parse_fts5("tw* + one").tree.describe() == '"tw* one"'
+    assert parse_fts5("^one + tw*").tree.describe() == '^"one tw*"'
 
 
 @pytest.mark.skipif(not _fts5_available(), reason="sqlite without FTS5")
@@ -107,6 +109,10 @@ def test_plus_differential_vs_live_fts5(spark, workdir):
         "one + tw*",
         "four NOT one + two",   # phrase binds before NOT's right side
         "(one + two) OR (three + four)",
+        "tw* + one",            # prefix slot mid-phrase (probed valid)
+        "^tw*",                 # anchored prefix
+        "^one + tw*",
+        '"one two" OR tw* + three',
     ):
         want = {
             r[0] for r in db.execute("SELECT rowid FROM f WHERE f MATCH ?", (q,))

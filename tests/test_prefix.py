@@ -69,19 +69,19 @@ def test_parse_fts5_prefix_shapes():
 def test_parse_fts5_prefix_unsupported_shapes_raise():
     for bad in (
         "*ab",            # leading star: FTS5 "unknown special query"
-        "^ab*",           # anchored prefix
-        '^"a b"*',
-        "NEAR(ab* x, 3)",  # prefix operand inside NEAR
         '!"a b"*',        # negated prefix phrase
     ):
         with pytest.raises(ValueError):
             parse_fts5(bad)
-    # column-filtered prefixes are supported since the boolean-tree
-    # surface: they parse to a `col` node over a prefix leaf and the
-    # engine evaluates the tree generically (test_fts5_tree.py runs
-    # them differentially against live FTS5)
+    # column-filtered / anchored / NEAR-operand / mid-phrase prefixes
+    # are all supported since the boolean-tree surface (probed valid
+    # FTS5; evaluated generically, live differentials in
+    # test_fts5_tree.py and test_plus.py)
     assert parse_fts5("t:ab*").tree.describe() == "(t: ab*)"
     assert parse_fts5('t:"a b" *').tree.describe() == '(t: "a b*")'
+    assert parse_fts5("^ab*").tree.describe() == '^"ab*"'
+    assert parse_fts5('^"a b"*').tree.describe() == '^"a b*"'
+    assert parse_fts5("NEAR(ab* x, 3)").tree.describe() == "(near:3 ab* x)"
 
 
 # ----------------------------------------------------- engine vs live FTS5
