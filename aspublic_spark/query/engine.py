@@ -1137,7 +1137,12 @@ class SearchEngine:
         return pos_blocks.drop("_ub"), not_blocks, info
 
     # -- scoring + qualification ----------------------------------------
-    def _score(self, unpacked: DataFrame, scaled_map: dict[tuple[str, int], float]) -> DataFrame:
+    def _score(
+        self,
+        unpacked: DataFrame,
+        scaled_map: dict[tuple[str, int], float],
+        with_keys: bool = False,
+    ) -> DataFrame:
         """Per-doc BM25 summed over (term, field) contributions; the
         map value for (t, f) is field_weight_f * idf(t, f), so the total
         is sum_f w_f * BM25_f — FTS5's multi-column bm25(fts, w1, w2).
@@ -1165,17 +1170,30 @@ class SearchEngine:
         w = scaled_expr[_tf_key_col()] * bm25_weight_col(
             F.col("tf"), F.col("dl"), avgdl_expr[F.col("fld")]
         )
+        cols = [
+            "doc_id",
+            F.aggregate(
+                "_tw", F.lit(0.0), lambda acc, x: acc + x["_w"]
+            ).alias("score"),
+            F.transform("_tw", lambda x: x["term"]).alias("_terms"),
+        ]
+        if with_keys:
+            # per-(term, field) presence keys — the boolean-tree path
+            # qualifies column-restricted leaves against these (a bare
+            # term array cannot distinguish WHICH field matched)
+            cols.append(
+                F.transform(
+                    "_tw",
+                    lambda x: F.concat_ws(
+                        "\x00", x["term"], x["fld"].cast("string")
+                    ),
+                ).alias("_tkeys")
+            )
         return (
             unpacked.withColumn("_w", w)
             .groupBy("doc_id")
             .agg(F.array_sort(F.collect_list(F.struct("term", "fld", "_w"))).alias("_tw"))
-            .select(
-                "doc_id",
-                F.aggregate(
-                    "_tw", F.lit(0.0), lambda acc, x: acc + x["_w"]
-                ).alias("score"),
-                F.transform("_tw", lambda x: x["term"]).alias("_terms"),
-            )
+            .select(*cols)
         )
 
     def _qualify(
@@ -1723,72 +1741,88 @@ class SearchEngine:
         is unsound under OR/NOT structure and these queries are the
         rare tail — the exhaustive plan is the correct default.
 
-        Column filters were already validated consistent per term /
-        stem (the per-(term, field) scoring model can't express one
-        term under two different restrictions — FTS5 treats those as
-        independent phrases; we refuse rather than misscore), so the
-        restriction lives in ``scaled_map`` and the block scan's
-        pushed field filter, and the tree itself drops its ``col``
-        wrappers before compilation."""
+        Column filters are PER-LEAF (FTS5 treats ``text:a OR
+        subject:a`` as two independent phrases of the same term):
+        an annotate pass resolves each leaf's colspec chain to a field
+        set carried on the leaf, the block scan reads the UNION of a
+        term's allowed fields (pushed filter), qualification tests
+        per-(term, field) presence keys (``_tkeys``), and each
+        positional matcher sees only its own leaf's fields. One
+        documented scoring deviation: a term restricted differently in
+        two scoring leaves scores each (term, field) contribution
+        ONCE (FTS5's bm25 would count a field hit once per covering
+        phrase); match sets are exact either way (differentials)."""
         full = frozenset(range(self.n_fields))
         col_map = {c.lower(): i for i, c in enumerate(self.text_cols)}
 
-        raw_leaves: list = []
-        _tree_walk_leaves(pq.tree, (), True, raw_leaves)
+        def spec_fset(spec: tuple) -> frozenset:
+            names, exclude = spec
+            listed = set()
+            for nm in names:
+                f = col_map.get(nm.lower())
+                if f is None:
+                    raise ValueError(f"no such column: {nm}")
+                listed.add(f)
+            return frozenset((set(full) - listed) if exclude else listed)
 
-        def spec_fset(specs: tuple) -> frozenset:
-            fs = set(full)
-            for names, exclude in specs:  # nested colspecs intersect
-                listed = set()
-                for nm in names:
-                    f = col_map.get(nm.lower())
-                    if f is None:
-                        raise ValueError(f"no such column: {nm}")
-                    listed.add(f)
-                fs &= (set(full) - listed) if exclude else listed
-            return frozenset(fs)
-
-        term_fld: dict[str, frozenset] = {}
-        stem_fld: dict[str, frozenset] = {}
-
-        def note(d: dict, key: str, fs: frozenset):
-            if d.setdefault(key, fs) != fs:
-                raise ValueError(
-                    f"'{key}' is column-filtered inconsistently across "
-                    "the query — unsupported (per-(term, field) scoring "
-                    "cannot express it)"
+        def annotate(node: Node, fs: frozenset) -> Node:
+            """Dissolve ``col`` wrappers, intersecting nested specs
+            (probed FTS5 behavior), and stamp each LEAF's resolved
+            field set onto its free ``spec`` slot."""
+            if node.kind == "col":
+                return annotate(node.kids[0], fs & spec_fset(node.spec))
+            if node.kids:
+                return Node(
+                    node.kind,
+                    kids=tuple(annotate(c, fs) for c in node.kids),
+                    toks=node.toks,
+                    n=node.n,
+                    stem=node.stem,
                 )
+            if node.kind in ("true", "false"):
+                return node
+            return Node(
+                node.kind,
+                toks=node.toks,
+                n=node.n,
+                stem=node.stem,
+                spec=tuple(sorted(fs)),
+            )
 
-        for leaf, specs, _sc in raw_leaves:
-            fs = spec_fset(specs)
-            for t in _leaf_terms(leaf):
-                note(term_fld, t, fs)
-            for st in _leaf_stems(leaf):
-                note(stem_fld, st, fs)
+        tree = annotate(pq.tree, full)
+        raw_leaves: list = []
+        _tree_walk_leaves(tree, (), True, raw_leaves)
+        all_terms = sorted(
+            {t for lf, _s, _c in raw_leaves for t in _leaf_terms(lf)}
+        )
+        all_stems = sorted(
+            {st for lf, _s, _c in raw_leaves for st in _leaf_stems(lf)}
+        )
 
         # ONE dictionary job for all terms, one for all stems
-        stats = self.term_stats(sorted(term_fld))
-        pfx_exp = self.expand_prefix(sorted(stem_fld)) if stem_fld else {}
+        stats = self.term_stats(all_terms)
+        pfx_exp = self.expand_prefix(all_stems) if all_stems else {}
 
-        def live_flds(t: str) -> set:
-            return set(stats.get(t, {})) & term_fld[t]
+        def live_flds(t: str, fs) -> set:
+            return set(stats.get(t, {})) & set(fs)
 
-        def stem_live(s: str) -> dict:
-            """stem's expansion restricted to its allowed fields:
+        def stem_live(s: str, fs) -> dict:
+            """stem's expansion restricted to the given fields:
             term -> {fld: dictionary row}."""
             out = {}
             for t, m in pfx_exp.get(s, {}).items():
-                mm = {f: r for f, r in m.items() if f in stem_fld[s]}
+                mm = {f: r for f, r in m.items() if f in fs}
                 if mm:
                     out[t] = mm
             return out
 
         def dead_leaf(leaf: Node) -> bool:
-            return any(not live_flds(t) for t in _leaf_terms(leaf)) or any(
-                not stem_live(st) for st in _leaf_stems(leaf)
-            )
+            fs = set(leaf.spec)
+            return any(
+                not live_flds(t, fs) for t in _leaf_terms(leaf)
+            ) or any(not stem_live(st, fs) for st in _leaf_stems(leaf))
 
-        tree = _tree_simplify(_tree_strip_col(pq.tree), dead_leaf)
+        tree = _tree_simplify(tree, dead_leaf)
         info: dict = {"tree": True}
         if tree.kind == "false":
             empty = docs_f.limit(0).withColumn("score", F.lit(0.0)).select(
@@ -1802,25 +1836,38 @@ class SearchEngine:
                 "index (FTS5 refuses `NOT a` the same way)"
             )
 
-        # surviving leaves: scoring is OR'd across duplicate occurrences
-        # (a term present anywhere in a scoring context scores, exactly
-        # like the flat path's positive_terms)
+        # SURVIVING leaves only: the scan reads the UNION of each
+        # term's allowed fields across its live leaves; scoring fields
+        # are the union over live SCORING leaves (a folded-away scoring
+        # leaf must not grant weight to a term that only survives
+        # NOT-side — the flat path's NOT terms never score either).
+        # Positional flags key on (shape, field set): the same phrase
+        # under two different column filters is two distinct FTS5
+        # phrases with two distinct doc sets.
         leaves: list = []
         _tree_walk_leaves(tree, (), True, leaves)
-        scoring_terms: set[str] = set()
-        scoring_stems: set[str] = set()
         used_terms: set[str] = set()
         used_stems: set[str] = set()
+        scan_fld: dict[str, set] = {}
+        score_fld: dict[str, set] = {}
+        scan_stem: dict[str, set] = {}
+        score_stem: dict[str, set] = {}
         pos_leaves: dict[tuple, Node] = {}
         for leaf, _specs, sc in leaves:
             key = _tree_positional_key(leaf)
             if key is not None:
-                pos_leaves.setdefault(key, leaf)
-            used_terms.update(_leaf_terms(leaf))
-            used_stems.update(_leaf_stems(leaf))
-            if sc:
-                scoring_terms.update(_leaf_terms(leaf))
-                scoring_stems.update(_leaf_stems(leaf))
+                pos_leaves.setdefault(key + (leaf.spec,), leaf)
+            fs = set(leaf.spec)
+            for t in _leaf_terms(leaf):
+                used_terms.add(t)
+                scan_fld.setdefault(t, set()).update(fs)
+                if sc:
+                    score_fld.setdefault(t, set()).update(fs)
+            for st in _leaf_stems(leaf):
+                used_stems.add(st)
+                scan_stem.setdefault(st, set()).update(fs)
+                if sc:
+                    score_stem.setdefault(st, set()).update(fs)
 
         if pos_leaves and not self.store_positions:
             raise ValueError(
@@ -1828,26 +1875,35 @@ class SearchEngine:
                 "with store_positions=False"
             )
 
-        live_terms = sorted(t for t in used_terms if live_flds(t))
-        live_stems = sorted(s for s in used_stems if stem_live(s))
+        live_terms = sorted(
+            t for t in used_terms if live_flds(t, scan_fld[t])
+        )
+        live_stems = sorted(
+            s for s in used_stems if stem_live(s, scan_stem[s])
+        )
         fw = list(field_weights) if field_weights is not None else []
         fw += [1.0] * (self.n_fields - len(fw))
-        # weight 0.0 for non-scoring (NOT-side) leaves: the fold keeps
-        # them out of the sum but their presence still lands in _terms
+        # weight 0.0 for (term, field) pairs scanned only for NOT-side
+        # presence: the fold keeps them out of the sum but their keys
+        # still land in _tkeys for qualification
         scaled_map = {
-            (t, f): (fw[f] * self.idf(stats[t][f]["df"]) if t in scoring_terms else 0.0)
+            (t, f): (
+                fw[f] * self.idf(stats[t][f]["df"])
+                if f in score_fld.get(t, ())
+                else 0.0
+            )
             for t in live_terms
-            for f in sorted(live_flds(t))
+            for f in sorted(live_flds(t, scan_fld[t]))
         }
 
         pos_blocks = self.blocks(live_terms)
         restricted = {
-            t: fs for t in live_terms if (fs := term_fld[t]) != full
+            t: fs for t in live_terms if (fs := scan_fld[t]) != full
         }
         if restricted:
-            # drop restricted terms' other-field blocks at the scan (fld
-            # rides the block metadata — a pushed filter — and the
-            # positional matchers then only see the allowed columns)
+            # drop fields no leaf allows at the scan (fld rides the
+            # block metadata — a pushed filter); per-LEAF narrowing
+            # happens again at each positional matcher's source
             cond = None
             for t, fs in restricted.items():
                 c = (F.col("term") == F.lit(t)) & ~F.col("fld").isin(sorted(fs))
@@ -1858,21 +1914,25 @@ class SearchEngine:
 
         # virtual prefix branch, exactly the flat path's: per stem one
         # "stem*" row per (doc, fld) with tf summed over the expansion
-        def _stem_df_total(s: str) -> int:
+        def _stem_df_total(s: str, fs) -> int:
             return sum(
-                r["df"] for m in stem_live(s).values() for r in m.values()
+                r["df"]
+                for m in stem_live(s, fs).values()
+                for r in m.values()
             )
 
         if live_stems:
-            all_exp = sorted({t for s in live_stems for t in stem_live(s)})
+            all_exp = sorted(
+                {t for s in live_stems for t in stem_live(s, scan_stem[s])}
+            )
             exp_blocks = self.blocks(all_exp)
             parts = []
             for s in live_stems:
                 src = exp_blocks.filter(
-                    F.col("term").isin(sorted(stem_live(s)))
+                    F.col("term").isin(sorted(stem_live(s, scan_stem[s])))
                 )
-                if stem_fld[s] != full:
-                    src = src.filter(F.col("fld").isin(sorted(stem_fld[s])))
+                if scan_stem[s] != full:
+                    src = src.filter(F.col("fld").isin(sorted(scan_stem[s])))
                 parts.append(
                     self.unpack(src)
                     .groupBy("doc_id", "fld")
@@ -1887,103 +1947,115 @@ class SearchEngine:
             branch = parts[0]
             for p in parts[1:]:
                 branch = branch.unionByName(p)
+
+            def _stem_w(s: str, f: int, df: int) -> float:
+                return (
+                    fw[f] * self.idf(df)
+                    if f in score_stem.get(s, ())
+                    else 0.0
+                )
+
             # virtual per-field df: exact (one job) when any stem has a
             # multi-term expansion, free from the dictionary otherwise
-            if any(len(stem_live(s)) > 1 for s in live_stems):
+            if any(
+                len(stem_live(s, scan_stem[s])) > 1 for s in live_stems
+            ):
                 for r in branch.groupBy("term", "fld").count().collect():
-                    s = r["term"][:-1]
-                    scaled_map[(r["term"], int(r["fld"]))] = (
-                        fw[int(r["fld"])] * self.idf(int(r["count"]))
-                        if s in scoring_stems
-                        else 0.0
+                    scaled_map[(r["term"], int(r["fld"]))] = _stem_w(
+                        r["term"][:-1], int(r["fld"]), int(r["count"])
                     )
             else:
                 for s in live_stems:
-                    for m in stem_live(s).values():
+                    for m in stem_live(s, scan_stem[s]).values():
                         for f, row in m.items():
-                            scaled_map[(s + "*", f)] = (
-                                fw[f] * self.idf(row["df"])
-                                if s in scoring_stems
-                                else 0.0
-                            )
+                            scaled_map[(s + "*", f)] = _stem_w(s, f, row["df"])
             unpacked = unpacked.unionByName(branch)
 
-        cand = self._score(unpacked, scaled_map)
+        cand = self._score(unpacked, scaled_map, with_keys=True)
 
-        # one flag column per distinct positional leaf (LEFT join: the
-        # tree may OR or negate it, so a semi/anti join would be wrong)
+        # one flag column per distinct positional (leaf, field set) —
+        # LEFT join: the tree may OR or negate it, so a semi/anti join
+        # would be wrong
         flag_col: dict[tuple, str] = {}
         total_df = sum(
             s["df"] for t in live_terms for f, s in stats[t].items()
-            if f in term_fld[t]
-        ) + sum(_stem_df_total(s) for s in live_stems)
+            if f in scan_fld[t]
+        ) + sum(_stem_df_total(s, scan_stem[s]) for s in live_stems)
 
         def _term_df(t: str) -> int:
+            # scan-union df: an upper bound of any leaf-restricted set
             return sum(
-                s["df"] for f, s in stats[t].items() if f in term_fld[t]
+                s["df"] for f, s in stats[t].items() if f in scan_fld[t]
             )
 
         def _leaf_block_src(leaf: Node) -> DataFrame:
-            """pos_blocks already covers a leaf's PLAIN terms (field-
-            restricted at the scan); leaves carrying prefix stems need
-            fresh blocks that include the expansions, with the same
-            pushed field filter. Within one leaf every slot shares one
-            colspec chain (the filter wraps the whole phrase/NEAR), so
-            per-term restrictions never conflict here."""
+            """Narrow the block source to THIS leaf's fields.
+            pos_blocks covers each term's scan-union fields; a leaf
+            restricted below that union (or carrying prefix stems,
+            whose expansions are never in the scoring scan) gets its
+            own pushed-filter source."""
+            fs = set(leaf.spec)
             stems = set(_leaf_stems(leaf))
-            if not stems:
-                return pos_blocks
             plain = set(_leaf_terms(leaf))
-            exp = {t for st in stems for t in stem_live(st)}
+            if not stems:
+                if fs == full:
+                    return pos_blocks
+                return pos_blocks.filter(
+                    ~F.col("term").isin(sorted(plain))
+                    | F.col("fld").isin(sorted(fs))
+                )
+            exp = {t for st in stems for t in stem_live(st, fs)}
             src = self.blocks(sorted(plain | exp))
-            lim = {t: term_fld[t] for t in plain if term_fld[t] != full}
-            for st in stems:
-                if stem_fld[st] != full:
-                    lim.update({t: stem_fld[st] for t in stem_live(st)})
-            if lim:
-                c2 = None
-                for t, fs in lim.items():
-                    c = (F.col("term") == F.lit(t)) & ~F.col("fld").isin(
-                        sorted(fs)
-                    )
-                    c2 = c if c2 is None else (c2 | c)
-                src = src.filter(~c2)
+            if fs != full:
+                src = src.filter(F.col("fld").isin(sorted(fs)))
             return src
 
-        def _expand_slots(slots) -> list:
-            """Marker slots become their stem's (field-restricted)
+        def _expand_slots(slots, fs) -> list:
+            """Marker slots become their stem's (leaf-field-restricted)
             expansion — the positional matchers' list slots."""
             return [
-                sl if isinstance(sl, str) else sorted(stem_live(sl[1]))
+                sl if isinstance(sl, str) else sorted(stem_live(sl[1], fs))
                 for sl in slots
             ]
 
         def _leaf_bound(leaf: Node) -> int:
             vals = [_term_df(t) for t in set(_leaf_terms(leaf))]
-            vals += [_stem_df_total(st) for st in set(_leaf_stems(leaf))]
+            vals += [
+                _stem_df_total(st, set(leaf.spec))
+                for st in set(_leaf_stems(leaf))
+            ]
             return min(vals)
 
         for i, key in enumerate(sorted(pos_leaves, key=repr)):
             leaf = pos_leaves[key]
+            fs = set(leaf.spec)
             name = f"_pf{i}"
             flag_col[key] = name
             src = _leaf_block_src(leaf)
             bound = _leaf_bound(leaf)
             if leaf.kind == "near":
-                ops = [_expand_slots(op) for op in leaf.toks]
+                ops = [_expand_slots(op, fs) for op in leaf.toks]
                 fdf = self._near_docs(ops, leaf.n, src)
             elif leaf.kind == "anchor":
-                fdf = self._anchor_docs(_expand_slots(leaf.toks), src)
+                fdf = self._anchor_docs(_expand_slots(leaf.toks, fs), src)
             elif leaf.kind == "prefix_phrase":
                 fdf = self._phrase_docs(
-                    list(leaf.toks) + [sorted(stem_live(leaf.stem))], src
+                    list(leaf.toks) + [sorted(stem_live(leaf.stem, fs))], src
                 )
             else:  # multi-token phrase (slots may carry prefix markers)
-                fdf = self._phrase_docs(_expand_slots(leaf.toks), src)
+                fdf = self._phrase_docs(_expand_slots(leaf.toks, fs), src)
             fdf = fdf.withColumn(name, F.lit(True))
             if bound <= self.broadcast_cand_max_postings:
                 fdf = F.broadcast(fdf)
             cand = cand.join(fdf, "doc_id", "left")
+
+        def _presence(label: str, fields) -> object:
+            """Presence of ``label`` in any of ``fields`` — an OR over
+            the per-(term, field) keys the fold emitted."""
+            cond = F.lit(False)
+            for f in sorted(fields):
+                cond = cond | F.array_contains("_tkeys", _tf_key(label, f))
+            return cond
 
         def compile_node(node: Node):
             k2 = node.kind
@@ -2003,14 +2075,20 @@ class SearchEngine:
                 return F.lit(False)
             key = _tree_positional_key(node)
             if key is not None:
-                return F.coalesce(F.col(flag_col[key]), F.lit(False))
+                return F.coalesce(
+                    F.col(flag_col[key + (node.spec,)]), F.lit(False)
+                )
+            fs = set(node.spec)
             if k2 == "prefix":
-                return F.array_contains("_terms", node.stem + "*")
+                fields = {
+                    f for m in stem_live(node.stem, fs).values() for f in m
+                }
+                return _presence(node.stem + "*", fields)
             # term or single-token phrase (adjacency is vacuous)
-            return F.array_contains("_terms", node.toks[0])
+            return _presence(node.toks[0], live_flds(node.toks[0], fs))
 
         cand = cand.filter(compile_node(tree)).drop(
-            "_terms", *flag_col.values()
+            "_terms", "_tkeys", *flag_col.values()
         )
 
         cand_out = (
@@ -2025,6 +2103,7 @@ class SearchEngine:
             .limit(k)
         )
         return SearchResult(out, pq, info)
+
 
     def attach_text(self, result: DataFrame, source: DataFrame) -> DataFrame:
         """Q9/Q13 analog: join scored keys back to the row store for full

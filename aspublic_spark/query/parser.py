@@ -936,8 +936,34 @@ def parse_fts5(q: str, tok=tokenize) -> ParsedQuery:
     pq = ParsedQuery()
     if root is None:
         return pq
-    if _lower_top(root, pq):
+    if _lower_top(root, pq) and not _col_conflicts(pq):
         pq.prefixes = list(dict.fromkeys(pq.prefixes))
         pq.not_prefixes = list(dict.fromkeys(pq.not_prefixes))
         return pq
     return ParsedQuery(tree=root)
+
+
+def _col_conflicts(pq: ParsedQuery) -> bool:
+    """True when the flat col_filters model would misrepresent the
+    query: one term under two DIFFERENT filters, or both filtered and
+    free (FTS5 treats those as independent phrases — probed:
+    ``text:a OR subject:a``). Such queries keep the expression tree,
+    whose restrictions are per-leaf."""
+    spec_of: dict[str, tuple] = {}
+    for names, exclude, toks in pq.col_filters:
+        spec = (tuple(sorted(names)), exclude)
+        for t in toks:
+            if spec_of.setdefault(t, spec) != spec:
+                return True
+    if not spec_of:
+        return False
+    free = (
+        set(pq.and_terms)
+        | {t for ph in pq.phrases for t in ph}
+        | {t for tg, _n in pq.nears for t in tg}
+        | {t for ph in pq.anchors for t in ph}
+        | {t for lead, _s in pq.prefix_phrases for t in lead}
+        | {t for g in pq.or_groups for t in g}
+        | {t for g in pq.or_phrase_groups for ph in g for t in ph}
+    )
+    return bool(set(spec_of) & free)

@@ -194,6 +194,13 @@ def test_tree_differential_vs_live_fts5_two_field(spark, workdir):
         "{text subject}:(alpha NOT beta)",
         "text:(subject:alpha) OR delta",  # nested colspecs intersect -> delta only
         "text:^alpha OR subject:^beta",
+        # one term under TWO different restrictions (per-leaf filters)
+        "text:alpha OR subject:alpha",
+        "subject:alpha alpha",
+        "text:alpha OR alpha",
+        'text:"alpha beta" OR subject:"alpha beta"',
+        "{text subject}:alpha NOT text:alpha",
+        "text:al* OR subject:al*",
     ]
     for q in queries:
         want = {
@@ -291,13 +298,17 @@ def test_tree_scores_bit_identical_to_flat_equivalent(tree_eng):
     assert flat == tree and len(flat) > 0
 
 
-def test_tree_inconsistent_column_filters_refused(tree_eng):
-    # one term under two different restrictions: the per-(term, field)
-    # scoring model cannot express it — refuse, never misscore
-    with pytest.raises(ValueError, match="column-filtered inconsistently"):
-        tree_eng.search(
-            "text:(subject:alpha OR beta) OR alpha", parser=parse_fts5
-        )
+def test_tree_per_leaf_column_filters(tree_eng):
+    # one term under two different restrictions is two independent
+    # FTS5 phrases — restrictions are per-leaf, never merged
+    assert _ids(tree_eng, "text:epsilon OR subject:epsilon") == [3, 5]
+    # filtered + free spellings of the same term (conflict falls back
+    # from the flat model to the tree — parse_fts5)
+    assert parse_fts5("subject:alpha alpha").tree is not None
+    assert _ids(tree_eng, "subject:alpha alpha") == [4]
+    # nested colspecs intersect to nothing on disjoint columns while
+    # the free branch survives
+    assert _ids(tree_eng, "text:(subject:alpha OR beta) OR zeta") == [1, 3, 5, 6]
     with pytest.raises(ValueError, match="no such column"):
         tree_eng.search("nope:(alpha OR beta)", parser=parse_fts5)
 

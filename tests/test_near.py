@@ -334,9 +334,22 @@ def test_col_filter_differential_vs_live_fts5(spark, workdir):
     # unknown column: FTS5's error shape
     with pytest.raises(ValueError, match="no such column: nosuch"):
         eng.search("nosuch:alpha", k=5, parser=parse_fts5)
-    # one term both restricted and unrestricted: honest refusal
-    with pytest.raises(ValueError, match="unsupported"):
-        eng.search("subject:alpha alpha", k=5, parser=parse_fts5)
+    # one term both restricted and unrestricted: two independent FTS5
+    # phrases — the flat model can't express it, so parse_fts5 falls
+    # back to the tree with PER-LEAF restrictions (differential)
+    for q in ("subject:alpha alpha", "text:alpha OR subject:alpha"):
+        assert parse_fts5(q).tree is not None
+        want = {
+            r[0] for r in db.execute("SELECT rowid FROM f WHERE f MATCH ?", (q,))
+        }
+        got = {
+            r["doc_id"]
+            for r in eng.search(q, k=100, parser=parse_fts5).df.collect()
+        }
+        if len(want) <= 100:
+            assert got == want, q
+        else:
+            assert len(got) == 100 and got <= want, q
 
 
 def test_col_filter_restricts_scoring_to_the_column(spark, workdir):
