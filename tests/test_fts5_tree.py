@@ -136,6 +136,11 @@ def test_tree_differential_vs_live_fts5_single_field(spark, workdir):
         "alpha AND (beta OR (gamma NOT delta))",
         '("alpha beta" NOT gamma) OR ("alpha beta" NOT delta)',  # shared flag
         "NEAR(alpha beta, 1) OR NEAR(gamma delta, 1)",
+        # positional leaves on the NOT side (non-scoring flags)
+        "gamma NOT NEAR(alpha beta, 2)",
+        'gamma NOT "alpha bet"*',
+        "delta NOT al*  OR beta NOT gamma",
+        "NEAR(al* beta, 1) NOT gamma",
     ]
     for q in queries:
         want = {
