@@ -329,3 +329,14 @@ def test_tree_result_shape_and_k_clamp(tree_eng):
     assert scores == sorted(scores, reverse=True)
     # legacy parser is untouched by the tree surface
     assert parse_query("alpha OR beta").and_terms == ["alpha", "or", "beta"]
+
+
+def test_tree_scan_pushes_term_filter(tree_eng):
+    """The tree path's scoring scan keeps the flat path's pushed
+    predicates: the leaf-term In-filter must reach the parquet scan
+    (PLANS.md §12), not evaluate post-scan."""
+    res = tree_eng.search(
+        "alpha OR (beta NOT text:gamma)", k=5, parser=parse_fts5
+    )
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    assert "In(term" in plan
