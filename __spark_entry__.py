@@ -370,6 +370,65 @@ limit {k}
 """
 
 
+def _bm25_col_conflict_sql(term: str, k: int = 20) -> str:
+    """Oracle for ``subject:<term> <term>`` — the same term both
+    column-filtered and free, which FTS5 treats as two independent
+    phrases (the flat model can't express it; parse_fts5 keeps the
+    tree and the engine applies PER-LEAF restrictions): qualification
+    needs the subject leaf (the free leaf is implied by it), and the
+    term scores over the UNION of the scoring leaves' fields — BOTH
+    columns, unlike fts_col_filter's subject-only scoring."""
+    return f"""
+with docs2 as (
+  select doc_id, text,
+         source || ' ' || lang || ' ' || string_split(text, ' ')[1] as subject
+  from documents
+),
+tok0 as (
+  select doc_id, unnest(string_split(text, ' ')) as term from docs2
+),
+tok1 as (
+  select doc_id, unnest(string_split(subject, ' ')) as term from docs2
+),
+dl0 as (select doc_id, count(*) as dl from tok0 group by doc_id),
+dl1 as (select doc_id, count(*) as dl from tok1 group by doc_id),
+st as (
+  select (select count(*) from docs2) as n,
+         (select sum(dl) from dl0) * 1.0 / (select count(*) from docs2) as avg0,
+         (select sum(dl) from dl1) * 1.0 / (select count(*) from docs2) as avg1
+),
+contrib as (
+  select t.doc_id,
+         ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1)
+           * t.tf * {BM25_K1 + 1.0}
+           / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avg0)) as w
+  from (select doc_id, count(*) as tf from tok0
+        where term = '{term}' group by doc_id) t
+  join (select count(distinct doc_id) as df from tok0
+        where term = '{term}') f on true
+  join dl0 l using (doc_id)
+  cross join st s
+  union all
+  select t.doc_id,
+         ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1)
+           * t.tf * {BM25_K1 + 1.0}
+           / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avg1)) as w
+  from (select doc_id, count(*) as tf from tok1
+        where term = '{term}' group by doc_id) t
+  join (select count(distinct doc_id) as df from tok1
+        where term = '{term}') f on true
+  join dl1 l using (doc_id)
+  cross join st s
+)
+select doc_id, round(sum(w), 4) as score
+from contrib
+where doc_id in (select doc_id from tok1 where term = '{term}')
+group by doc_id
+order by round(sum(w), 4) desc, doc_id asc
+limit {k}
+"""
+
+
 def _bm25_col_exclude_sql(free: str, restricted: str, k: int = 20) -> str:
     """Oracle for `-subject:<restricted> <free>` on the OVERLAPPING
     two-field index: the exclusion resolves to {text}, so
@@ -592,6 +651,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # branch are excluded, but 'sort' never contributes to the score
     q["fts_bool_tree"] = lambda spark, sf: _fts(
         spark, sf, "dup OR (vector NOT sort)", k=20, parser=parse_fts5
+    )
+    # the same term both column-filtered AND free: two independent
+    # FTS5 phrases (per-leaf restrictions in the tree path) — the term
+    # must match in subject but scores over BOTH columns, unlike
+    # fts_col_filter's subject-only scoring
+    q["fts_col_conflict"] = lambda spark, sf: _fts(
+        spark, sf, "subject:table table", k=20, parser=parse_fts5,
+        engine_fn=_documents_engine_2fo,
     )
     # two-field index (text + derived subject): 'src3' only exists in
     # the subject field, so the AND can only be satisfied cross-field
@@ -1029,6 +1096,7 @@ def oracle_sql() -> dict[str, str]:
         ),
     )
     o["fts_col_filter"] = _bm25_col_filter_sql("query", "table")
+    o["fts_col_conflict"] = _bm25_col_conflict_sql("table")
     o["fts_prefix"] = _bm25_prefix_sql("s", "dup")
     o["fts_col_exclude"] = _bm25_col_exclude_sql("query", "table")
     o["fts_or_phrase"] = _bm25_sql(
