@@ -360,23 +360,6 @@ def _tree_walk_leaves(node: Node, specs: tuple, scoring: bool, out: list):
         out.append((node, specs, scoring))
 
 
-def _tree_strip_col(node: Node) -> Node:
-    """Dissolve ``col`` wrappers — restrictions were recorded globally
-    per term/stem (and validated consistent), so the evaluated tree
-    doesn't need them."""
-    if node.kind == "col":
-        return _tree_strip_col(node.kids[0])
-    if node.kids:
-        return Node(
-            node.kind,
-            kids=tuple(_tree_strip_col(c) for c in node.kids),
-            toks=node.toks,
-            n=node.n,
-            stem=node.stem,
-        )
-    return node
-
-
 def _tree_simplify(node: Node, dead_leaf) -> Node:
     """Constant-fold the tree after replacing dead leaves (terms absent
     from the corpus / empty prefix expansions) with ``false``. NOT with
