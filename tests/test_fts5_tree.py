@@ -340,3 +340,97 @@ def test_tree_scan_pushes_term_filter(tree_eng):
     )
     plan = res.df._jdf.queryExecution().executedPlan().toString()
     assert "In(term" in plan
+
+
+@pytest.mark.skipif(not _fts5_available(), reason="sqlite without FTS5")
+def test_randomized_grammar_differential_vs_live_fts5(spark, workdir):
+    """Fuzz the WHOLE raw-FTS5 surface: 60 randomly generated boolean
+    queries (terms, phrases, prefixes, NEAR, anchors, column filters,
+    +, AND/OR/NOT, parens; depth <= 3) over a 2-column corpus — every
+    query live FTS5 accepts must produce the exact same doc set here.
+    Deterministic seed; queries FTS5 itself rejects are skipped (ours
+    is a tolerant superset)."""
+    rng = random.Random(2024)
+    vocab = ["alpha", "alps", "beta", "gamma", "delta", "x", "y"]
+    rows = [
+        (
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 9))),
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 3))),
+        )
+        for _ in range(250)
+    ]
+    db = sqlite3.connect(":memory:")
+    db.execute(
+        "CREATE VIRTUAL TABLE f USING fts5(text, subject, tokenize='unicode61')"
+    )
+    for t, s in rows:
+        db.execute("INSERT INTO f VALUES (?, ?)", (t, s))
+
+    idx = workdir + "/fuzz_idx"
+    sdf = spark.createDataFrame(
+        [(i + 1, t, s) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, subject string",
+    )
+    IndexBuilder(
+        spark, idx, key_cols=["doc_id"], text_cols=["text", "subject"],
+        meta_cols=[], n_slices=3, block_size=8,
+    ).build(sdf)
+    eng = SearchEngine(spark, idx)
+
+    def unit() -> str:
+        r = rng.random()
+        w = lambda: rng.choice(vocab)  # noqa: E731
+        if r < 0.30:
+            return w()
+        if r < 0.45:
+            return '"' + " ".join(w() for _ in range(rng.randint(2, 3))) + '"'
+        if r < 0.55:
+            return w()[: rng.randint(2, 3)] + "*"
+        if r < 0.65:
+            ops = " ".join(w() for _ in range(rng.randint(2, 3)))
+            return f"NEAR({ops}, {rng.randint(0, 4)})"
+        if r < 0.72:
+            return "^" + w()
+        if r < 0.82:
+            return rng.choice(["text", "subject"]) + ":" + w()
+        if r < 0.90:
+            return w() + " + " + w()
+        return rng.choice(["text", "subject"]) + ':"' + w() + " " + w() + '"'
+
+    def expr(depth: int) -> str:
+        if depth <= 0 or rng.random() < 0.35:
+            return unit()
+        r = rng.random()
+        a, b = expr(depth - 1), expr(depth - 1)
+        if r < 0.30:
+            return f"{a} OR {b}"
+        if r < 0.55:
+            return f"{a} AND {b}"
+        if r < 0.75:
+            return f"{a} NOT {b}"
+        if r < 0.90:
+            return f"({a} OR {b}) NOT {expr(0)}"
+        return f"{a} {b}"  # juxtaposition
+
+    ran = skipped = 0
+    for _ in range(60):
+        q = expr(3)
+        try:
+            want = {
+                r[0]
+                for r in db.execute("SELECT rowid FROM f WHERE f MATCH ?", (q,))
+            }
+        except sqlite3.OperationalError:
+            skipped += 1
+            continue
+        got = {
+            r["doc_id"]
+            for r in eng.search(q, k=100, parser=parse_fts5).df.collect()
+        }
+        ran += 1
+        if len(want) <= 100:
+            assert got == want, (q, sorted(got - want)[:5], sorted(want - got)[:5])
+        else:
+            assert len(got) == 100 and got <= want, q
+    # the generator must actually exercise the surface
+    assert ran >= 40, (ran, skipped)
