@@ -340,6 +340,12 @@ def test_tree_scan_pushes_term_filter(tree_eng):
     )
     plan = res.df._jdf.queryExecution().executedPlan().toString()
     assert "In(term" in plan
+    # the per-leaf field restriction is a pushed Or-filter, and the
+    # scoring scan never reads the positions column
+    assert "EqualTo(fld,0)" in plan.replace(" ", "")
+    pushed_scan = plan[plan.index("PushedFilters"):]
+    rs = pushed_scan[pushed_scan.index("ReadSchema"):].split("\n")[0]
+    assert "positions" not in rs
 
 
 @pytest.mark.skipif(not _fts5_available(), reason="sqlite without FTS5")
