@@ -159,21 +159,90 @@ def _raw_postings_arrow_factory(
     which rescanned the token array once per distinct term
     (O(distinct_terms x doc_len) — quadratic on long documents). This
     is linear in total token count and vectorized at BATCH level: one
-    pd.factorize over every token of the batch, one lexsort by
-    (doc, term_code, position), group boundaries by diff — the only
-    per-doc Python is the tokenizer itself. Positions leave here as
-    per-posting varint payloads; the pack stage concatenates the bytes
+    term factorization over every token of the batch, one lexsort by
+    (doc, term_code, position), group boundaries by diff. Positions
+    leave here as per-posting varint payloads IN ONE shared buffer
+    (an Arrow binary array built from offsets — no Python bytes
+    object per posting); the pack stage concatenates the bytes
     verbatim (identical block layout to the previous encoder). Each
     indexed field is tokenized independently (per-field dl and
     positions, exactly like FTS5 columns).
+
+    Tokenization fast path: on rows whose characters are all
+    ``[a-z0-9]`` + ASCII whitespace, the FTS5 unicode61 analyzer IS
+    ``str.split()`` (each char either maps to itself or is an ASCII
+    whitespace separator), so those rows tokenize fully in Arrow C++
+    (``ascii_split_whitespace`` + ``dictionary_encode`` — no Python
+    string objects at all, measured ~8x over the per-row path). Any
+    other row (uppercase, ``_``, punctuation, non-ASCII, or the
+    'english' analyzer entirely) takes the exact Python tokenizer;
+    both paths emit identical postings for the rows they handle.
     """
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from aspublic_spark.functions.stemmer import get_analyzer
 
     tokenize = get_analyzer(analyzer)
+    arrow_fast = analyzer == "fts5"
+    _dirty_re = "[^a-z0-9 \t\n\r\x0b\x0c]"
 
-    def one_field(slice_np, doc_np, texts, fld):
+    def _emit_groups(slice_sub, doc_sub, lens, codes, take_terms, fld):
+        """Shared posting-group assembly: ``lens`` = tokens per doc,
+        ``codes`` = term codes in doc-major position order,
+        ``take_terms(idx) -> pa.Array`` resolves codes to strings."""
+        n = lens.size
+        total = int(lens.sum())
+        if total == 0:
+            return None
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        doc_off = np.empty(n, dtype=np.int64)
+        doc_off[0] = 0
+        np.cumsum(lens[:-1], out=doc_off[1:])
+        pos_in_doc = np.arange(total, dtype=np.int64) - doc_off[doc_idx]
+        order = np.lexsort((pos_in_doc, codes, doc_idx))
+        di_s, co_s, po_s = doc_idx[order], codes[order], pos_in_doc[order]
+        gstart = np.empty(total, dtype=bool)
+        gstart[0] = True
+        gstart[1:] = (di_s[1:] != di_s[:-1]) | (co_s[1:] != co_s[:-1])
+        starts = np.flatnonzero(gstart)
+        g_lens = np.diff(np.append(starts, total))
+        g_di = di_s[starts]
+        if store_positions:
+            buf, off = codec.encode_grouped_records_offsets(po_s, g_lens)
+            pos_arr = pa.Array.from_buffers(
+                pa.binary(),
+                starts.size,
+                [
+                    None,
+                    pa.py_buffer(off.astype(np.int32).tobytes()),
+                    pa.py_buffer(buf.tobytes()),
+                ],
+            )
+        else:
+            pos_arr = pa.Array.from_buffers(
+                pa.binary(),
+                starts.size,
+                [
+                    None,
+                    pa.py_buffer(np.zeros(starts.size + 1, dtype=np.int32).tobytes()),
+                    pa.py_buffer(b""),
+                ],
+            )
+        return pa.record_batch(
+            [
+                pa.array(slice_sub[g_di], type=pa.int32()),
+                pa.array(doc_sub[g_di], type=pa.int64()),
+                pa.array(np.full(starts.size, fld, dtype=np.int32), type=pa.int32()),
+                pa.array(lens[g_di].astype(np.int32), type=pa.int32()),
+                take_terms(co_s[starts]),
+                pa.array(g_lens.astype(np.int32), type=pa.int32()),
+                pos_arr,
+            ],
+            names=["slice", "doc_id", "fld", "dl", "term", "tf", "positions"],
+        )
+
+    def one_field_py(slice_np, doc_np, texts, fld):
         import pandas as pd
 
         n = len(texts)
@@ -190,35 +259,59 @@ def _raw_postings_arrow_factory(
                 at += len(toks)
         codes, uniques = pd.factorize(flat, sort=False)
         uniques = np.asarray(uniques, dtype=object)
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-        doc_off = np.empty(n, dtype=np.int64)
-        doc_off[0] = 0
-        np.cumsum(lens[:-1], out=doc_off[1:])
-        pos_in_doc = np.arange(total, dtype=np.int64) - doc_off[doc_idx]
-        order = np.lexsort((pos_in_doc, codes, doc_idx))
-        di_s, co_s, po_s = doc_idx[order], codes[order], pos_in_doc[order]
-        gstart = np.empty(total, dtype=bool)
-        gstart[0] = True
-        gstart[1:] = (di_s[1:] != di_s[:-1]) | (co_s[1:] != co_s[:-1])
-        starts = np.flatnonzero(gstart)
-        g_lens = np.diff(np.append(starts, total))
-        g_di = di_s[starts]
-        if store_positions:
-            payloads = codec.encode_grouped_records(po_s, g_lens)
-        else:
-            payloads = [b""] * starts.size
-        return pa.record_batch(
-            [
-                pa.array(slice_np[g_di], type=pa.int32()),
-                pa.array(doc_np[g_di], type=pa.int64()),
-                pa.array(np.full(starts.size, fld, dtype=np.int32), type=pa.int32()),
-                pa.array(lens[g_di].astype(np.int32), type=pa.int32()),
-                pa.array(uniques[co_s[starts]], type=pa.string()),
-                pa.array(g_lens.astype(np.int32), type=pa.int32()),
-                pa.array(payloads, type=pa.binary()),
-            ],
-            names=["slice", "doc_id", "fld", "dl", "term", "tf", "positions"],
+        return _emit_groups(
+            slice_np,
+            doc_np,
+            lens,
+            codes.astype(np.int64),
+            lambda idx: pa.array(uniques[idx], type=pa.string()),
+            fld,
         )
+
+    def one_field_arrow(slice_np, doc_np, col, fld):
+        """Yields 0-2 record batches: the Arrow-tokenized clean rows and
+        the Python-tokenized rest. Posting rows are doc-local, so row
+        order across the two sub-batches is irrelevant (the pack
+        shuffle re-keys everything)."""
+        n = len(col)
+        col = pc.fill_null(col, "")
+        trimmed = pc.ascii_trim_whitespace(col)
+        dirty = pc.match_substring_regex(trimmed, _dirty_re).to_numpy(
+            zero_copy_only=False
+        )
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        clean_idx = np.flatnonzero(~dirty & ~empty)
+        if clean_idx.size:
+            sub = (
+                trimmed
+                if clean_idx.size == n
+                else trimmed.take(pa.array(clean_idx))
+            )
+            tl = pc.ascii_split_whitespace(sub)
+            lens = (
+                pc.list_value_length(tl)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            de = pc.list_flatten(tl).dictionary_encode()
+            codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            dic = de.dictionary
+            out = _emit_groups(
+                slice_np[clean_idx],
+                doc_np[clean_idx],
+                lens,
+                codes,
+                lambda idx: dic.take(pa.array(idx)),
+                fld,
+            )
+            if out is not None:
+                yield out
+        dirty_idx = np.flatnonzero(dirty)
+        if dirty_idx.size:
+            texts = col.take(pa.array(dirty_idx)).to_pylist()
+            out = one_field_py(slice_np[dirty_idx], doc_np[dirty_idx], texts, fld)
+            if out is not None:
+                yield out
 
     def emit(batches):
         for batch in batches:
@@ -228,9 +321,16 @@ def _raw_postings_arrow_factory(
             slice_np = batch.column("slice").to_numpy(zero_copy_only=False).astype(np.int32)
             doc_np = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
             for fld in range(n_fields):
-                out = one_field(slice_np, doc_np, batch.column(f"f{fld}").to_pylist(), fld)
-                if out is not None:
-                    yield out
+                if arrow_fast:
+                    yield from one_field_arrow(
+                        slice_np, doc_np, batch.column(f"f{fld}"), fld
+                    )
+                else:
+                    out = one_field_py(
+                        slice_np, doc_np, batch.column(f"f{fld}").to_pylist(), fld
+                    )
+                    if out is not None:
+                        yield out
 
     return emit
 
@@ -706,8 +806,23 @@ class IndexBuilder:
         # crashed earlier attempt left behind — stale derived markers
         # must never survive over data about to be replaced
         self._clear_gen_manifests(gen)
-        n_docs = self._stage_docs(df, gen)
-        self._stage_pack_fused(df, gen, n_rows=n_docs)
+        # The docs write and the fused tokenize->pack job are
+        # independent reads of ``df`` until the gen-dict stage needs
+        # both; submit the docs write from a driver thread so its tasks
+        # back-fill cores under the pack job's Python-heavy stages
+        # (Spark schedules concurrent jobs FIFO — exactly the overlap
+        # we want). The salt plan runs its own bounded LIMIT probe
+        # instead of waiting on the docs count. Commit order is
+        # unchanged: the raw manifest still flips only after BOTH jobs
+        # (and the gen dictionary) are fully on disk.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            docs_fut = pool.submit(self._stage_docs, df, gen)
+            try:
+                self._stage_pack_fused(df, gen, n_rows=None)
+            finally:
+                n_docs = docs_fut.result()
         self._stage_gen_dict(gen, n_docs=n_docs)
         # liveness flip: the generation becomes visible only now, with
         # every piece of its state already on disk

@@ -148,20 +148,19 @@ def decode_positions(buf: bytes, n_docs: int) -> list[np.ndarray]:
     return out
 
 
-def encode_grouped_records(flat_vals: np.ndarray, grp_lens: np.ndarray) -> list[bytes]:
-    """Per-group ``[varint(n), varint(first), varint(deltas)...]`` records.
-
-    ``flat_vals`` holds every group's values concatenated (ascending
-    within a group); ``grp_lens`` the group sizes. ONE vectorized varint
-    pass over the interleaved stream, then per-group byte slices. This
-    is the per-posting position payload of the raw postings format: the
-    pack stage concatenates these slices verbatim into block payloads,
-    so positions cross the pack shuffle already compressed and are
-    never re-encoded.
-    """
+def encode_grouped_records_offsets(
+    flat_vals: np.ndarray, grp_lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized core of :func:`encode_grouped_records`: returns
+    ``(byte_buf, group_byte_offsets)`` where group k's record occupies
+    ``byte_buf[off[k]:off[k+1]]``. Records are adjacent in the buffer,
+    so callers can wrap the WHOLE stream as one Arrow binary array
+    (offsets + shared data buffer) without materializing a Python
+    ``bytes`` object per group — the per-posting position payload path
+    of the build tokenizer."""
     n_g = int(grp_lens.size)
     if n_g == 0:
-        return []
+        return np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
     grp_lens = np.ascontiguousarray(grp_lens, dtype=np.int64)
     v = np.ascontiguousarray(flat_vals, dtype=_U64)
     grp_starts = np.empty(n_g, dtype=np.int64)
@@ -182,10 +181,29 @@ def encode_grouped_records(flat_vals: np.ndarray, grp_lens: np.ndarray) -> list[
     mask = np.ones(total, dtype=bool)
     mask[rec_starts] = False
     rec[mask] = d
-    buf, off, ln = encode_varints_with_offsets(rec)
+    buf, off, _ln = encode_varints_with_offsets(rec)
+    out_off = np.empty(n_g + 1, dtype=np.int64)
+    out_off[:-1] = off[rec_starts]
+    out_off[-1] = buf.size
+    return buf, out_off
+
+
+def encode_grouped_records(flat_vals: np.ndarray, grp_lens: np.ndarray) -> list[bytes]:
+    """Per-group ``[varint(n), varint(first), varint(deltas)...]`` records.
+
+    ``flat_vals`` holds every group's values concatenated (ascending
+    within a group); ``grp_lens`` the group sizes. ONE vectorized varint
+    pass over the interleaved stream, then per-group byte slices. This
+    is the per-posting position payload of the raw postings format: the
+    pack stage concatenates these slices verbatim into block payloads,
+    so positions cross the pack shuffle already compressed and are
+    never re-encoded.
+    """
+    buf, off = encode_grouped_records_offsets(flat_vals, grp_lens)
+    if off.size == 1:
+        return []
     b = buf.tobytes()
-    last = rec_starts + grp_lens  # index of each record's final element
-    return [b[off[s] : off[le] + ln[le]] for s, le in zip(rec_starts, last)]
+    return [b[off[k] : off[k + 1]] for k in range(off.size - 1)]
 
 
 def pack_all_blocks(
