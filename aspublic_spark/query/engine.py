@@ -69,38 +69,110 @@ def _tf_key_col():
     return F.concat_ws("\x00", F.col("term"), F.col("fld").cast("string"))
 
 
-def _unpack_factory(with_positions: bool):
+def _decode_blocks_batch(batch, with_positions: bool):
+    """Vectorized decode of one Arrow batch of packed block rows.
+
+    Returns ``None`` for an empty batch, else a dict with per-POSTING
+    arrays: ``blk`` (block ordinal of each posting), ``doc_id`` (int64),
+    ``tf``/``dl`` (int64) and, when requested, ``pos`` (flat int64
+    absolute positions; posting k owns ``pos[pstart[k]:pstart[k]+tf[k]]``
+    with ``pstart`` the exclusive cumsum of ``tf``). Every varint
+    column decodes in ONE pass over the batch's concatenated payloads
+    (varints are self-delimiting and Arrow binary storage is adjacent),
+    replacing the per-block Python loop that dominated the old unpack."""
+    import pyarrow as pa
+
+    nb = batch.num_rows
+    if nb == 0:
+        return None
+    n_np = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(n_np.sum())
+    if total == 0:
+        return None
+    starts = np.zeros(nb, dtype=np.int64)
+    np.cumsum(n_np[:-1], out=starts[1:])
+    blk_of_post = np.repeat(np.arange(nb, dtype=np.int64), n_np)
+
+    def _concat_bytes(name):
+        col = batch.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        voff = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset : col.offset + len(col) + 1
+        ].astype(np.int64)
+        dbuf = col.buffers()[2]
+        data = (
+            np.frombuffer(dbuf, dtype=np.uint8)
+            if dbuf is not None
+            else np.empty(0, dtype=np.uint8)
+        )
+        return data[voff[0] : voff[-1]]
+
+    enc = codec.decode_varints(_concat_bytes("doc_gaps").tobytes())
+    firsts = codec._unzigzag(enc[starts]).view(np.uint64)
+    enc[starts] = firsts
+    csum = np.cumsum(enc, dtype=np.uint64)
+    base = csum[starts] - enc[starts]
+    doc_ids = (csum - np.repeat(base, n_np)).view(np.int64)
+
+    tfs = codec.decode_varints(_concat_bytes("tfs").tobytes()).astype(np.int64)
+    dls = codec.decode_varints(_concat_bytes("dls").tobytes()).astype(np.int64)
+    out = {"blk": blk_of_post, "doc_id": doc_ids, "tf": tfs, "dl": dls}
+
+    if with_positions:
+        flat = codec.decode_varints(_concat_bytes("positions").tobytes()).astype(
+            np.int64
+        )
+        # record k is [n=tf_k, first, deltas...]: drop the headers, then
+        # grouped cumsum turns deltas into absolute positions
+        lens = tfs + 1
+        hstart = np.zeros(lens.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=hstart[1:])
+        keep = np.ones(flat.size, dtype=bool)
+        keep[hstart] = False
+        vals = flat[keep]
+        c = np.cumsum(vals)
+        vstart = np.zeros(tfs.size, dtype=np.int64)
+        np.cumsum(tfs[:-1], out=vstart[1:])
+        pbase = np.where(vstart > 0, c[vstart - 1], 0)
+        out["pos"] = c - np.repeat(pbase, tfs)
+    return out
+
+
+def _unpack_arrow_factory(with_positions: bool):
+    """mapInArrow fn: packed block rows -> per-posting rows
+    (_UNPACK_SCHEMA). Fully vectorized via :func:`_decode_blocks_batch`."""
+    import pyarrow as pa
+
     def unpack(batches):
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            d = _decode_blocks_batch(batch, with_positions)
+            if d is None:
                 continue
-            terms, flds, docs, tfs, dls, poss = [], [], [], [], [], []
-            for row in pdf.itertuples(index=False):
-                r = row._asdict()
-                if with_positions:
-                    ids, tf, dl, pos = codec.unpack_block(r, with_positions=True)
-                    poss.extend([p.astype(np.int64) for p in pos])
-                else:
-                    ids, tf, dl = codec.unpack_block(r)
-                terms.append(np.repeat(r["term"], ids.size))
-                flds.append(np.full(ids.size, r["fld"], dtype=np.int32))
-                docs.append(ids)
-                tfs.append(tf.astype(np.int64))
-                dls.append(dl.astype(np.int64))
-            if not docs:
-                continue
-            out = pd.DataFrame(
-                {
-                    "term": np.concatenate(terms),
-                    "fld": np.concatenate(flds),
-                    "doc_id": np.concatenate(docs),
-                    "tf": np.concatenate(tfs).astype(np.int32),
-                    "dl": np.concatenate(dls).astype(np.int32),
-                }
-            )
+            blk = d["blk"]
+            term_col = batch.column("term")
+            if isinstance(term_col, pa.ChunkedArray):
+                term_col = term_col.combine_chunks()
+            fld_np = batch.column("fld").to_numpy(zero_copy_only=False).astype(np.int32)
+            cols = [
+                term_col.take(pa.array(blk)),
+                pa.array(fld_np[blk], type=pa.int32()),
+                pa.array(d["doc_id"], type=pa.int64()),
+                pa.array(d["tf"].astype(np.int32), type=pa.int32()),
+                pa.array(d["dl"].astype(np.int32), type=pa.int32()),
+            ]
+            names = ["term", "fld", "doc_id", "tf", "dl"]
             if with_positions:
-                out["positions"] = pd.Series(poss, dtype=object)
-            yield out
+                offs = np.zeros(d["tf"].size + 1, dtype=np.int32)
+                np.cumsum(d["tf"], out=offs[1:])
+                cols.append(
+                    pa.ListArray.from_arrays(
+                        pa.array(offs, type=pa.int32()),
+                        pa.array(d["pos"].astype(np.int32), type=pa.int32()),
+                    )
+                )
+                names.append("positions")
+            yield pa.record_batch(cols, names=names)
 
     return unpack
 
@@ -705,10 +777,10 @@ class SearchEngine:
 
     def unpack(self, blocks: DataFrame, with_positions: bool = False) -> DataFrame:
         schema = _UNPACK_POS_SCHEMA if with_positions else _UNPACK_SCHEMA
-        cols = ["term", "fld", "doc_gaps", "tfs", "dls"] + (
+        cols = ["term", "fld", "n", "doc_gaps", "tfs", "dls"] + (
             ["positions"] if with_positions else []
         )
-        return blocks.select(*cols).mapInPandas(_unpack_factory(with_positions), schema)
+        return blocks.select(*cols).mapInArrow(_unpack_arrow_factory(with_positions), schema)
 
     # -- structured predicates (Q6-Q8) ---------------------------------
     @staticmethod
