@@ -264,67 +264,71 @@ def _near_match_factory(operands: list, n: int):
 
     def run(batches):
         cat = _decode_positions_by_term(batches)
-        empty = pd.DataFrame({"doc_id": np.empty(0, dtype=np.int64)})
-        live_ops = []
-        for op in uniq:
-            slots = []
-            for sl in op:
-                members = [t for t in sl if t in cat]
-                if not members:
-                    yield empty
-                    return
-                slots.append(members)
-            live_ops.append(slots)
-        allterms = sorted({t for op in live_ops for sl in op for t in sl})
-        alldocs = np.unique(np.concatenate([cat[t][0] for t in allterms]))
-
-        def keys(t: str, off: int) -> np.ndarray:
-            d, f, p = cat[t]
-            ok = p >= off
-            o = np.searchsorted(alldocs, d[ok])
-            return np.unique((o << 32) | (f[ok] << 24) | (p[ok] - off))
-
-        def slot_keys(members: list, off: int) -> np.ndarray:
-            if len(members) == 1:
-                return keys(members[0], off)
-            return np.unique(np.concatenate([keys(t, off) for t in members]))
-
-        starts = {}
-        for i, op in enumerate(live_ops):
-            ks = slot_keys(op[0], 0)
-            for off in range(1, len(op)):
-                if ks.size == 0:
-                    break
-                ks = np.intersect1d(
-                    ks, slot_keys(op[off], off), assume_unique=True
-                )
-            if ks.size == 0:
-                yield empty
-                return
-            starts[i] = ks
-        anchors = np.unique(
-            np.concatenate(
-                [starts[i] + (len(op) - 1) for i, op in enumerate(live_ops)]
-            )
-        )
-        ok = np.ones(anchors.size, dtype=bool)
-        grp = anchors >> 24  # (doc ordinal, fld)
-        base = grp << 24
-        for i, op in enumerate(live_ops):
-            ks = starts[i]
-            lo = np.maximum(anchors - (len(op) - 1), base)
-            idx = np.searchsorted(ks, lo)
-            hit = idx < ks.size
-            v = ks[np.minimum(idx, ks.size - 1)]
-            ok &= hit & (v <= anchors + span) & ((v >> 24) == grp)
-        docs = (
-            alldocs[np.unique(anchors[ok] >> 32)]
-            if ok.any()
-            else np.empty(0, dtype=np.int64)
-        )
+        docs = _near_set_from_cat(cat, uniq, span)
         yield pd.DataFrame({"doc_id": docs})
 
     return run
+
+
+def _near_set_from_cat(cat: dict, uniq: list, span: int) -> np.ndarray:
+    """NEAR evaluation over a per-partition occurrence catalog
+    (term -> (docs, flds, positions)); returns the matching doc ids.
+    Shared by the standalone NEAR matcher and the fused scoring pass
+    (both are slice-complete, so the partition-local result is exact)."""
+    empty = np.empty(0, dtype=np.int64)
+    live_ops = []
+    for op in uniq:
+        slots = []
+        for sl in op:
+            members = [t for t in sl if t in cat]
+            if not members:
+                return empty
+            slots.append(members)
+        live_ops.append(slots)
+    allterms = sorted({t for op in live_ops for sl in op for t in sl})
+    alldocs = np.unique(np.concatenate([cat[t][0] for t in allterms]))
+
+    def keys(t: str, off: int) -> np.ndarray:
+        d, f, p = cat[t]
+        ok = p >= off
+        o = np.searchsorted(alldocs, d[ok])
+        return np.unique((o << 32) | (f[ok] << 24) | (p[ok] - off))
+
+    def slot_keys(members: list, off: int) -> np.ndarray:
+        if len(members) == 1:
+            return keys(members[0], off)
+        return np.unique(np.concatenate([keys(t, off) for t in members]))
+
+    starts = {}
+    for i, op in enumerate(live_ops):
+        ks = slot_keys(op[0], 0)
+        for off in range(1, len(op)):
+            if ks.size == 0:
+                break
+            ks = np.intersect1d(ks, slot_keys(op[off], off), assume_unique=True)
+        if ks.size == 0:
+            return empty
+        starts[i] = ks
+    anchors = np.unique(
+        np.concatenate(
+            [starts[i] + (len(op) - 1) for i, op in enumerate(live_ops)]
+        )
+    )
+    ok = np.ones(anchors.size, dtype=bool)
+    grp = anchors >> 24  # (doc ordinal, fld)
+    base = grp << 24
+    for i, op in enumerate(live_ops):
+        ks = starts[i]
+        lo = np.maximum(anchors - (len(op) - 1), base)
+        idx = np.searchsorted(ks, lo)
+        hit = idx < ks.size
+        v = ks[np.minimum(idx, ks.size - 1)]
+        ok &= hit & (v <= anchors + span) & ((v >> 24) == grp)
+    return (
+        alldocs[np.unique(anchors[ok] >> 32)]
+        if ok.any()
+        else empty
+    )
 
 
 def _phrase_match_factory(phrase: list[str], anchored: bool = False):
@@ -360,54 +364,296 @@ def _phrase_match_factory(phrase: list[str], anchored: bool = False):
 
     def run(batches):
         cat = _decode_positions_by_term(batches)
-        empty = pd.DataFrame({"doc_id": np.empty(0, dtype=np.int64)})
-        # a str slot absent from this partition's slices -> no match
-        # here; a list slot needs at least one member present
-        live_slots: list[list[str]] = []
-        for slot in terms:
-            members = [slot] if isinstance(slot, str) else [
-                t for t in slot if t in cat
-            ]
-            if isinstance(slot, str) and slot not in cat:
-                members = []
-            if not members:
-                yield empty
-                return
-            live_slots.append(members)
-        allterms = sorted({t for m in live_slots for t in m})
-        alldocs = np.unique(np.concatenate([cat[t][0] for t in allterms]))
-
-        def keys(t: str, off: int) -> np.ndarray:
-            d, f, p = cat[t]
-            ok = p >= off
-            o = np.searchsorted(alldocs, d[ok])
-            return np.unique((o << 32) | (f[ok] << 24) | (p[ok] - off))
-
-        def slot_keys(members: list[str], off: int) -> np.ndarray:
-            if len(members) == 1:
-                return keys(members[0], off)
-            return np.unique(np.concatenate([keys(t, off) for t in members]))
-
-        ks = sorted(
-            (slot_keys(m, off) for off, m in enumerate(live_slots)),
-            key=lambda a: a.size,
-        )
-        cur = ks[0]
-        for nxt in ks[1:]:
-            if cur.size == 0:
-                break
-            cur = np.intersect1d(cur, nxt, assume_unique=True)
-        if anchored and cur.size:
-            # FTS5 ^-anchor: the window must START the column — keep
-            # only matches whose first-token position is 0 (the packed
-            # key's low 24 bits are the offset-corrected position)
-            cur = cur[(cur & 0xFFFFFF) == 0]
-        docs = (
-            alldocs[np.unique(cur >> 32)]
-            if cur.size
-            else np.empty(0, dtype=np.int64)
-        )
+        docs = _phrase_set_from_cat(cat, terms, anchored)
         yield pd.DataFrame({"doc_id": docs})
+
+    return run
+
+
+def _phrase_set_from_cat(cat: dict, terms: list, anchored: bool) -> np.ndarray:
+    """Phrase/anchor evaluation over a per-partition occurrence catalog
+    (term -> (docs, flds, positions)); returns the matching doc ids.
+    Shared by the standalone phrase matcher and the fused scoring pass
+    (both are slice-complete, so the partition-local result is exact)."""
+    empty = np.empty(0, dtype=np.int64)
+    # a str slot absent from this partition's slices -> no match
+    # here; a list slot needs at least one member present
+    live_slots: list[list[str]] = []
+    for slot in terms:
+        members = [slot] if isinstance(slot, str) else [
+            t for t in slot if t in cat
+        ]
+        if isinstance(slot, str) and slot not in cat:
+            members = []
+        if not members:
+            return empty
+        live_slots.append(members)
+    allterms = sorted({t for m in live_slots for t in m})
+    alldocs = np.unique(np.concatenate([cat[t][0] for t in allterms]))
+
+    def keys(t: str, off: int) -> np.ndarray:
+        d, f, p = cat[t]
+        ok = p >= off
+        o = np.searchsorted(alldocs, d[ok])
+        return np.unique((o << 32) | (f[ok] << 24) | (p[ok] - off))
+
+    def slot_keys(members: list[str], off: int) -> np.ndarray:
+        if len(members) == 1:
+            return keys(members[0], off)
+        return np.unique(np.concatenate([keys(t, off) for t in members]))
+
+    ks = sorted(
+        (slot_keys(m, off) for off, m in enumerate(live_slots)),
+        key=lambda a: a.size,
+    )
+    cur = ks[0]
+    for nxt in ks[1:]:
+        if cur.size == 0:
+            break
+        cur = np.intersect1d(cur, nxt, assume_unique=True)
+    if anchored and cur.size:
+        # FTS5 ^-anchor: the window must START the column — keep
+        # only matches whose first-token position is 0 (the packed
+        # key's low 24 bits are the offset-corrected position)
+        cur = cur[(cur & 0xFFFFFF) == 0]
+    return (
+        alldocs[np.unique(cur >> 32)]
+        if cur.size
+        else empty
+    )
+
+
+def _fused_score_factory(spec: dict):
+    """mapInArrow fn over slice-repartitioned PACKED blocks: unpack,
+    score, qualify and apply every positional/NOT constraint in ONE
+    Python pass, emitting the fully qualified ``(doc_id, score)``
+    candidate set.
+
+    Replaces the flat path's unpack stage + JVM groupBy-fold exchange +
+    per-phrase matcher passes + NOT anti-joins with a single stage:
+    because ``slice = hash(doc_id)`` co-locates every term's postings
+    for one doc, the partition-local evaluation is exact — the same
+    invariant the phrase matcher always relied on.
+
+    Bit-identity with the JVM plan (north-rule rank identity): the BM25
+    weight is computed with the same elementwise double ops in the same
+    association order as ``bm25_weight_col``; per-doc contributions are
+    summed SEQUENTIALLY in the same canonical (term, fld, w) ascending
+    order as the ``array_sort``+``aggregate`` fold (the j-th item of
+    every doc's sorted run is added in iteration j — never a pairwise
+    numpy reduction, whose different association would drift last
+    ulps); UTF-8 byte order (JVM string compare) equals code-point
+    order (Python compare), so the canonical order itself is identical.
+
+    ``spec`` is pure picklable data:
+      need_pos, scaled {(term, fld): w}, avgdl {fld: a}, and_terms,
+      or_term_groups, mixed [(terms, [phrase])], phrases, anchors,
+      nears [(normalized ops, span)], not_terms, not_groups,
+      not_phrases.
+    """
+    import pyarrow as pa
+
+    k1p1 = BM25_K1 + 1.0
+
+    def run(batches):
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list).combine_chunks()
+        if tbl.num_rows == 0:
+            return
+        rb = tbl.to_batches()[0]
+        d = _decode_blocks_batch(rb, spec["need_pos"])
+        if d is None:
+            return
+        blk = d["blk"]
+        tcol = rb.column("term")
+        de = tcol.dictionary_encode()
+        codes_b = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tstrings = de.dictionary.to_pylist()
+        fld_b = rb.column("fld").to_numpy(zero_copy_only=False).astype(np.int64)
+        neg_b = rb.column("_neg").to_numpy(zero_copy_only=False).astype(bool)
+        code_p = codes_b[blk]
+        fld_p = fld_b[blk]
+        neg_p = neg_b[blk]
+        doc_p, tf_p, dl_p = d["doc_id"], d["tf"], d["dl"]
+        code_of = {t: i for i, t in enumerate(tstrings)}
+        n_codes = len(tstrings)
+        n_fld = max(spec["avgdl"]) + 1 if spec["avgdl"] else 1
+
+        # -- scoring rows: positive-polarity postings ------------------
+        scale_lookup = np.full((max(n_codes, 1), n_fld), np.nan)
+        for (t, f), v in spec["scaled"].items():
+            c = code_of.get(t)
+            if c is not None and f < n_fld:
+                scale_lookup[c, f] = v
+        avg_arr = np.ones(n_fld, dtype=np.float64)
+        for f, a in spec["avgdl"].items():
+            avg_arr[f] = a
+        sel = ~neg_p & ~np.isnan(scale_lookup[code_p, fld_p])
+        doc_s = doc_p[sel]
+        if doc_s.size == 0:
+            return
+        tfd = tf_p[sel].astype(np.float64)
+        dld = dl_p[sel].astype(np.float64)
+        avg = avg_arr[fld_p[sel]]
+        scale = scale_lookup[code_p[sel], fld_p[sel]]
+        w = scale * (
+            tfd * k1p1 / (tfd + BM25_K1 * (1.0 - BM25_B + BM25_B * dld / avg))
+        )
+
+        # -- canonical-order sequential fold per doc -------------------
+        term_rank = np.empty(n_codes, dtype=np.int64)
+        term_rank[
+            np.argsort(np.asarray(tstrings, dtype=object))
+        ] = np.arange(n_codes)
+        order = np.lexsort((w, fld_p[sel], term_rank[code_p[sel]], doc_s))
+        ds, ws = doc_s[order], w[order]
+        gstart = np.empty(ds.size, dtype=bool)
+        gstart[0] = True
+        gstart[1:] = ds[1:] != ds[:-1]
+        gs = np.flatnonzero(gstart)
+        gid = np.cumsum(gstart) - 1
+        idx_in_g = np.arange(ds.size, dtype=np.int64) - gs[gid]
+        docs_u = ds[gs]
+        score = np.zeros(docs_u.size, dtype=np.float64)
+        for j in range(int(idx_in_g.max()) + 1):
+            m = idx_in_g == j
+            score[gid[m]] = score[gid[m]] + ws[m]
+
+        # -- presence masks over docs_u --------------------------------
+        def present_mask(term: str, negside: bool) -> np.ndarray:
+            m = np.zeros(docs_u.size, dtype=bool)
+            c = code_of.get(term)
+            if c is None:
+                return m
+            rows = (code_p == c) & (neg_p == negside)
+            dd = doc_p[rows]
+            if dd.size:
+                ii = np.searchsorted(docs_u, dd)
+                inb = ii < docs_u.size
+                ii, dd = ii[inb], dd[inb]
+                hit = docs_u[ii] == dd
+                m[ii[hit]] = True
+            return m
+
+        def mask_from_docs(docs_arr: np.ndarray) -> np.ndarray:
+            m = np.zeros(docs_u.size, dtype=bool)
+            if docs_arr.size:
+                ii = np.searchsorted(docs_u, docs_arr)
+                inb = ii < docs_u.size
+                ii, da = ii[inb], docs_arr[inb]
+                hit = docs_u[ii] == da
+                m[ii[hit]] = True
+            return m
+
+        ok = np.ones(docs_u.size, dtype=bool)
+        for t in spec["and_terms"]:
+            ok &= present_mask(t, False)
+        for g in spec["or_term_groups"]:
+            gm = np.zeros(docs_u.size, dtype=bool)
+            for t in g:
+                gm |= present_mask(t, False)
+            ok &= gm
+
+        # -- positional constraints ------------------------------------
+        if spec["need_pos"]:
+            pos_flat = d["pos"]
+            pstart = np.zeros(tf_p.size, dtype=np.int64)
+            np.cumsum(tf_p[:-1], out=pstart[1:])
+
+            def build_cat(terms_needed, negside: bool) -> dict:
+                cat = {}
+                for t in terms_needed:
+                    c = code_of.get(t)
+                    if c is None:
+                        continue
+                    ridx = np.flatnonzero((code_p == c) & (neg_p == negside))
+                    if ridx.size == 0:
+                        continue
+                    tf_r = tf_p[ridx]
+                    tot = int(tf_r.sum())
+                    excl = np.zeros(ridx.size, dtype=np.int64)
+                    np.cumsum(tf_r[:-1], out=excl[1:])
+                    gather = (
+                        np.repeat(pstart[ridx], tf_r)
+                        + np.arange(tot, dtype=np.int64)
+                        - np.repeat(excl, tf_r)
+                    )
+                    pos_occ = pos_flat[gather]
+                    if pos_occ.size and int(pos_occ.max()) >= (1 << 24):
+                        raise RuntimeError(
+                            "position exceeds 2^24 (16M tokens in one "
+                            "field of one doc) — positional key packing "
+                            "would overflow"
+                        )
+                    cat[t] = (
+                        np.repeat(doc_p[ridx], tf_r),
+                        np.repeat(fld_p[ridx], tf_r),
+                        pos_occ,
+                    )
+                return cat
+
+            def _flat_terms(slots):
+                return {
+                    t
+                    for sl in slots
+                    for t in ([sl] if isinstance(sl, str) else sl)
+                }
+
+            pos_terms = set()
+            for ph in spec["phrases"] + spec["anchors"]:
+                pos_terms |= _flat_terms(ph)
+            for ops, _sp in spec["nears"]:
+                for op in ops:
+                    pos_terms |= _flat_terms(op)
+            for _tg, pgs in spec["mixed"]:
+                for ph in pgs:
+                    pos_terms |= _flat_terms(ph)
+            pos_cat = build_cat(sorted(pos_terms), False) if pos_terms else {}
+            for ph in spec["phrases"]:
+                ok &= mask_from_docs(_phrase_set_from_cat(pos_cat, list(ph), False))
+            for ph in spec["anchors"]:
+                ok &= mask_from_docs(_phrase_set_from_cat(pos_cat, list(ph), True))
+            for ops, sp in spec["nears"]:
+                ok &= mask_from_docs(_near_set_from_cat(pos_cat, ops, sp))
+            for tg, pgs in spec["mixed"]:
+                gm = np.zeros(docs_u.size, dtype=bool)
+                for t in tg:
+                    gm |= present_mask(t, False)
+                for ph in pgs:
+                    gm |= mask_from_docs(
+                        _phrase_set_from_cat(pos_cat, list(ph), False)
+                    )
+                ok &= gm
+            if spec["not_phrases"]:
+                neg_terms = set()
+                for ph in spec["not_phrases"]:
+                    neg_terms |= _flat_terms(ph)
+                neg_cat = build_cat(sorted(neg_terms), True)
+                for ph in spec["not_phrases"]:
+                    ok &= ~mask_from_docs(
+                        _phrase_set_from_cat(neg_cat, list(ph), False)
+                    )
+
+        # -- NOT exclusions --------------------------------------------
+        for t in spec["not_terms"]:
+            ok &= ~present_mask(t, True)
+        for g in spec["not_groups"]:
+            gm = np.ones(docs_u.size, dtype=bool)
+            for t in g:
+                gm &= present_mask(t, True)
+            ok &= ~gm
+
+        out_d = docs_u[ok]
+        if out_d.size:
+            yield pa.record_batch(
+                [
+                    pa.array(out_d, type=pa.int64()),
+                    pa.array(score[ok], type=pa.float64()),
+                ],
+                names=["doc_id", "score"],
+            )
 
     return run
 
@@ -613,6 +859,10 @@ class SearchEngine:
         # fall back to the shuffle join)
         self.broadcast_cand_max_postings = 1_000_000
         self._cache = cache_tables
+        # internal escape hatch for A/B-testing the fused slice-local
+        # candidate path against the staged plan (results are identical;
+        # tests assert bit-equality through both)
+        self._fused = True
         self._docs_df = None
         self._dict_df = None
         self._blocks_df = None
@@ -638,6 +888,7 @@ class SearchEngine:
         self.meta_cols: list[str] = meta["meta_cols"]
         self.store_positions: bool = meta["store_positions"]
         self.block_size: int = meta.get("block_size", 128)
+        self.n_slices: int = int(meta.get("n_slices") or 8)
         self.text_cols: list[str] = meta.get("text_cols", [meta.get("text_col", "text")])
         self.n_fields = len(self.text_cols)
         # query-side analyzer always mirrors the index-side one
@@ -1277,6 +1528,63 @@ class SearchEngine:
             out = out.filter(gcond)
         return out
 
+    def _fused_candidates(
+        self,
+        pq: ParsedQuery,
+        pos_blocks: DataFrame,
+        not_blocks: DataFrame | None,
+        scaled_map: dict,
+        or_ops: list,
+        live_groups: list,
+        live_nphrases: list,
+        not_single: list,
+    ) -> DataFrame:
+        """One-pass candidate evaluation over slice-complete partitions
+        of the packed blocks (see :func:`_fused_score_factory`). The
+        positive and NOT sides ride the same scan/shuffle, tagged with
+        a ``_neg`` flag; the positions column is read only when a
+        positional constraint exists. Partition count = n_slices (the
+        index's phrase-parallelism ceiling — scale-adaptive: slices
+        auto-size with corpus volume at build time)."""
+        mixed = [(sorted(set(tg)), pg) for tg, pg in or_ops if pg]
+        need_pos = bool(
+            pq.phrases or pq.anchors or pq.nears or live_nphrases or mixed
+        )
+
+        def _norm_near(op):
+            if isinstance(op, str):
+                return ((op,),)
+            return tuple((sl,) if isinstance(sl, str) else tuple(sl) for sl in op)
+
+        spec = {
+            "need_pos": need_pos,
+            "scaled": dict(scaled_map),
+            "avgdl": dict(self.avgdl_by_fld),
+            "and_terms": sorted(set(pq.and_terms)),
+            "or_term_groups": [sorted(set(tg)) for tg, pg in or_ops if not pg],
+            "mixed": mixed,
+            "phrases": [list(ph) for ph in pq.phrases],
+            "anchors": [list(ph) for ph in pq.anchors],
+            "nears": [
+                (list(dict.fromkeys(_norm_near(op) for op in tg)), int(nn) + 1)
+                for tg, nn in pq.nears
+            ],
+            "not_terms": list(not_single),
+            "not_groups": [sorted(set(g)) for g in live_groups],
+            "not_phrases": [list(ph) for ph in live_nphrases],
+        }
+        sel = ["slice", "term", "fld", "n", "doc_gaps", "tfs", "dls"] + (
+            ["positions"] if need_pos else []
+        )
+        src = pos_blocks.select(*sel).withColumn("_neg", F.lit(False))
+        if not_blocks is not None:
+            src = src.unionByName(
+                not_blocks.select(*sel).withColumn("_neg", F.lit(True))
+            )
+        return src.repartition(max(1, self.n_slices), "slice").mapInArrow(
+            _fused_score_factory(spec), "doc_id long, score double"
+        )
+
     # -- main entry -------------------------------------------------------
     def search(
         self,
@@ -1567,127 +1875,157 @@ class SearchEngine:
         # groupBy wants parallel map-side partials (coalescing them
         # measured ~0.2 s SLOWER at sf0.1) — and Zipf-head queries keep
         # it for the decode itself.
-        unpack_src = pos_blocks
-        if single_path and total_df <= self.broadcast_cand_max_postings:
-            unpack_src = pos_blocks.coalesce(4)
-        unpacked = self.unpack(unpack_src)
-        if pfx_branch is not None:
-            # the virtual prefix rows score through the same fold as
-            # real (term, field) postings — their scaled_map entries
-            # were added above
-            unpacked = unpacked.unionByName(pfx_branch)
-        if single_path:
-            # single (term, field): each doc appears exactly once in the
-            # unpacked postings, so the groupBy-and-fold of _score is a
-            # pure pass-through — score directly, one less exchange.
-            # Bit-identical to the fold (0.0 + w == w in IEEE754) and
-            # qualification is trivially satisfied.
-            ((_t, f), v) = next(iter(scaled_map.items()))
-            cand = unpacked.select(
-                "doc_id",
-                (
-                    F.lit(v)
-                    * bm25_weight_col(
-                        F.col("tf"), F.col("dl"), self.avgdl_by_fld.get(f, 1.0)
-                    )
-                ).alias("score"),
+        fused_ok = (
+            self._fused
+            and not single_path
+            and not pos_stems
+            and not pq.prefix_phrases
+            and not pq.not_prefixes
+            and not pq.col_filters
+        )
+        if fused_ok:
+            # Fused slice-local path: unpack + canonical-order scoring +
+            # qualification + phrase/NEAR/anchor windows + NOT
+            # exclusions in ONE mapInArrow pass over slice-complete
+            # partitions of the packed blocks (_fused_score_factory —
+            # bit-identical to the staged plan by construction: slice =
+            # hash(doc_id) co-locates every term's postings for a doc,
+            # the invariant the phrase matcher always relied on). The
+            # staged plan below remains for prefix-expansion branches
+            # and column filters (which need cross-slice jobs or
+            # per-field scan restrictions) and for the single-term
+            # fast path.
+            cand = self._fused_candidates(
+                pq, pos_blocks, not_blocks, scaled_map, or_ops,
+                live_groups, live_nphrases, not_single,
             )
+            not_blocks = None  # exclusions already applied in the pass
         else:
-            scored = self._score(unpacked, scaled_map)
-            # pure-term OR groups qualify here; groups with live phrase
-            # alternatives need the positional phrase-doc sets below
-            cand = self._qualify(
-                # col-restricted singles qualify as AND terms: their
-                # scoring rows are already field-restricted, so term
-                # presence here IS presence in the required column.
-                # Standalone-prefix labels qualify exactly too: the
-                # virtual row exists iff some expansion term matched
-                # (prefix-PHRASE stems qualify via their adjacency
-                # semi-join below instead)
-                scored,
-                list(pq.and_terms)
-                + sorted(col_single)
-                + [s + "*" for s in pq.prefixes],
-                [tg for tg, pg in or_ops if not pg],
-            )
+            unpack_src = pos_blocks
+            if single_path and total_df <= self.broadcast_cand_max_postings:
+                # A small single-term query coalesces the block scan to
+                # a few splits: each unpack task is a Python worker
+                # round-trip, and ~30 near-empty tasks cost more
+                # scheduling than the decode.
+                unpack_src = pos_blocks.coalesce(4)
+            unpacked = self.unpack(unpack_src)
+            if pfx_branch is not None:
+                # the virtual prefix rows score through the same fold as
+                # real (term, field) postings — their scaled_map entries
+                # were added above
+                unpacked = unpacked.unionByName(pfx_branch)
+            if single_path:
+                # single (term, field): each doc appears exactly once in the
+                # unpacked postings, so the groupBy-and-fold of _score is a
+                # pure pass-through — score directly, one less exchange.
+                # Bit-identical to the fold (0.0 + w == w in IEEE754) and
+                # qualification is trivially satisfied.
+                ((_t, f), v) = next(iter(scaled_map.items()))
+                cand = unpacked.select(
+                    "doc_id",
+                    (
+                        F.lit(v)
+                        * bm25_weight_col(
+                            F.col("tf"), F.col("dl"), self.avgdl_by_fld.get(f, 1.0)
+                        )
+                    ).alias("score"),
+                )
+            else:
+                scored = self._score(unpacked, scaled_map)
+                # pure-term OR groups qualify here; groups with live phrase
+                # alternatives need the positional phrase-doc sets below
+                cand = self._qualify(
+                    # col-restricted singles qualify as AND terms: their
+                    # scoring rows are already field-restricted, so term
+                    # presence here IS presence in the required column.
+                    # Standalone-prefix labels qualify exactly too: the
+                    # virtual row exists iff some expansion term matched
+                    # (prefix-PHRASE stems qualify via their adjacency
+                    # semi-join below instead)
+                    scored,
+                    list(pq.and_terms)
+                    + sorted(col_single)
+                    + [s + "*" for s in pq.prefixes],
+                    [tg for tg, pg in or_ops if not pg],
+                )
 
-        for ph in pq.phrases:
-            # same estimation hole as the NOT side: the phrase-doc set
-            # comes out of mapInPandas, so broadcast it when the
-            # dictionary bounds it small (adjacent docs <= min term df)
-            phd = self._phrase_docs(ph, pos_blocks)
-            bound = min(
-                sum(s["df"] for s in stats[t].values()) for t in set(ph)
-            )
-            if bound <= self.broadcast_cand_max_postings:
-                phd = F.broadcast(phd)
-            cand = cand.join(phd, "doc_id", "left_semi")
-        for tg, nn in pq.nears:
-            # NEAR doc sets share the phrase path's estimation hole
-            # (mapInPandas output): broadcast under the dictionary
-            # bound (near docs <= min term df)
-            nd = self._near_docs(tg, nn, pos_blocks)
-            bound = min(sum(s["df"] for s in stats[t].values()) for t in set(tg))
-            if bound <= self.broadcast_cand_max_postings:
-                nd = F.broadcast(nd)
-            cand = cand.join(nd, "doc_id", "left_semi")
-        for ph in pq.anchors:
-            # ^-anchored term/phrase: same bound, same semi-join shape
-            ad = self._anchor_docs(ph, pos_blocks)
-            bound = min(sum(s["df"] for s in stats[t].values()) for t in set(ph))
-            if bound <= self.broadcast_cand_max_postings:
-                ad = F.broadcast(ad)
-            cand = cand.join(ad, "doc_id", "left_semi")
-        for ph, f in col_phrases:
-            # col-restricted phrase: pos_blocks already dropped these
-            # terms' other-field blocks, so the phrase matcher only
-            # sees — and can only match within — the required column
-            phd = self._phrase_docs(ph, pos_blocks)
-            bound = min(
-                sum(s2["df"] for f2, s2 in stats[t].items() if f2 in f)
-                for t in set(ph)
-            )
-            if bound <= self.broadcast_cand_max_postings:
-                phd = F.broadcast(phd)
-            cand = cand.join(phd, "doc_id", "left_semi")
-        for lead, stem in pq.prefix_phrases:
-            # FTS5 `"a b"*`: leading tokens adjacent, then ANY stem
-            # expansion term — the matcher's last slot is the term SET.
-            # Fresh blocks (not pos_blocks): the expansion terms were
-            # never in the scoring scan, and a range-pruned lead block
-            # set would under-match
-            exp_terms = sorted(pfx_exp[stem])
-            ppd = self._phrase_docs(
-                list(lead) + [exp_terms],
-                self.blocks(sorted(set(lead) | set(exp_terms))),
-            )
-            bound = min(
-                min(sum(s2["df"] for s2 in stats[t].values()) for t in set(lead)),
-                sum(
-                    s2["df"]
-                    for m in pfx_exp[stem].values()
-                    for s2 in m.values()
-                ),
-            )
-            if bound <= self.broadcast_cand_max_postings:
-                ppd = F.broadcast(ppd)
-            cand = cand.join(ppd, "doc_id", "left_semi")
-        for tg, pg in mixed_groups:
-            # satisfied by any term alternative OR any adjacent phrase
-            # alternative (websearch `"a b" OR c` keeps adjacency)
-            tcond = F.lit(False)
-            for t in sorted(set(tg)):
-                tcond = tcond | F.array_contains("_terms", t)
-            phd = self._phrase_docs(pg[0], pos_blocks)
-            for ph in pg[1:]:
-                phd = phd.unionByName(self._phrase_docs(ph, pos_blocks))
-            phd = phd.distinct().withColumn("_pm", F.lit(1))
-            cand = (
-                cand.join(phd, "doc_id", "left")
-                .filter(tcond | F.col("_pm").isNotNull())
-                .drop("_pm")
-            )
-        cand = cand.drop("_terms")
+            for ph in pq.phrases:
+                # same estimation hole as the NOT side: the phrase-doc set
+                # comes out of mapInPandas, so broadcast it when the
+                # dictionary bounds it small (adjacent docs <= min term df)
+                phd = self._phrase_docs(ph, pos_blocks)
+                bound = min(
+                    sum(s["df"] for s in stats[t].values()) for t in set(ph)
+                )
+                if bound <= self.broadcast_cand_max_postings:
+                    phd = F.broadcast(phd)
+                cand = cand.join(phd, "doc_id", "left_semi")
+            for tg, nn in pq.nears:
+                # NEAR doc sets share the phrase path's estimation hole
+                # (mapInPandas output): broadcast under the dictionary
+                # bound (near docs <= min term df)
+                nd = self._near_docs(tg, nn, pos_blocks)
+                bound = min(sum(s["df"] for s in stats[t].values()) for t in set(tg))
+                if bound <= self.broadcast_cand_max_postings:
+                    nd = F.broadcast(nd)
+                cand = cand.join(nd, "doc_id", "left_semi")
+            for ph in pq.anchors:
+                # ^-anchored term/phrase: same bound, same semi-join shape
+                ad = self._anchor_docs(ph, pos_blocks)
+                bound = min(sum(s["df"] for s in stats[t].values()) for t in set(ph))
+                if bound <= self.broadcast_cand_max_postings:
+                    ad = F.broadcast(ad)
+                cand = cand.join(ad, "doc_id", "left_semi")
+            for ph, f in col_phrases:
+                # col-restricted phrase: pos_blocks already dropped these
+                # terms' other-field blocks, so the phrase matcher only
+                # sees — and can only match within — the required column
+                phd = self._phrase_docs(ph, pos_blocks)
+                bound = min(
+                    sum(s2["df"] for f2, s2 in stats[t].items() if f2 in f)
+                    for t in set(ph)
+                )
+                if bound <= self.broadcast_cand_max_postings:
+                    phd = F.broadcast(phd)
+                cand = cand.join(phd, "doc_id", "left_semi")
+            for lead, stem in pq.prefix_phrases:
+                # FTS5 `"a b"*`: leading tokens adjacent, then ANY stem
+                # expansion term — the matcher's last slot is the term SET.
+                # Fresh blocks (not pos_blocks): the expansion terms were
+                # never in the scoring scan, and a range-pruned lead block
+                # set would under-match
+                exp_terms = sorted(pfx_exp[stem])
+                ppd = self._phrase_docs(
+                    list(lead) + [exp_terms],
+                    self.blocks(sorted(set(lead) | set(exp_terms))),
+                )
+                bound = min(
+                    min(sum(s2["df"] for s2 in stats[t].values()) for t in set(lead)),
+                    sum(
+                        s2["df"]
+                        for m in pfx_exp[stem].values()
+                        for s2 in m.values()
+                    ),
+                )
+                if bound <= self.broadcast_cand_max_postings:
+                    ppd = F.broadcast(ppd)
+                cand = cand.join(ppd, "doc_id", "left_semi")
+            for tg, pg in mixed_groups:
+                # satisfied by any term alternative OR any adjacent phrase
+                # alternative (websearch `"a b" OR c` keeps adjacency)
+                tcond = F.lit(False)
+                for t in sorted(set(tg)):
+                    tcond = tcond | F.array_contains("_terms", t)
+                phd = self._phrase_docs(pg[0], pos_blocks)
+                for ph in pg[1:]:
+                    phd = phd.unionByName(self._phrase_docs(ph, pos_blocks))
+                phd = phd.distinct().withColumn("_pm", F.lit(1))
+                cand = (
+                    cand.join(phd, "doc_id", "left")
+                    .filter(tcond | F.col("_pm").isNotNull())
+                    .drop("_pm")
+                )
+            cand = cand.drop("_terms")
 
         if not_blocks is not None:
             unp_not = self.unpack(not_blocks)

@@ -1,0 +1,148 @@
+"""Round-6 optimization pins.
+
+The optimizations are performance-only; these tests pin the invariants
+they rely on:
+
+1. The Arrow-native tokenize fast path emits postings byte-identical to
+   the per-row Python tokenizer (including null / empty / whitespace /
+   dirty-row edge cases).
+2. ``encode_grouped_records_offsets`` (the shared-buffer positions
+   encoder) slices exactly like the per-group ``bytes`` encoder.
+3. The fused slice-local candidate path returns results bit-identical
+   to the staged plan (scores compared exactly, not approximately) for
+   every flat query family it covers, on an index with heavy-hitter
+   salting and NOT/phrase/NEAR/anchor/OR shapes.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from aspublic_spark.index import codec
+from aspublic_spark.index.build import IndexBuilder, _raw_postings_arrow_factory
+from aspublic_spark.query.engine import SearchEngine
+from aspublic_spark.query.parser import parse_fts5, parse_websearch
+from aspublic_spark.tables import synth_transcripts
+
+
+def _collect_postings(factory, batch):
+    rows = []
+    for rb in factory([batch]):
+        d = rb.to_pydict()
+        for i in range(rb.num_rows):
+            rows.append(
+                tuple(
+                    d[c][i]
+                    for c in ["slice", "doc_id", "fld", "dl", "term", "tf", "positions"]
+                )
+            )
+    return sorted(rows)
+
+
+def _force_python_factory(store_positions, n_fields=1):
+    """Build the factory with the Arrow fast path disabled (analyzer
+    name unknown to the fast-path gate, tokenizer forced to fts5)."""
+    from aspublic_spark.functions import stemmer
+
+    orig = stemmer.get_analyzer
+    stemmer.get_analyzer = lambda name: orig("fts5")
+    try:
+        return _raw_postings_arrow_factory(
+            store_positions, n_fields, analyzer="__force_python__"
+        )
+    finally:
+        stemmer.get_analyzer = orig
+
+
+def test_arrow_tokenize_path_matches_python_path():
+    texts = [
+        "hash join the table",
+        "",
+        None,
+        "  leading and trailing  ",
+        "the  the",
+        "UPPER case_mix",
+        "café déjà",
+        "tab\tsep\nline",
+        "   ",
+        "a",
+        "mixed CLEAN dirty_row here",
+        "99 bottles of beer",
+    ]
+    n = len(texts)
+    batch = pa.record_batch(
+        [
+            pa.array(np.arange(n) % 4, type=pa.int32()),
+            pa.array(np.arange(n, dtype=np.int64), type=pa.int64()),
+            pa.array(texts, type=pa.string()),
+        ],
+        names=["slice", "doc_id", "f0"],
+    )
+    for store_positions in (True, False):
+        new = _collect_postings(
+            _raw_postings_arrow_factory(store_positions, 1, "fts5"), batch
+        )
+        old = _collect_postings(_force_python_factory(store_positions), batch)
+        assert new == old
+        assert new  # non-vacuous
+
+
+def test_grouped_records_offsets_match_bytes_encoder():
+    rng = np.random.default_rng(0)
+    lens = rng.integers(1, 9, size=200).astype(np.int64)
+    vals = np.sort(rng.integers(0, 1 << 20, size=int(lens.sum())))
+    buf, off = codec.encode_grouped_records_offsets(vals, lens)
+    via_offsets = [buf.tobytes()[off[k] : off[k + 1]] for k in range(off.size - 1)]
+    assert via_offsets == codec.encode_grouped_records(vals, lens)
+
+
+FUSED_QUERIES = [
+    ("query spark", {}),
+    ("query spark !shuffle", {}),
+    ('"the the"', {}),
+    ('table !"data query"', {}),
+    ("dup OR vector", {"parser": parse_websearch}),
+    ('"data query" OR zebra', {"parser": parse_websearch}),
+    ("NEAR(data query, 3)", {"parser": parse_fts5}),
+    ("^the", {"parser": parse_fts5}),
+    ("query spark", {"role": "assistant"}),
+    ("data example !query", {"order": "recency"}),
+    ("query !query", {}),
+]
+
+
+@pytest.fixture(scope="module")
+def fused_idx(spark, workdir):
+    idx = os.path.join(workdir, "r6_fused_idx")
+    shutil.rmtree(idx, ignore_errors=True)
+    IndexBuilder(
+        spark, idx, n_slices=4, block_size=32, salt_max_postings=500
+    ).build(synth_transcripts(spark, 4000, seed=42))
+    return idx
+
+
+def test_fused_path_bit_identical_to_staged(spark, fused_idx):
+    eng = SearchEngine(spark, fused_idx)
+    nonzero = 0
+    for q, kw in FUSED_QUERIES:
+        eng._fused = True
+        a = eng.search(q, k=100, **kw).df.collect()
+        eng._fused = False
+        b = eng.search(q, k=100, **kw).df.collect()
+        assert a == b, q  # Row equality includes exact score bits
+        nonzero += bool(a)
+    assert nonzero >= 8  # the comparisons are non-vacuous
+
+
+def test_fused_path_bit_identical_under_forced_pruning(spark, fused_idx):
+    eng = SearchEngine(spark, fused_idx, prune_min_postings=0)
+    for q in ["query spark", "query spark !shuffle", "the and"]:
+        eng._fused = True
+        a = eng.search(q, k=100).df.collect()
+        eng._fused = False
+        b = eng.search(q, k=100).df.collect()
+        assert a == b, q
+        assert a
