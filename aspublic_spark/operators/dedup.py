@@ -309,13 +309,17 @@ def connected_components(
                 "orep",
                 F.least("orep", F.coalesce("nrep", "orep")).alias("rep"),
             )
-            .localCheckpoint(eager=True)
         )
         # shortcut (pointer doubling): rep := min(rep, rep's own rep).
         # rep is always a node id (labels start as own ids and only node
-        # ids propagate), so the self-join key always resolves; the
-        # checkpoint above also severs lineage so the self-join is
-        # unambiguous.
+        # ids propagate), so the self-join key always resolves. ``hop``
+        # is deliberately NOT materialized: both sides of the self-join
+        # reference the same plan, so Spark reuses its exchange
+        # (ReusedExchange) within the one job, and the single
+        # localCheckpoint of ``new`` below still severs lineage per
+        # iteration — one eager materialization per iteration instead of
+        # the former two, which halved the per-iteration job count on
+        # small graphs where driver round-trips dominate.
         new = (
             hop.join(
                 hop.select(F.col("id").alias("rep"), F.col("rep").alias("rrep")),

@@ -72,7 +72,13 @@ def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
 
 
 def lsh_bucket(vec_col: Column, planes: np.ndarray) -> Column:
-    """Sign-bit bucket id from hyperplane dots, fully JVM-side."""
+    """Sign-bit bucket id from hyperplane dots, fully JVM-side.
+
+    Kept as the expression-level reference; the batch paths below use
+    :func:`_lsh_buckets_udf`, which produces bit-identical buckets
+    (same sequential dot-product accumulation order) from one
+    vectorized Arrow pass instead of ``n_planes`` interpreted
+    higher-order-function array traversals per row."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -81,6 +87,41 @@ def lsh_bucket(vec_col: Column, planes: np.ndarray) -> Column:
         )
         bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
     return bucket
+
+
+def _lsh_buckets_udf(planes_per_table: list[np.ndarray]):
+    """pandas UDF: embedding -> array<long> of one bucket per table.
+
+    Bit-identical to :func:`lsh_bucket` per table: the JVM expression
+    folds ``acc + x*y`` left-to-right over vector components, and
+    ``np.cumsum`` produces exactly that sequential partial-sum chain
+    (it must — every prefix is emitted), so the final dot — and hence
+    every sign bit near zero — matches the JVM double for double.
+    A null/empty vector yields NaN dots, ``NaN >= 0`` is False, bucket
+    0 — the same result as the JVM expression on null input."""
+    tables = [np.asarray(p, dtype=np.float64) for p in planes_per_table]
+    n_tables = len(tables)
+    dim = tables[0].shape[1] if n_tables else 0
+
+    @F.pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        n = len(v)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        m = np.full((n, dim), np.nan, dtype=np.float64)
+        for j, x in enumerate(v):
+            if x is not None and len(x) == dim:
+                m[j] = np.asarray(x, dtype=np.float64)
+        out = np.zeros((n, n_tables), dtype=np.int64)
+        for t, planes in enumerate(tables):
+            for i, p in enumerate(planes):
+                dots = np.cumsum(m * p[None, :], axis=1)[:, -1]
+                with np.errstate(invalid="ignore"):
+                    bits = (dots >= 0).astype(np.int64)
+                out[:, t] |= bits << i
+        return pd.Series(list(out))
+
+    return buckets
 
 
 def _probe_set(qbits: int, n_planes: int, multiprobe: int) -> set[int]:
@@ -115,17 +156,20 @@ def lsh_topk(
     worst-case (uniform random) vectors; on clustered real embeddings a
     single table usually suffices."""
     dim = len(query_vec)
+    tables = [_planes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     cond = F.lit(False)
-    bucketed = emb
-    for t in range(n_tables):
-        planes = _planes(dim, n_planes, seed + 1000 * t)
+    for t, planes in enumerate(tables):
         qbits = int(
             sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, query_vec)) >= 0)
         )
         probes = [int(x) for x in _probe_set(qbits, n_planes, multiprobe)]
-        bucketed = bucketed.withColumn(f"_b{t}", lsh_bucket(F.col(vec_col), planes))
-        cond = cond | F.col(f"_b{t}").isin(probes)
-    cand = bucketed.filter(cond).drop(*[f"_b{t}" for t in range(n_tables)])
+        cond = cond | F.element_at("_ba", t + 1).isin(probes)
+    # every table's bucket comes out of ONE Arrow pass over the corpus
+    # (bit-identical to the per-table JVM expression — see
+    # _lsh_buckets_udf) instead of n_tables*n_planes interpreted
+    # higher-order-function traversals per row
+    bucketed = emb.withColumn("_ba", _lsh_buckets_udf(tables)(F.col(vec_col)))
+    cand = bucketed.filter(cond).drop("_ba")
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
@@ -147,11 +191,11 @@ def build_lsh_index(
     identical for identical parameters."""
     first = emb.select(vec_col).first()
     dim = len(first[vec_col]) if first else 0
-    out = emb
+    tables = [_planes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    out = emb.withColumn("_ba", _lsh_buckets_udf(tables)(F.col(vec_col)))
     for t in range(n_tables):
-        planes = _planes(dim, n_planes, seed + 1000 * t)
-        out = out.withColumn(f"_b{t}", lsh_bucket(F.col(vec_col), planes))
-    return out
+        out = out.withColumn(f"_b{t}", F.element_at("_ba", t + 1))
+    return out.drop("_ba")
 
 
 def lsh_topk_indexed(
@@ -366,7 +410,9 @@ def embedding_near_dup_pairs(
     dim = len(emb.select(vec_col).first()[0])
     planes = _planes(dim, n_planes, seed)
     b = emb.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("_bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(_lsh_buckets_udf([planes])(F.col(vec_col)), 1).alias("_bucket"),
     )
     obs = overflow = None
     if bucket_cap is not None:
