@@ -99,14 +99,27 @@ BLOCK_SCHEMA = (
 # shuffle-time postings schema: one row per (doc, field, term);
 # positions already varint-encoded ([n, first, deltas...] —
 # codec.encode_grouped_records) so the pack shuffle moves compressed
-# bytes, not array<int>. This schema only exists IN FLIGHT (tokenizer
-# output / compaction unpack output); it is never persisted. `fld` is
+# bytes, not array<int>. This schema only exists IN FLIGHT (the
+# compaction/prune unpack output); it is never persisted. `fld` is
 # the indexed-column ordinal (FTS5 indexes N columns per row,
 # `fts5(text, subject, ...)`, reference common/db_sqlite.py:27).
 RAW_SCHEMA = (
     "slice int, doc_id long, fld int, dl int, term string, tf int, positions binary"
 )
 RAW_FORMAT = 4
+
+# shuffle-time PARTIAL-BLOCK schema (the BUILD's in-flight format): one
+# row per (map task, slice, term, fld) carrying that task's postings
+# for the group as delta+varint payloads, docs sorted ascending. The
+# pack shuffle then moves ~#groups-per-task rows instead of one row per
+# POSTING — at bench scale that collapses both the exchange volume and
+# the JVM<->Arrow row conversions on each side of the mapInArrow
+# boundary, which measurement showed dominating the pack stage (the
+# pack numpy work itself is ~0.5 s per 10^6 postings). Never persisted.
+PARTIAL_SCHEMA = (
+    "slice int, term string, fld int, salt int, n int, "
+    "doc_gaps binary, tfs binary, dls binary, positions binary"
+)
 
 
 # -- snapshot readers (shared by IndexBuilder and SearchEngine) ----------
@@ -151,7 +164,10 @@ def read_stats(index_dir: str, fs: FileSystem | None = None) -> list[dict]:
 
 
 def _raw_postings_arrow_factory(
-    store_positions: bool, n_fields: int = 1, analyzer: str = "fts5"
+    store_positions: bool,
+    n_fields: int = 1,
+    analyzer: str = "fts5",
+    partial_heavy: dict | None = None,
 ):
     """mapInArrow fn: (slice, doc_id, f0[, f1...]) batches -> raw postings.
 
@@ -187,6 +203,68 @@ def _raw_postings_arrow_factory(
     arrow_fast = analyzer == "fts5"
     _dirty_re = "[^a-z0-9 \t\n\r\x0b\x0c]"
 
+    def _emit_partials(slice_p, doc_p, code_p, tf_p, dl_p, buf, off, take_terms, fld):
+        """Emit PARTIAL_SCHEMA rows: one row per (slice, term) group of
+        THIS batch's postings, docs sorted ascending, payloads
+        delta+varint — the build's shuffle moves these instead of one
+        row per posting. ``buf``/``off`` hold the per-posting position
+        payloads in pre-sort posting order (None when positionless).
+        Heavy terms salt by map-task id (any deterministic assignment
+        is valid — salt is purely a shuffle-splitting key — and task id
+        keeps a partial row's postings in one salt without re-hashing
+        doc ids)."""
+        from pyspark import TaskContext
+
+        order = np.lexsort((doc_p, code_p, slice_p))
+        sl_s, do_s, co_s2 = slice_p[order], doc_p[order], code_p[order]
+        tf_s, dl_s = tf_p[order], dl_p[order]
+        np_post = do_s.size
+        gstart = np.empty(np_post, dtype=bool)
+        gstart[0] = True
+        gstart[1:] = (sl_s[1:] != sl_s[:-1]) | (co_s2[1:] != co_s2[:-1])
+        gs = np.flatnonzero(gstart)
+        ge = np.append(gs[1:], np_post)
+        blk = codec.pack_all_blocks(do_s, tf_s, dl_s, gs)
+        if store_positions:
+            plens = off[1:] - off[:-1]
+            pos_bytes, pos_cum = _gather_payload(buf, off[:-1][order], plens[order])
+            positions = [
+                pos_bytes[pos_cum[s] : pos_cum[e]].tobytes()
+                for s, e in zip(gs, ge)
+            ]
+        else:
+            positions = [b""] * len(gs)
+        if partial_heavy:
+            tc = TaskContext.get()
+            pid = tc.partitionId() if tc is not None else 0
+            uniq = take_terms(np.arange(int(code_p.max()) + 1)).to_pylist()
+            ns = np.fromiter(
+                (partial_heavy.get((u, fld), 1) for u in uniq),
+                dtype=np.int64,
+                count=len(uniq),
+            )
+            ns_g = ns[co_s2[gs]]
+            salts = np.where(ns_g > 1, pid % np.maximum(ns_g, 1), 0).astype(np.int32)
+        else:
+            salts = np.zeros(len(gs), dtype=np.int32)
+        return pa.record_batch(
+            [
+                pa.array(sl_s[gs], type=pa.int32()),
+                take_terms(co_s2[gs]),
+                pa.array(np.full(len(gs), fld, dtype=np.int32), type=pa.int32()),
+                pa.array(salts, type=pa.int32()),
+                pa.array(blk["n"], type=pa.int32()),
+                pa.array(blk["doc_gaps"], type=pa.binary()),
+                pa.array(blk["tfs"], type=pa.binary()),
+                pa.array(blk["dls"], type=pa.binary()),
+                pa.array(positions, type=pa.binary()),
+            ],
+            names=[
+                "slice", "term", "fld", "salt", "n",
+                "doc_gaps", "tfs", "dls", "positions",
+            ],
+        )
+
     def _emit_groups(slice_sub, doc_sub, lens, codes, take_terms, fld):
         """Shared posting-group assembly: ``lens`` = tokens per doc,
         ``codes`` = term codes in doc-major position order,
@@ -208,8 +286,22 @@ def _raw_postings_arrow_factory(
         starts = np.flatnonzero(gstart)
         g_lens = np.diff(np.append(starts, total))
         g_di = di_s[starts]
+        buf = off = None
         if store_positions:
             buf, off = codec.encode_grouped_records_offsets(po_s, g_lens)
+        if partial_heavy is not None:
+            return _emit_partials(
+                slice_sub[g_di],
+                doc_sub[g_di],
+                co_s[starts],
+                g_lens.astype(np.int64),
+                lens[g_di],
+                buf,
+                off,
+                take_terms,
+                fld,
+            )
+        if store_positions:
             pos_arr = pa.Array.from_buffers(
                 pa.binary(),
                 starts.size,
@@ -342,17 +434,158 @@ def bm25_weight_col(tf_col, dl_col, avgdl: float):
     return tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
 
 
+def _one_chunk(arr):
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):  # older pyarrow returns ChunkedArray
+        if arr.num_chunks > 1:
+            # a >2GB binary column that cannot combine into one
+            # chunk must fail loudly: silently packing chunk 0
+            # only would corrupt the index at exactly the scale
+            # this module targets. Remedy: more shuffle
+            # partitions / lower salt_max_postings.
+            raise RuntimeError(
+                "pack partition column exceeds single-chunk Arrow "
+                f"limit ({arr.num_chunks} chunks); increase "
+                "spark.sql.shuffle.partitions or lower "
+                "salt_max_postings"
+            )
+        arr = arr.chunk(0) if arr.num_chunks else pa.array([], type=arr.type)
+    return arr
+
+
+def _binary_col_view(arr):
+    """(data_u8, starts, lens) view of an Arrow binary column."""
+    arr = _one_chunk(arr)
+    voff = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    dbuf = arr.buffers()[2]
+    data = (
+        np.frombuffer(dbuf, dtype=np.uint8)
+        if dbuf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return data, voff[:-1], voff[1:] - voff[:-1]
+
+
+def _gather_payload(data: np.ndarray, starts_b: np.ndarray, lens_b: np.ndarray):
+    """Gather variable-length byte slices (in output order) into one
+    contiguous stream; element k spans ``out[cum[k]:cum[k+1]]``."""
+    totb = int(lens_b.sum())
+    cum = np.empty(lens_b.size + 1, dtype=np.int64)
+    cum[0] = 0
+    np.cumsum(lens_b, out=cum[1:])
+    if totb == 0:
+        return np.empty(0, dtype=np.uint8), cum
+    gather = (
+        np.repeat(starts_b, lens_b)
+        + np.arange(totb, dtype=np.int64)
+        - np.repeat(cum[:-1], lens_b)
+    )
+    return data[gather], cum
+
+
+def _assemble_blocks(
+    block_size: int,
+    store_positions: bool,
+    slice_s,
+    salt_s,
+    fld_s,
+    tc_s,
+    tstrings,
+    doc_s,
+    tf_s,
+    dl_s,
+    pos_bytes_sorted,
+    pos_cum,
+):
+    """Shared block assembly over postings SORTED by (slice, term, fld,
+    salt, doc): block boundaries for the whole partition at once,
+    codec.pack_all_blocks varint-encodes doc gaps/tfs/dls in one
+    vectorized pass each, position payloads are byte-sliced per block
+    without ever being decoded. Used by both pack inputs (raw posting
+    rows from compaction/prune, partial-block rows from the build)."""
+    import pyarrow as pa
+
+    n = doc_s.size
+    is_group_start = np.empty(n, dtype=bool)
+    is_group_start[0] = True
+    is_group_start[1:] = (
+        (slice_s[1:] != slice_s[:-1])
+        | (tc_s[1:] != tc_s[:-1])
+        | (fld_s[1:] != fld_s[:-1])
+        | (salt_s[1:] != salt_s[:-1])
+    )
+    group_id = np.cumsum(is_group_start) - 1
+    gs = np.flatnonzero(is_group_start)
+    group_start_row = gs[group_id]
+    in_group_pos = np.arange(n, dtype=np.int64) - group_start_row
+    is_block_start = is_group_start | (in_group_pos % block_size == 0)
+    starts = np.flatnonzero(is_block_start)
+    ends = np.append(starts[1:], n)
+
+    blk = codec.pack_all_blocks(doc_s, tf_s, dl_s, starts)
+    if store_positions:
+        blk_positions = [
+            pos_bytes_sorted[pos_cum[s] : pos_cum[e]].tobytes()
+            for s, e in zip(starts, ends)
+        ]
+    else:
+        blk_positions = [b""] * len(starts)
+    # per-block tf sum: lets the dictionary's cf/total-token
+    # aggregates run over block METADATA instead of postings
+    sum_tf = np.add.reduceat(tf_s, starts)
+    # block_id = index of block within its group
+    blk_group = group_id[starts]
+    new_group = np.empty(len(starts), dtype=bool)
+    new_group[0] = True
+    new_group[1:] = blk_group[1:] != blk_group[:-1]
+    first_idx = np.flatnonzero(new_group)
+    first_blk_of_group = first_idx[np.cumsum(new_group) - 1]
+    block_ids = np.arange(len(starts), dtype=np.int64) - first_blk_of_group
+
+    if isinstance(tstrings, list):
+        terms_out = pa.array([tstrings[c] for c in tc_s[starts]], type=pa.string())
+    else:
+        terms_out = tstrings.take(pa.array(tc_s[starts]))
+    return pa.record_batch(
+        [
+            pa.array(slice_s[starts], type=pa.int32()),
+            terms_out,
+            pa.array(fld_s[starts], type=pa.int32()),
+            pa.array(salt_s[starts], type=pa.int32()),
+            pa.array(block_ids.astype(np.int32), type=pa.int32()),
+            pa.array(blk["n"], type=pa.int32()),
+            pa.array(blk["min_doc"], type=pa.int64()),
+            pa.array(blk["max_doc"], type=pa.int64()),
+            pa.array(blk["doc_gaps"], type=pa.binary()),
+            pa.array(blk["tfs"], type=pa.binary()),
+            pa.array(blk["dls"], type=pa.binary()),
+            pa.array(blk_positions, type=pa.binary()),
+            pa.array(sum_tf.astype(np.int64), type=pa.int64()),
+            pa.array(blk["max_tf"].astype(np.int32), type=pa.int32()),
+            pa.array(blk["min_dl"].astype(np.int32), type=pa.int32()),
+        ],
+        names=[
+            "slice", "term", "fld", "salt", "block_id", "n", "min_doc", "max_doc",
+            "doc_gaps", "tfs", "dls", "positions", "sum_tf", "max_tf", "min_dl",
+        ],
+    )
+
+
 def _pack_partition_arrow_factory(block_size: int, store_positions: bool):
-    """mapInArrow fn: pack one shuffle partition of raw postings into blocks.
+    """mapInArrow fn: pack one shuffle partition of RAW posting rows
+    into blocks (compaction/prune path — the build ships partial-block
+    rows instead, see _pack_partials_arrow_factory).
 
     The partition holds complete (slice, term, salt) groups (guaranteed
     by the upstream repartition on the same keys). EVERYTHING is
-    columnar: the sort is one np.lexsort, block boundaries are computed
-    for the whole partition at once, codec.pack_all_blocks varint-encodes
-    doc gaps/tfs/dls in one vectorized pass each, and position payloads
-    (already varint-encoded by the raw stage) are byte-gathered and
-    sliced per block without ever being decoded. Python-side cost is
-    O(blocks) byte-slices, not O(postings).
+    columnar: the sort is one np.lexsort, and the shared
+    _assemble_blocks does boundary/packing work for the whole partition
+    at once. Python-side cost is O(blocks) byte-slices, not O(postings).
     """
     import pyarrow as pa
 
@@ -370,25 +603,6 @@ def _pack_partition_arrow_factory(block_size: int, store_positions: bool):
         doc_np = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         tf_np = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
         dl_np = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
-        def _one_chunk(arr):
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
-            if isinstance(arr, pa.ChunkedArray):  # older pyarrow returns ChunkedArray
-                if arr.num_chunks > 1:
-                    # a >2GB binary column that cannot combine into one
-                    # chunk must fail loudly: silently packing chunk 0
-                    # only would corrupt the index at exactly the scale
-                    # this module targets. Remedy: more shuffle
-                    # partitions / lower salt_max_postings.
-                    raise RuntimeError(
-                        "pack partition column exceeds single-chunk Arrow "
-                        f"limit ({arr.num_chunks} chunks); increase "
-                        "spark.sql.shuffle.partitions or lower "
-                        "salt_max_postings"
-                    )
-                arr = arr.chunk(0) if arr.num_chunks else pa.array([], type=arr.type)
-            return arr
-
         tdict = _one_chunk(tbl.column("term").dictionary_encode())
         tcodes = tdict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         tstrings = tdict.dictionary.to_pylist()
@@ -402,100 +616,98 @@ def _pack_partition_arrow_factory(block_size: int, store_positions: bool):
         # in sorted order — gather the bytes, never decode/re-encode
         pos_bytes_sorted = pos_cum = None
         if store_positions:
-            parr = _one_chunk(tbl.column("positions"))
-            voff = (
-                np.frombuffer(parr.buffers()[1], dtype=np.int32)[
-                    parr.offset : parr.offset + len(parr) + 1
-                ].astype(np.int64)
+            vdata, pstarts, plens = _binary_col_view(tbl.column("positions"))
+            pos_bytes_sorted, pos_cum = _gather_payload(
+                vdata, pstarts[order], plens[order]
             )
-            dbuf = parr.buffers()[2]
-            vdata = (
-                np.frombuffer(dbuf, dtype=np.uint8)
-                if dbuf is not None
-                else np.empty(0, dtype=np.uint8)
-            )
-            plens = voff[1:] - voff[:-1]
-            starts_b = voff[:-1][order]
-            lens_b = plens[order]
-            totb = int(lens_b.sum())
-            if totb:
-                excl = np.empty(lens_b.size, dtype=np.int64)
-                excl[0] = 0
-                np.cumsum(lens_b[:-1], out=excl[1:])
-                gather = (
-                    np.repeat(starts_b, lens_b)
-                    + np.arange(totb, dtype=np.int64)
-                    - np.repeat(excl, lens_b)
-                )
-                pos_bytes_sorted = vdata[gather]
-            else:
-                pos_bytes_sorted = np.empty(0, dtype=np.uint8)
-            pos_cum = np.concatenate(([0], np.cumsum(lens_b)))
-
-        # group boundaries (slice, term, fld, salt) -> block boundaries
-        is_group_start = np.empty(n, dtype=bool)
-        is_group_start[0] = True
-        is_group_start[1:] = (
-            (slice_s[1:] != slice_s[:-1])
-            | (tc_s[1:] != tc_s[:-1])
-            | (fld_s[1:] != fld_s[:-1])
-            | (salt_s[1:] != salt_s[:-1])
+        yield _assemble_blocks(
+            block_size, store_positions, slice_s, salt_s, fld_s, tc_s,
+            tstrings, doc_s, tf_s, dl_s, pos_bytes_sorted, pos_cum,
         )
-        group_id = np.cumsum(is_group_start) - 1
-        group_start_row = np.zeros(n, dtype=np.int64)
-        gs = np.flatnonzero(is_group_start)
-        group_start_row = gs[group_id]
-        in_group_pos = np.arange(n, dtype=np.int64) - group_start_row
-        is_block_start = is_group_start | (in_group_pos % block_size == 0)
-        starts = np.flatnonzero(is_block_start)
-        ends = np.append(starts[1:], n)
 
-        blk = codec.pack_all_blocks(doc_s, tf_s, dl_s, starts)
+    return pack
+
+
+def _pack_partials_arrow_factory(block_size: int, store_positions: bool):
+    """mapInArrow fn: pack one shuffle partition of PARTIAL-BLOCK rows
+    (the build's in-flight format) into final blocks.
+
+    Decoding is the same one-varint-pass-per-column machinery as the
+    query-side unpack; positions are never decoded — per-posting byte
+    boundaries come from a varint-end scan (posting k spans tf_k + 1
+    varints) and the compressed bytes are re-sliced verbatim, so the
+    final payload is bit-identical to a raw-row pack of the same
+    postings."""
+    import pyarrow as pa
+
+    def pack(batches):
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list).combine_chunks()
+        nb = tbl.num_rows
+        if nb == 0:
+            return
+        n_np = tbl.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(n_np.sum())
+        if total == 0:
+            return
+        row_starts = np.zeros(nb, dtype=np.int64)
+        np.cumsum(n_np[:-1], out=row_starts[1:])
+        row_of_post = np.repeat(np.arange(nb, dtype=np.int64), n_np)
+
+        def _concat(name):
+            data, st, ln = _binary_col_view(tbl.column(name))
+            return data[st[0] : st[-1] + ln[-1]] if nb else data
+
+        # doc ids: zigzag firsts per partial row, grouped cumsum
+        enc = codec.decode_varints(_concat("doc_gaps").tobytes())
+        firsts = codec._unzigzag(enc[row_starts]).view(np.uint64)
+        enc[row_starts] = firsts
+        csum = np.cumsum(enc, dtype=np.uint64)
+        base = csum[row_starts] - enc[row_starts]
+        doc_np = (csum - np.repeat(base, n_np)).view(np.int64)
+        tf_np = codec.decode_varints(_concat("tfs").tobytes()).astype(np.int64)
+        dl_np = codec.decode_varints(_concat("dls").tobytes()).astype(np.int64)
+
+        slice_r = tbl.column("slice").to_numpy(zero_copy_only=False).astype(np.int32)
+        salt_r = tbl.column("salt").to_numpy(zero_copy_only=False).astype(np.int32)
+        fld_r = tbl.column("fld").to_numpy(zero_copy_only=False).astype(np.int32)
+        tdict = _one_chunk(tbl.column("term").dictionary_encode())
+        tcodes_r = tdict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        slice_np = slice_r[row_of_post]
+        salt_np = salt_r[row_of_post]
+        fld_np = fld_r[row_of_post]
+        tcodes = tcodes_r[row_of_post]
+
+        order = np.lexsort((doc_np, salt_np, fld_np, tcodes, slice_np))
+        slice_s, salt_s, doc_s = slice_np[order], salt_np[order], doc_np[order]
+        tf_s, dl_s, tc_s, fld_s = tf_np[order], dl_np[order], tcodes[order], fld_np[order]
+
+        pos_bytes_sorted = pos_cum = None
         if store_positions:
-            blk_positions = [
-                pos_bytes_sorted[pos_cum[s] : pos_cum[e]].tobytes()
-                for s, e in zip(starts, ends)
-            ]
-        else:
-            blk_positions = [b""] * len(starts)
-        # per-block tf sum: lets the dictionary's cf/total-token
-        # aggregates run over block METADATA instead of postings
-        sum_tf = np.add.reduceat(tf_s, starts)
-        # block_id = index of block within its group
-        blk_group = group_id[starts]
-        first_blk_of_group = np.zeros(len(starts), dtype=np.int64)
-        new_group = np.empty(len(starts), dtype=bool)
-        new_group[0] = True
-        new_group[1:] = blk_group[1:] != blk_group[:-1]
-        first_idx = np.flatnonzero(new_group)
-        first_blk_of_group = first_idx[np.cumsum(new_group) - 1]
-        block_ids = np.arange(len(starts), dtype=np.int64) - first_blk_of_group
-
-        terms_out = [tstrings[c] for c in tc_s[starts]]
-        out = pa.record_batch(
-            [
-                pa.array(slice_s[starts], type=pa.int32()),
-                pa.array(terms_out, type=pa.string()),
-                pa.array(fld_s[starts], type=pa.int32()),
-                pa.array(salt_s[starts], type=pa.int32()),
-                pa.array(block_ids.astype(np.int32), type=pa.int32()),
-                pa.array(blk["n"], type=pa.int32()),
-                pa.array(blk["min_doc"], type=pa.int64()),
-                pa.array(blk["max_doc"], type=pa.int64()),
-                pa.array(blk["doc_gaps"], type=pa.binary()),
-                pa.array(blk["tfs"], type=pa.binary()),
-                pa.array(blk["dls"], type=pa.binary()),
-                pa.array(blk_positions, type=pa.binary()),
-                pa.array(sum_tf.astype(np.int64), type=pa.int64()),
-                pa.array(blk["max_tf"].astype(np.int32), type=pa.int32()),
-                pa.array(blk["min_dl"].astype(np.int32), type=pa.int32()),
-            ],
-            names=[
-                "slice", "term", "fld", "salt", "block_id", "n", "min_doc", "max_doc",
-                "doc_gaps", "tfs", "dls", "positions", "sum_tf", "max_tf", "min_dl",
-            ],
+            pbytes = _concat("positions")
+            # per-posting byte boundaries: posting k's record is
+            # [n=tf_k, first, deltas...] = tf_k + 1 varint elements
+            is_end = (pbytes & 0x80) == 0
+            elem_ends = np.flatnonzero(is_end)
+            elem_starts = np.empty_like(elem_ends)
+            if elem_ends.size:
+                elem_starts[0] = 0
+                elem_starts[1:] = elem_ends[:-1] + 1
+            rec_first = np.zeros(total, dtype=np.int64)
+            np.cumsum(tf_np[:-1] + 1, out=rec_first[1:])
+            rec_last = rec_first + tf_np
+            byte_s = elem_starts[rec_first]
+            byte_l = elem_ends[rec_last] + 1 - byte_s
+            pos_bytes_sorted, pos_cum = _gather_payload(
+                pbytes, byte_s[order], byte_l[order]
+            )
+        yield _assemble_blocks(
+            block_size, store_positions, slice_s, salt_s, fld_s, tc_s,
+            tdict.dictionary, doc_s, tf_s, dl_s, pos_bytes_sorted, pos_cum,
         )
-        yield out
 
     return pack
 
@@ -892,28 +1104,40 @@ class IndexBuilder:
         ).parquet(self._p("docs", f"gen={gen}"))
         return int(obs.get["n"] or 0)
 
-    def _tokenized(self, df: DataFrame) -> DataFrame:
-        """Input scan -> shuffle-ready raw postings (IN FLIGHT only).
+    def _tokenized(self, df: DataFrame, partial_heavy: dict | None = None) -> DataFrame:
+        """Input scan -> shuffle-ready postings (IN FLIGHT only).
 
         ONE mapInArrow over (slice, doc_id, text): tokenize, group
         term->positions linearly (batch-level factorize + lexsort, no
         per-doc Python beyond the tokenizer), emit positions already
         varint-encoded. No action of its own — this plan feeds the
-        pack shuffle directly."""
+        pack shuffle directly. With ``partial_heavy`` (a driver-side
+        {(term, fld): n_salts} map) the output is PARTIAL_SCHEMA rows —
+        one per (task, slice, term, fld) group — instead of one row per
+        posting, collapsing the pack exchange and both mapInArrow
+        boundary crossings to O(groups) rows."""
         doc_id = self.doc_id_col()
-        return (
+        src = (
             df.select(
                 doc_id.alias("doc_id"),
                 *[F.col(c).alias(f"f{i}") for i, c in enumerate(self.text_cols)],
             )
             .withColumn("slice", self._slice_col())
             .select("slice", "doc_id", *[f"f{i}" for i in range(len(self.text_cols))])
-            .mapInArrow(
+        )
+        if partial_heavy is not None:
+            return src.mapInArrow(
                 _raw_postings_arrow_factory(
-                    self.store_positions, len(self.text_cols), self.analyzer
+                    self.store_positions, len(self.text_cols), self.analyzer,
+                    partial_heavy=partial_heavy,
                 ),
-                RAW_SCHEMA,
+                PARTIAL_SCHEMA,
             )
+        return src.mapInArrow(
+            _raw_postings_arrow_factory(
+                self.store_positions, len(self.text_cols), self.analyzer
+            ),
+            RAW_SCHEMA,
         )
 
     def _salt_plan(self, df: DataFrame | None, n_rows: int | None = None) -> DataFrame:
@@ -1202,6 +1426,11 @@ class IndexBuilder:
             _pack_partition_arrow_factory(self.block_size, self.store_positions),
             BLOCK_SCHEMA,
         )
+        self._write_packed(packed, gen, t0)
+
+    def _write_packed(self, packed: DataFrame, gen: int, t0: float):
+        """Shared pack-output tail: write ``postings/gen=G`` and commit
+        the gen-level pack manifest with metrics riding the write."""
         # metrics ride the write itself as an Observation — no second
         # job, no metadata re-read of the parquet we just wrote.
         # (observe cannot carry distinct aggregates or a groupBy, so the
@@ -1241,13 +1470,28 @@ class IndexBuilder:
         )
 
     def _stage_pack_fused(self, df: DataFrame, gen: int, n_rows: int | None = None):
-        """tokenize -> salt -> shuffle -> pack, in ONE job (the only
-        pass over the corpus text and the only data shuffle of the
-        build). ``n_rows``: the docs stage's observed input count —
-        lets the salt plan skip its LIMIT-probe job."""
-        self._pack_and_write(
-            self._tokenized(df), gen, self._salt_plan(df, n_rows=n_rows)
+        """tokenize -> partial blocks -> shuffle -> pack, in ONE job
+        (the only pass over the corpus text and the only data shuffle
+        of the build). The shuffle moves PARTIAL_SCHEMA rows — one per
+        (map task, slice, term, fld) group with delta+varint payloads —
+        not one row per posting; the salt plan is collected driver-side
+        (it is tiny by construction: heavy terms only) so map tasks can
+        key heavy groups by task id. ``n_rows``: the docs stage's
+        observed input count — lets the salt plan skip its LIMIT-probe
+        job."""
+        t0 = time.time()
+        heavy = {
+            (r["term"], int(r["fld"])): int(r["n_salts"])
+            for r in self._salt_plan(df, n_rows=n_rows).collect()
+        }
+        n_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        packed = self._tokenized(df, partial_heavy=heavy).repartition(
+            n_shuffle, "slice", "term", "fld", "salt"
+        ).mapInArrow(
+            _pack_partials_arrow_factory(self.block_size, self.store_positions),
+            BLOCK_SCHEMA,
         )
+        self._write_packed(packed, gen, t0)
 
     def _unpacked_postings(self, gens: list[int]) -> DataFrame:
         """Shuffle-ready postings reconstructed from the packed blocks

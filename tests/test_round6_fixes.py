@@ -137,6 +137,61 @@ def test_fused_path_bit_identical_to_staged(spark, fused_idx):
     assert nonzero >= 8  # the comparisons are non-vacuous
 
 
+def test_partial_block_build_equals_raw_row_build(spark, workdir):
+    """The build's partial-block shuffle format must produce an index
+    content-identical to the raw-posting-row path (which compaction
+    still uses): same dictionary, same stats, same decoded postings
+    (salt/block layout may differ — salt is a shuffle key only)."""
+    import aspublic_spark.index.build as B
+
+    df = synth_transcripts(spark, 3000, seed=42)
+
+    def build(idx, use_partial):
+        shutil.rmtree(idx, ignore_errors=True)
+        b = B.IndexBuilder(
+            spark, idx, n_slices=4, block_size=32, salt_max_postings=300
+        )
+        if use_partial:
+            b.build(df)
+            return b
+        orig = B.IndexBuilder._stage_pack_fused
+
+        def legacy(self, d, gen, n_rows=None):
+            self._pack_and_write(
+                self._tokenized(d), gen, self._salt_plan(d, n_rows=n_rows)
+            )
+
+        B.IndexBuilder._stage_pack_fused = legacy
+        try:
+            b.build(df)
+        finally:
+            B.IndexBuilder._stage_pack_fused = orig
+        return b
+
+    new_idx = os.path.join(workdir, "r6_partial_new")
+    old_idx = os.path.join(workdir, "r6_partial_old")
+    bn, bo = build(new_idx, True), build(old_idx, False)
+    assert sorted(bn.dictionary_df().collect()) == sorted(bo.dictionary_df().collect())
+    assert B.read_stats(new_idx) == B.read_stats(old_idx)
+    import pyspark.sql.functions as F
+
+    def postings(idx):
+        blocks = spark.read.option("basePath", idx + "/postings").parquet(
+            idx + "/postings/gen=0"
+        )
+        return sorted(SearchEngine(spark, idx).unpack(blocks, with_positions=True).collect())
+
+    assert postings(new_idx) == postings(old_idx)
+    # heavy-term salting engaged through the task-id scheme
+    mx = spark.read.parquet(new_idx + "/postings/gen=0").agg(F.max("salt")).first()[0]
+    assert mx is not None and mx > 0
+    for q in ["zebra", "the data", '"the the"']:
+        assert (
+            SearchEngine(spark, new_idx).search(q, k=50).df.collect()
+            == SearchEngine(spark, old_idx).search(q, k=50).df.collect()
+        )
+
+
 def test_fused_path_bit_identical_under_forced_pruning(spark, fused_idx):
     eng = SearchEngine(spark, fused_idx, prune_min_postings=0)
     for q in ["query spark", "query spark !shuffle", "the and"]:
