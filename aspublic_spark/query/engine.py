@@ -838,12 +838,30 @@ class SearchEngine:
                 child = spark.newSession()
                 # newSession starts from the STATIC conf: re-apply the
                 # caller's runtime SQL overrides (shuffle width, session
-                # timezone, ...) so only the AQE flag differs
-                for row in spark.sql("SET").collect():
-                    try:
-                        child.conf.set(row["key"], row["value"])
-                    except Exception:
-                        pass  # static/non-settable entries
+                # timezone, ...) so only the AQE flag differs. Copy via
+                # the JVM RuntimeConfig, NOT spark.sql("SET"): SET's
+                # output REDACTS secret-like values (keys matching
+                # spark.redaction.regex come back as a placeholder), so
+                # the SET scan silently corrupted e.g. catalog or
+                # object-store credentials in the child session.
+                try:
+                    it = spark._jsparkSession.conf().getAll().iterator()
+                    while it.hasNext():
+                        kv = it.next()
+                        try:
+                            child.conf.set(kv._1(), kv._2())
+                        except Exception:
+                            pass  # static/non-settable entries
+                except Exception:
+                    # no JVM RuntimeConfig (test doubles): fall back to
+                    # the SET scan, skipping redacted placeholders
+                    for row in spark.sql("SET").collect():
+                        if "(redacted)" in str(row["value"]):
+                            continue
+                        try:
+                            child.conf.set(row["key"], row["value"])
+                        except Exception:
+                            pass
                 child.conf.set("spark.sql.adaptive.enabled", "false")
                 self.spark = child
             except Exception:
@@ -880,6 +898,12 @@ class SearchEngine:
         # loudly rather than OOM the driver. Lengthen the stem instead.
         self.prefix_max_expansion = prefix_max_expansion
         self._prefix_cache: dict[str, dict[str, dict[int, dict]]] = {}
+        # bound the prefix cache like _term_cache: counted in cached
+        # expansion ROWS (a stem may hold up to prefix_max_expansion
+        # terms x n_fields rows), cleared wholesale when exceeded so a
+        # long-lived server with high-cardinality prefix traffic cannot
+        # grow driver memory without limit
+        self._prefix_cache_max_rows = 1_000_000
         # same filesystem seam as the builder: plain paths -> LocalFS,
         # URIs (hdfs://, s3a://, ...) -> the Hadoop client
         self.fs = fs_for(index_dir, spark)
@@ -1215,6 +1239,22 @@ class SearchEngine:
                 raise ValueError(
                     f"prefix expansion exceeds {cap} terms — lengthen the stem"
                 )
+            new_rows = sum(
+                sum(len(m) for m in self._prefix_cache.get(s, {}).values())
+                for s in missing
+            ) + len(rows)
+            cached_rows = sum(
+                sum(len(m) for m in exp.values())
+                for exp in self._prefix_cache.values()
+            )
+            if cached_rows + new_rows > self._prefix_cache_max_rows:
+                # cap-and-reset like _term_cache, but keep THIS call's
+                # stems so the returned dict stays complete
+                keep = {
+                    s: self._prefix_cache[s] for s in stems if s in self._prefix_cache
+                }
+                self._prefix_cache.clear()
+                self._prefix_cache.update(keep)
             for s in missing:
                 exp: dict[str, dict[int, dict]] = {}
                 for r in rows:
@@ -1764,6 +1804,13 @@ class SearchEngine:
             for p in parts[1:]:
                 pfx_branch = pfx_branch.unionByName(p)
             if any(len(pfx_exp[s]) > 1 for s in pos_stems):
+                # the virtual-df count job below and the main collect
+                # both consume this branch; a lazy localCheckpoint
+                # materializes it ONCE (at the count job) instead of
+                # re-running the expansion scan + aggregation in the
+                # main query — the branch is bounded by the (capped)
+                # expansion's postings, so holding it is safe
+                pfx_branch = pfx_branch.localCheckpoint(eager=False)
                 dfrows = pfx_branch.groupBy("term", "fld").count().collect()
                 for r in dfrows:
                     scaled_map[(r["term"], int(r["fld"]))] = fw[

@@ -171,11 +171,22 @@ def test_selective_phrase_docs_broadcast_into_semi_join(spark, workdir):
     b.build(df)
     eng = SearchEngine(spark, idx)
 
+    # the staged plan (r6: kept for prefix/col-filter shapes and as the
+    # fused path's bit-identity reference) still broadcasts the
+    # dictionary-bounded phrase-doc set into the semi join
+    eng._fused = False
     res = eng.search('"alpha beta"', k=100)
     plan = res.df._jdf.queryExecution().executedPlan().toString()
     semi = [l for l in plan.splitlines() if "LeftSemi" in l]
     assert semi and all("BroadcastHashJoin" in l for l in semi), plan
     assert res.df.count() == 10  # only the adjacent variant matches
+    # the r6 fused path needs no semi join at all: the phrase window is
+    # applied inside the one slice-local pass
+    eng._fused = True
+    res2 = eng.search('"alpha beta"', k=100)
+    plan2 = res2.df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan2, plan2
+    assert res2.df.count() == 10
 
 
 def test_auto_n_slices_resolves_by_volume_at_first_build(spark, workdir):
