@@ -427,6 +427,75 @@ def _raw_postings_arrow_factory(
     return emit
 
 
+def _term_count_arrow_factory(n_fields: int, analyzer: str):
+    """mapInArrow fn for the salt plan's sample: (f0[, f1...]) batches
+    -> (term, fld, cnt) partial occurrence counts, aggregated per batch
+    in Arrow C++ (``value_counts``). Same clean/dirty tokenization
+    hybrid as :func:`_raw_postings_arrow_factory`: rows of
+    ``[a-z0-9]`` + ASCII whitespace split in Arrow, anything else takes
+    the exact per-row analyzer — identical token streams, so the df
+    estimate matches what the build will actually shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from aspublic_spark.functions.stemmer import get_analyzer
+
+    tokenize = get_analyzer(analyzer)
+    arrow_fast = analyzer == "fts5"
+    _dirty_re = "[^a-z0-9 \t\n\r\x0b\x0c]"
+
+    def emit(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            for fld in range(n_fields):
+                col = pc.fill_null(batch.column(f"f{fld}"), "")
+                trimmed = pc.ascii_trim_whitespace(col)
+                parts = []
+                if arrow_fast:
+                    dirty = pc.match_substring_regex(
+                        trimmed, _dirty_re
+                    ).to_numpy(zero_copy_only=False)
+                    empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+                    clean_idx = np.flatnonzero(~dirty & ~empty)
+                    if clean_idx.size:
+                        sub = (
+                            trimmed
+                            if clean_idx.size == len(col)
+                            else trimmed.take(pa.array(clean_idx))
+                        )
+                        parts.append(pc.list_flatten(pc.ascii_split_whitespace(sub)))
+                    dirty_idx = np.flatnonzero(dirty)
+                else:
+                    dirty_idx = np.arange(len(col))
+                if dirty_idx.size:
+                    toks = [
+                        t
+                        for s in col.take(pa.array(dirty_idx)).to_pylist()
+                        for t in (tokenize(s) if s else [])
+                    ]
+                    if toks:
+                        parts.append(pa.array(toks, type=pa.string()))
+                if not parts:
+                    continue
+                flat = pa.concat_arrays([p.cast(pa.string()) for p in parts])
+                vc = pc.value_counts(flat)
+                if len(vc) == 0:
+                    continue
+                yield pa.record_batch(
+                    [
+                        vc.field("values"),
+                        pa.array(
+                            np.full(len(vc), fld, dtype=np.int32), type=pa.int32()
+                        ),
+                        vc.field("counts"),
+                    ],
+                    names=["term", "fld", "cnt"],
+                )
+
+    return emit
+
+
 def bm25_weight_col(tf_col, dl_col, avgdl: float):
     """Same weight as a Catalyst column expression (JVM-side, codegen)."""
     tf = tf_col.cast("double")
@@ -1163,55 +1232,40 @@ class IndexBuilder:
                     .alias("n_salts"),
                 )
             )
-        # df(term, fld) is bounded by the input row count: an input
-        # smaller than salt_max cannot contain a heavy term at all, so
-        # skip the sample scan entirely. ``n_rows`` (the docs stage's
-        # observed count, already paid for) answers that directly and
-        # skips the probe job; without it the row-count check is a
-        # LIMIT probe, not a count(): LocalLimit stops every partition
-        # at salt_max+1 rows, so the probe's cost is bounded regardless
-        # of input size or lineage (a full count() on a transformed
-        # input would be a second complete pre-pass). For a huge FIRST
-        # bulk build the sample costs one extra text-column read —
-        # chunk bulk loads into generations + compact() to avoid it
-        # (every generation after the first plans from the dictionary).
-        probe = n_rows
-        if probe is None:
-            probe = (
-                df.select(F.lit(1).alias("one"))
-                .limit(self.salt_max_postings + 1)
-                .count()
-            )
-        if probe <= self.salt_max_postings:
+        # df(term, fld) is bounded by the input row count: when the
+        # caller already knows the count (``n_rows``, the docs stage's
+        # observed number — free), an input smaller than salt_max
+        # cannot contain a heavy term and the sample is skipped with
+        # NO job at all. Without a known count the sample itself IS
+        # the probe: a small input's 1% sample scan is as cheap as the
+        # former bounded LIMIT probe, and a large input saves one
+        # whole driver round-trip (probe job + sample job -> one
+        # sample job). For a huge FIRST bulk build the sample costs
+        # one extra text-column read — chunk bulk loads into
+        # generations + compact() to avoid it (every generation after
+        # the first plans from the dictionary).
+        if n_rows is not None and n_rows <= self.salt_max_postings:
             return self.spark.createDataFrame(
                 [], "term string, fld int, n_salts int"
             )
         frac = 0.01
-        from aspublic_spark.functions.stemmer import get_analyzer
-
-        tokenize_name = self.analyzer
-
-        from pyspark.sql.functions import pandas_udf
-
-        def _tok_fn(s):
-            tok = get_analyzer(tokenize_name)
-            return s.map(lambda t: tok(t) if t else [])
-
-        _tok = pandas_udf(_tok_fn, "array<string>")
-
-        parts = []
-        for i, c in enumerate(self.text_cols):
-            parts.append(
-                df.sample(fraction=frac, seed=42)
-                .select(F.explode(_tok(F.col(c))).alias("term"))
-                .withColumn("fld", F.lit(i))
-            )
-        sampled = parts[0]
-        for p in parts[1:]:
-            sampled = sampled.unionByName(p)
+        # token counts come out of the sample PRE-AGGREGATED per Arrow
+        # batch (value_counts in Arrow C++, same clean/dirty hybrid as
+        # the build tokenizer) — the groupBy exchange then carries
+        # O(distinct terms per batch) rows, never one row per token,
+        # and no per-row Python tokenizer runs on the clean rows
+        sampled = df.sample(fraction=frac, seed=42).select(
+            *[
+                F.col(c).alias(f"f{i}")
+                for i, c in enumerate(self.text_cols)
+            ]
+        ).mapInArrow(
+            _term_count_arrow_factory(len(self.text_cols), self.analyzer),
+            "term string, fld int, cnt long",
+        )
         est = (
             sampled.groupBy("term", "fld")
-            .agg((F.count(F.lit(1)) / F.lit(frac)).alias("est_df"))
+            .agg((F.sum("cnt") / F.lit(frac)).alias("est_df"))
             .filter(F.col("est_df") > self.salt_max_postings / 2)
             .select(
                 "term",

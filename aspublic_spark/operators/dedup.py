@@ -46,6 +46,7 @@ both on by default:
 from __future__ import annotations
 
 import random
+import time
 
 import numpy as np
 import pandas as pd
@@ -320,6 +321,13 @@ def connected_components(
         # iteration — one eager materialization per iteration instead of
         # the former two, which halved the per-iteration job count on
         # small graphs where driver round-trips dominate.
+        # the changed-label count rides the checkpoint materialization
+        # as an Observation (one job per iteration, not two: the
+        # count previously re-ran as its own action over the
+        # checkpointed rows, a pure driver round-trip per iteration)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"cc_changed_{time.time_ns()}")
         new = (
             hop.join(
                 hop.select(F.col("id").alias("rep"), F.col("rep").alias("rrep")),
@@ -333,10 +341,12 @@ def connected_components(
                 .cast("int")
                 .alias("chg"),
             )
+            .observe(obs, F.sum("chg").alias("changed"))
+            .drop("chg")
             .localCheckpoint(eager=True)
         )
-        changed = new.agg(F.sum("chg")).first()[0] or 0
-        labels = new.drop("chg")
+        changed = obs.get["changed"] or 0
+        labels = new
         if not changed:
             converged = True
             break

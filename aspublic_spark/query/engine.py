@@ -1326,6 +1326,7 @@ class SearchEngine:
         docs_filtered: DataFrame,
         has_doc_filters: bool,
         stats: dict[str, dict[int, dict]],
+        fused_probe=None,
     ):
         info = {"theta": 0.0, "range_pruned": False, "theta_pruned": False}
         # per-block score upper bound (safe under avgdl drift); avgdl is
@@ -1447,16 +1448,27 @@ class SearchEngine:
                 .filter(F.col("_rn") <= max(1, math.ceil(2 * k / self.block_size)))
                 .drop("_rn")
             )
-            phase1 = self.unpack(top_blocks)
-            scored1 = self._score(phase1, scaled_map)
-            # phrase alternatives dropped from OR groups: conservative
-            # subset -> theta stays a valid lower bound (see _qualify)
-            qual1 = self._qualify(
-                scored1, pq.and_terms, [tg for tg, _ in pq.or_operands()]
-            )
-            if not_blocks is not None:
-                nd = self.unpack(not_blocks).select("doc_id").distinct()
-                qual1 = qual1.join(nd, "doc_id", "left_anti")
+            if fused_probe is not None:
+                # one mapInArrow pass scores + qualifies + NOT-excludes
+                # the probe blocks (same machinery as the main fused
+                # candidate path — one exchange fewer than the staged
+                # unpack -> groupBy-fold -> anti-join probe, and the
+                # plan shape is shared with the main query). The
+                # candidate set is identical to the staged probe's, so
+                # theta is the same valid lower bound.
+                qual1 = fused_probe(top_blocks, not_blocks)
+            else:
+                phase1 = self.unpack(top_blocks)
+                scored1 = self._score(phase1, scaled_map)
+                # phrase alternatives dropped from OR groups:
+                # conservative subset -> theta stays a valid lower
+                # bound (see _qualify)
+                qual1 = self._qualify(
+                    scored1, pq.and_terms, [tg for tg, _ in pq.or_operands()]
+                )
+                if not_blocks is not None:
+                    nd = self.unpack(not_blocks).select("doc_id").distinct()
+                    qual1 = qual1.join(nd, "doc_id", "left_anti")
             if has_doc_filters:
                 qual1 = qual1.join(docs_filtered.select("doc_id"), "doc_id", "left_semi")
             top = qual1.orderBy(F.col("score").desc()).limit(k).collect()
@@ -1567,6 +1579,45 @@ class SearchEngine:
                 gcond = gcond | F.array_contains("_terms", t)
             out = out.filter(gcond)
         return out
+
+    def _probe_candidates(
+        self,
+        top_blocks: DataFrame,
+        not_blocks: DataFrame | None,
+        scaled_map: dict,
+        and_terms: list[str],
+        or_term_groups: list[list[str]],
+        not_any_terms: list[str],
+    ) -> DataFrame:
+        """Theta-probe candidates via the fused one-pass scorer:
+        positionless, term-level qualification only, NOT side excluded
+        on ANY match — exactly the staged probe's conservative
+        candidate set (phrase alternatives dropped from OR groups,
+        conjunctive NOT groups treated as any-match), so the k-th
+        score is the same valid theta lower bound."""
+        spec = {
+            "need_pos": False,
+            "scaled": dict(scaled_map),
+            "avgdl": dict(self.avgdl_by_fld),
+            "and_terms": sorted(set(and_terms)),
+            "or_term_groups": [sorted(set(g)) for g in or_term_groups],
+            "mixed": [],
+            "phrases": [],
+            "anchors": [],
+            "nears": [],
+            "not_terms": sorted(set(not_any_terms)),
+            "not_groups": [],
+            "not_phrases": [],
+        }
+        sel = ["slice", "term", "fld", "n", "doc_gaps", "tfs", "dls"]
+        src = top_blocks.select(*sel).withColumn("_neg", F.lit(False))
+        if not_blocks is not None:
+            src = src.unionByName(
+                not_blocks.select(*sel).withColumn("_neg", F.lit(True))
+            )
+        return src.repartition(max(1, self.n_slices), "slice").mapInArrow(
+            _fused_score_factory(spec), "doc_id long, score double"
+        )
 
     def _fused_candidates(
         self,
@@ -1877,8 +1928,23 @@ class SearchEngine:
                     and_terms=list(pq.and_terms) + sorted(col_single),
                     phrases=list(pq.phrases) + [ph for ph, _f in col_phrases],
                 )
+            fused_probe = None
+            if self._fused and not pos_stems and not pq.prefix_phrases and not pq.not_prefixes:
+                _pq_pr = pq_pr
+
+                def fused_probe(tb, nb):
+                    return self._probe_candidates(
+                        tb,
+                        nb,
+                        scaled_map,
+                        list(_pq_pr.and_terms),
+                        [tg for tg, _pg in _pq_pr.or_operands()],
+                        not_all_terms,
+                    )
+
             pos_blocks, not_blocks, info = self._prune_blocks(
-                pos_blocks, not_blocks, pq_pr, scaled_map, k, docs_f, has_doc_filters, stats
+                pos_blocks, not_blocks, pq_pr, scaled_map, k, docs_f,
+                has_doc_filters, stats, fused_probe=fused_probe,
             )
 
         mixed_groups = [(tg, pg) for tg, pg in or_ops if pg]
