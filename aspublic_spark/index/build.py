@@ -1051,33 +1051,6 @@ class IndexBuilder:
         global refresh runs (idempotent replay after a crash between
         liveness commit and refresh)."""
         t0 = time.time()
-        if self.n_slices is None:
-            self.n_slices = self._resolve_auto_slices(df)
-        meta_path = self._p("index_meta.json")
-        if self.fs.exists(meta_path):
-            existing = self.fs.read_json(meta_path)
-            if existing.get("raw_format", 1) != RAW_FORMAT:
-                raise ValueError(
-                    f"index at {self.index_dir} uses raw postings format "
-                    f"{existing.get('raw_format', 1)}, this build writes "
-                    f"{RAW_FORMAT}; rebuild into a fresh directory"
-                )
-        else:
-            self.fs.write_json_atomic(
-                meta_path,
-                {
-                    "raw_format": RAW_FORMAT,
-                    "analyzer": self.analyzer,
-                    "key_cols": self.key_cols,
-                    "meta_cols": self.meta_cols,
-                    "text_col": self.text_col,
-                    "text_cols": self.text_cols,
-                    "block_size": self.block_size,
-                    "n_slices": self.n_slices,
-                    "store_positions": self.store_positions,
-                    "salt_max_postings": self.salt_max_postings,
-                },
-            )
         if resume and self._manifest_done("raw", gen):
             # generation fully committed — only the global view may be
             # stale (crash between liveness flip and refresh)
@@ -1087,21 +1060,58 @@ class IndexBuilder:
         # crashed earlier attempt left behind — stale derived markers
         # must never survive over data about to be replaced
         self._clear_gen_manifests(gen)
-        # The docs write and the fused tokenize->pack job are
-        # independent reads of ``df`` until the gen-dict stage needs
-        # both; submit the docs write from a driver thread so its tasks
-        # back-fill cores under the pack job's Python-heavy stages
-        # (Spark schedules concurrent jobs FIFO — exactly the overlap
-        # we want). The salt plan runs its own bounded LIMIT probe
-        # instead of waiting on the docs count. Commit order is
-        # unchanged: the raw manifest still flips only after BOTH jobs
-        # (and the gen dictionary) are fully on disk.
+        # Three independent heads precede the fused tokenize->pack job:
+        # the salt-plan sample (needs only the text columns), the
+        # n_slices LIMIT probe (first build only), and the docs write.
+        # The salt job is submitted FIRST from a driver thread — it
+        # gates the pack job, so it must never queue behind the others
+        # — then the probe + meta write and the docs write run under
+        # it; Spark schedules concurrent jobs FIFO, so their tasks
+        # back-fill cores (guide: overlap independent jobs). Commit
+        # order is unchanged: the raw manifest still flips only after
+        # every job's output (and the gen dictionary) is fully on
+        # disk. The raw-format mismatch check moved after the salt
+        # submission: the stray sample job it may leave on that raise
+        # path writes nothing.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=1) as pool:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            salt_fut = pool.submit(
+                lambda: {
+                    (r["term"], int(r["fld"])): int(r["n_salts"])
+                    for r in self._salt_plan(df, n_rows=None).collect()
+                }
+            )
+            if self.n_slices is None:
+                self.n_slices = self._resolve_auto_slices(df)
+            meta_path = self._p("index_meta.json")
+            if self.fs.exists(meta_path):
+                existing = self.fs.read_json(meta_path)
+                if existing.get("raw_format", 1) != RAW_FORMAT:
+                    raise ValueError(
+                        f"index at {self.index_dir} uses raw postings format "
+                        f"{existing.get('raw_format', 1)}, this build writes "
+                        f"{RAW_FORMAT}; rebuild into a fresh directory"
+                    )
+            else:
+                self.fs.write_json_atomic(
+                    meta_path,
+                    {
+                        "raw_format": RAW_FORMAT,
+                        "analyzer": self.analyzer,
+                        "key_cols": self.key_cols,
+                        "meta_cols": self.meta_cols,
+                        "text_col": self.text_col,
+                        "text_cols": self.text_cols,
+                        "block_size": self.block_size,
+                        "n_slices": self.n_slices,
+                        "store_positions": self.store_positions,
+                        "salt_max_postings": self.salt_max_postings,
+                    },
+                )
             docs_fut = pool.submit(self._stage_docs, df, gen)
             try:
-                self._stage_pack_fused(df, gen, n_rows=None)
+                self._stage_pack_fused(df, gen, heavy=salt_fut.result())
             finally:
                 n_docs = docs_fut.result()
         self._stage_gen_dict(gen, n_docs=n_docs)
@@ -1523,21 +1533,29 @@ class IndexBuilder:
             },
         )
 
-    def _stage_pack_fused(self, df: DataFrame, gen: int, n_rows: int | None = None):
+    def _stage_pack_fused(
+        self,
+        df: DataFrame,
+        gen: int,
+        n_rows: int | None = None,
+        heavy: dict | None = None,
+    ):
         """tokenize -> partial blocks -> shuffle -> pack, in ONE job
         (the only pass over the corpus text and the only data shuffle
         of the build). The shuffle moves PARTIAL_SCHEMA rows — one per
         (map task, slice, term, fld) group with delta+varint payloads —
         not one row per posting; the salt plan is collected driver-side
         (it is tiny by construction: heavy terms only) so map tasks can
-        key heavy groups by task id. ``n_rows``: the docs stage's
-        observed input count — lets the salt plan skip its LIMIT-probe
-        job."""
+        key heavy groups by task id. ``heavy``: a pre-collected
+        {(term, fld): n_salts} map (build() computes it concurrently
+        with the docs write); ``n_rows``: the docs stage's observed
+        input count — lets an inline salt plan skip its sample job."""
         t0 = time.time()
-        heavy = {
-            (r["term"], int(r["fld"])): int(r["n_salts"])
-            for r in self._salt_plan(df, n_rows=n_rows).collect()
-        }
+        if heavy is None:
+            heavy = {
+                (r["term"], int(r["fld"])): int(r["n_salts"])
+                for r in self._salt_plan(df, n_rows=n_rows).collect()
+            }
         n_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         packed = self._tokenized(df, partial_heavy=heavy).repartition(
             n_shuffle, "slice", "term", "fld", "salt"

@@ -49,15 +49,27 @@ def encode_varints_with_offsets(values: np.ndarray):
     if n == 0:
         return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     nbytes = np.ones(n, dtype=np.int64)
+    vmax = v.max()
     for t in _THRESH:
+        if vmax < t:
+            # all remaining compares would add zeros — tf/dl/position
+            # streams are 1-2 bytes, so this skips 7-8 full-array
+            # passes on the hottest encode calls
+            break
         nbytes += v >= t
     offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
-    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
-    for b in range(int(nbytes.max())):
-        mask = nbytes > b
-        chunk = ((v[mask] >> _U64(7 * b)) & _U64(0x7F)).astype(np.uint8)
-        cont = (nbytes[mask] > b + 1).astype(np.uint8) << 7
-        out[offsets[mask] + b] = chunk | cont
+    max_b = int(nbytes.max())
+    # one 2-D shift instead of max_b masked scatter passes: byte j of
+    # value i is (v[i] >> 7j) & 0x7F, with the continuation bit set
+    # for j < nbytes[i]-1; row-major boolean selection then flattens
+    # exactly the concatenated varint stream (xxhash64 doc gaps are
+    # 8-9 bytes each, so the old loop made ~9 full-array passes with
+    # fancy-indexed writes — the hottest part of the pack stage)
+    shifts = _U64(7) * np.arange(max_b, dtype=_U64)
+    mat = ((v[:, None] >> shifts[None, :]) & _U64(0x7F)).astype(np.uint8)
+    jidx = np.arange(max_b, dtype=np.int64)[None, :]
+    mat |= (jidx < (nbytes - 1)[:, None]).astype(np.uint8) << 7
+    out = mat[jidx < nbytes[:, None]]
     return out, offsets, nbytes
 
 

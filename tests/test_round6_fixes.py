@@ -156,7 +156,7 @@ def test_partial_block_build_equals_raw_row_build(spark, workdir):
             return b
         orig = B.IndexBuilder._stage_pack_fused
 
-        def legacy(self, d, gen, n_rows=None):
+        def legacy(self, d, gen, n_rows=None, heavy=None):
             self._pack_and_write(
                 self._tokenized(d), gen, self._salt_plan(d, n_rows=n_rows)
             )
