@@ -80,7 +80,12 @@ def encode_varints(values: np.ndarray) -> bytes:
 
 
 def decode_varints(buf: bytes) -> np.ndarray:
-    """Decode a LEB128 stream back to uint64 values."""
+    """Decode a LEB128 stream back to uint64 values.
+
+    (A 2-D gather + bitwise_or.reduce variant was measured SLOWER than
+    these shrinking masked passes — the decode's masks drain fast on
+    mixed-length streams, unlike the encode's scatter — so the loop
+    stays.)"""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=_U64)
