@@ -117,10 +117,11 @@ def test_compact_reslices_index(spark, workdir):
 
 def test_salt_plan_first_build_has_no_full_count_prepass(spark, workdir, monkeypatch):
     """VERDICT r3 #8: the first-build salt plan must not run a full
-    count() over a (possibly expensively transformed) input — the
-    row-count check has to be a bounded LIMIT probe. Spy on every
-    DataFrame.count() the salt plan issues and require each to sit
-    under a GlobalLimit."""
+    count() over a (possibly expensively transformed) input. Since r6
+    the plan issues NO count() at all when the row count is unknown —
+    the 1% sample itself is the probe (one job instead of probe+sample)
+    — so the spy list may legitimately be empty; any count() that IS
+    issued must still sit under a GlobalLimit (bounded probe)."""
     # patch the CONCRETE class (pyspark 4 makes pyspark.sql.DataFrame an
     # abstract facade whose methods the classic implementation overrides)
     from pyspark.sql.classic.dataframe import DataFrame
@@ -143,7 +144,6 @@ def test_salt_plan_first_build_has_no_full_count_prepass(spark, workdir, monkeyp
 
     monkeypatch.setattr(DataFrame, "count", spy)
     plan = b._salt_plan(df)
-    assert plans, "salt plan issued no row-count probe"
     assert all("GlobalLimit" in p for p in plans), plans
     # input (2000 rows) exceeds salt_max (500): the sample path runs and
     # the plan stays usable
