@@ -108,17 +108,23 @@ RAW_SCHEMA = (
 )
 RAW_FORMAT = 4
 
-# shuffle-time PARTIAL-BLOCK schema (the BUILD's in-flight format): one
-# row per (map task, slice, term, fld) carrying that task's postings
-# for the group as delta+varint payloads, docs sorted ascending. The
-# pack shuffle then moves ~#groups-per-task rows instead of one row per
-# POSTING — at bench scale that collapses both the exchange volume and
-# the JVM<->Arrow row conversions on each side of the mapInArrow
-# boundary, which measurement showed dominating the pack stage (the
-# pack numpy work itself is ~0.5 s per 10^6 postings). Never persisted.
+# shuffle-time PARTIAL-BLOCK schema (the BUILD's in-flight format):
+# BLOCK_SCHEMA minus block_id. The tokenize tasks cut their postings at
+# block_size boundaries and compute each block's metadata map-side, so
+# a FULL row (n == block_size) is already a finished block: the pack
+# reducer passes its payload bytes through VERBATIM (guide §8: heavy
+# bytes move once, untouched) and only TAIL rows (n < block_size — the
+# undersized remainder of each (task, slice, term, fld) group) take
+# the decode->merge->re-encode path. The shuffle moves ~#blocks +
+# #groups rows instead of one row per POSTING — measurement showed the
+# per-posting row conversions dominating the pack stage before this
+# format (the pack numpy work itself is ~0.5 s per 10^6 postings).
+# Never persisted.
 PARTIAL_SCHEMA = (
     "slice int, term string, fld int, salt int, n int, "
-    "doc_gaps binary, tfs binary, dls binary, positions binary"
+    "min_doc long, max_doc long, "
+    "doc_gaps binary, tfs binary, dls binary, positions binary, "
+    "sum_tf long, max_tf int, min_dl int"
 )
 
 
@@ -167,7 +173,8 @@ def _raw_postings_arrow_factory(
     store_positions: bool,
     n_fields: int = 1,
     analyzer: str = "fts5",
-    partial_heavy: dict | None = None,
+    partial_salt_threshold: int | None = None,
+    block_size: int = 128,
 ):
     """mapInArrow fn: (slice, doc_id, f0[, f1...]) batches -> raw postings.
 
@@ -202,17 +209,31 @@ def _raw_postings_arrow_factory(
     tokenize = get_analyzer(analyzer)
     arrow_fast = analyzer == "fts5"
     _dirty_re = "[^a-z0-9 \t\n\r\x0b\x0c]"
+    # per-TASK cumulative (fld, slice, term) posting counts for the
+    # local salting rule; reset at the top of emit() (one emit() call
+    # per task, single-threaded)
+    _salt_cum: dict = {}
 
     def _emit_partials(slice_p, doc_p, code_p, tf_p, dl_p, buf, off, take_terms, fld):
-        """Emit PARTIAL_SCHEMA rows: one row per (slice, term) group of
-        THIS batch's postings, docs sorted ascending, payloads
-        delta+varint — the build's shuffle moves these instead of one
-        row per posting. ``buf``/``off`` hold the per-posting position
-        payloads in pre-sort posting order (None when positionless).
-        Heavy terms salt by map-task id (any deterministic assignment
-        is valid — salt is purely a shuffle-splitting key — and task id
-        keeps a partial row's postings in one salt without re-hashing
-        doc ids)."""
+        """Emit PARTIAL_SCHEMA rows: THIS batch's postings grouped by
+        (slice, term), docs sorted ascending, CUT AT block_size
+        BOUNDARIES with per-block metadata computed here — a full row
+        (n == block_size) is a finished index block the reducer ships
+        verbatim; only each group's undersized tail row merges with
+        other tasks' tails at the reducer. ``buf``/``off`` hold the
+        per-posting position payloads in pre-sort posting order (None
+        when positionless).
+
+        Salting is decided LOCALLY (r6): a group salts by map-task id
+        once the task's cumulative posting count for it reaches
+        ``partial_salt_threshold`` — no global heavy-term probe job.
+        The reducer-bound contract is preserved: with threshold L ~=
+        salt_max_postings / n_map_tasks, an unsalted (slice, term, fld)
+        group receives < L postings from each task, so its reducer
+        group stays ~salt_max bounded; a genuinely heavy term crosses L
+        in every task and spreads one salt per task. Any assignment is
+        result-identical (salt is purely a shuffle-splitting key,
+        pinned by the partial-vs-raw content-equality test)."""
         from pyspark import TaskContext
 
         order = np.lexsort((doc_p, code_p, slice_p))
@@ -222,46 +243,60 @@ def _raw_postings_arrow_factory(
         gstart = np.empty(np_post, dtype=bool)
         gstart[0] = True
         gstart[1:] = (sl_s[1:] != sl_s[:-1]) | (co_s2[1:] != co_s2[:-1])
+        group_of_row = np.cumsum(gstart) - 1
         gs = np.flatnonzero(gstart)
         ge = np.append(gs[1:], np_post)
-        blk = codec.pack_all_blocks(do_s, tf_s, dl_s, gs)
+        # per-group salt first (cumulative local rule), then cut blocks
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        gsalts = np.zeros(len(gs), dtype=np.int32)
+        if pid and partial_salt_threshold:
+            terms_g = take_terms(co_s2[gs]).to_pylist()
+            sl_g = sl_s[gs]
+            n_g = ge - gs
+            thr = partial_salt_threshold
+            for i in range(len(gs)):
+                key = (fld, int(sl_g[i]), terms_g[i])
+                v = _salt_cum.get(key, 0) + int(n_g[i])
+                _salt_cum[key] = v
+                if v >= thr:
+                    gsalts[i] = pid
+        in_group = np.arange(np_post, dtype=np.int64) - gs[group_of_row]
+        starts = np.flatnonzero(gstart | (in_group % block_size == 0))
+        ends = np.append(starts[1:], np_post)
+        blk = codec.pack_all_blocks(do_s, tf_s, dl_s, starts)
+        sum_tf = np.add.reduceat(tf_s, starts)
         if store_positions:
             plens = off[1:] - off[:-1]
             pos_bytes, pos_cum = _gather_payload(buf, off[:-1][order], plens[order])
             positions = [
                 pos_bytes[pos_cum[s] : pos_cum[e]].tobytes()
-                for s, e in zip(gs, ge)
+                for s, e in zip(starts, ends)
             ]
         else:
-            positions = [b""] * len(gs)
-        if partial_heavy:
-            tc = TaskContext.get()
-            pid = tc.partitionId() if tc is not None else 0
-            uniq = take_terms(np.arange(int(code_p.max()) + 1)).to_pylist()
-            ns = np.fromiter(
-                (partial_heavy.get((u, fld), 1) for u in uniq),
-                dtype=np.int64,
-                count=len(uniq),
-            )
-            ns_g = ns[co_s2[gs]]
-            salts = np.where(ns_g > 1, pid % np.maximum(ns_g, 1), 0).astype(np.int32)
-        else:
-            salts = np.zeros(len(gs), dtype=np.int32)
+            positions = [b""] * len(starts)
+        bgroup = group_of_row[starts]
         return pa.record_batch(
             [
-                pa.array(sl_s[gs], type=pa.int32()),
-                take_terms(co_s2[gs]),
-                pa.array(np.full(len(gs), fld, dtype=np.int32), type=pa.int32()),
-                pa.array(salts, type=pa.int32()),
+                pa.array(sl_s[starts], type=pa.int32()),
+                take_terms(co_s2[starts]),
+                pa.array(np.full(len(starts), fld, dtype=np.int32), type=pa.int32()),
+                pa.array(gsalts[bgroup], type=pa.int32()),
                 pa.array(blk["n"], type=pa.int32()),
+                pa.array(blk["min_doc"], type=pa.int64()),
+                pa.array(blk["max_doc"], type=pa.int64()),
                 pa.array(blk["doc_gaps"], type=pa.binary()),
                 pa.array(blk["tfs"], type=pa.binary()),
                 pa.array(blk["dls"], type=pa.binary()),
                 pa.array(positions, type=pa.binary()),
+                pa.array(sum_tf.astype(np.int64), type=pa.int64()),
+                pa.array(blk["max_tf"].astype(np.int32), type=pa.int32()),
+                pa.array(blk["min_dl"].astype(np.int32), type=pa.int32()),
             ],
             names=[
-                "slice", "term", "fld", "salt", "n",
+                "slice", "term", "fld", "salt", "n", "min_doc", "max_doc",
                 "doc_gaps", "tfs", "dls", "positions",
+                "sum_tf", "max_tf", "min_dl",
             ],
         )
 
@@ -289,7 +324,7 @@ def _raw_postings_arrow_factory(
         buf = off = None
         if store_positions:
             buf, off = codec.encode_grouped_records_offsets(po_s, g_lens)
-        if partial_heavy is not None:
+        if partial_salt_threshold is not None:
             return _emit_partials(
                 slice_sub[g_di],
                 doc_sub[g_di],
@@ -406,6 +441,7 @@ def _raw_postings_arrow_factory(
                 yield out
 
     def emit(batches):
+        _salt_cum.clear()  # fresh per task (worker processes are reused)
         for batch in batches:
             n = batch.num_rows
             if n == 0:
@@ -701,26 +737,34 @@ def _pack_partials_arrow_factory(block_size: int, store_positions: bool):
     """mapInArrow fn: pack one shuffle partition of PARTIAL-BLOCK rows
     (the build's in-flight format) into final blocks.
 
-    Decoding is the same one-varint-pass-per-column machinery as the
-    query-side unpack; positions are never decoded — per-posting byte
+    FULL rows (n == block_size) are finished blocks cut map-side: their
+    payload bytes pass through VERBATIM — no varint decode, no posting
+    sort, no re-encode (guide §8: the heavy bytes cross the shuffle
+    once and are never touched again). Only TAIL rows (n < block_size)
+    take the merge path: the same one-varint-pass-per-column decode as
+    the query-side unpack, a posting lexsort, and re-assembly into
+    blocks; positions are never decoded even there — per-posting byte
     boundaries come from a varint-end scan (posting k spans tf_k + 1
     varints) and the compressed bytes are re-sliced verbatim, so the
-    final payload is bit-identical to a raw-row pack of the same
-    postings."""
+    merged payload is bit-identical to a raw-row pack of the same
+    postings. block_id is assigned over the combined output per
+    (slice, term, fld, salt) group in (min_doc, max_doc) order —
+    deterministic, since a (doc, term, fld) posting exists exactly
+    once globally, so blocks of one group can't share min_doc."""
     import pyarrow as pa
 
-    def pack(batches):
-        batch_list = list(batches)
-        if not batch_list:
-            return
-        tbl = pa.Table.from_batches(batch_list).combine_chunks()
+    OUT_COLS = [
+        "slice", "term", "fld", "salt", "n", "min_doc", "max_doc",
+        "doc_gaps", "tfs", "dls", "positions", "sum_tf", "max_tf", "min_dl",
+    ]
+
+    def _merge_tails(tbl):
+        """Today's decode->sort->assemble path, over the tail subset."""
         nb = tbl.num_rows
-        if nb == 0:
-            return
         n_np = tbl.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
         total = int(n_np.sum())
         if total == 0:
-            return
+            return None
         row_starts = np.zeros(nb, dtype=np.int64)
         np.cumsum(n_np[:-1], out=row_starts[1:])
         row_of_post = np.repeat(np.arange(nb, dtype=np.int64), n_np)
@@ -773,10 +817,76 @@ def _pack_partials_arrow_factory(block_size: int, store_positions: bool):
             pos_bytes_sorted, pos_cum = _gather_payload(
                 pbytes, byte_s[order], byte_l[order]
             )
-        yield _assemble_blocks(
+        merged = _assemble_blocks(
             block_size, store_positions, slice_s, salt_s, fld_s, tc_s,
             tdict.dictionary, doc_s, tf_s, dl_s, pos_bytes_sorted, pos_cum,
         )
+        return pa.Table.from_batches([merged]).select(OUT_COLS)
+
+    def pack(batches):
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list).combine_chunks()
+        nb = tbl.num_rows
+        if nb == 0:
+            return
+        n_all = tbl.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        full_mask = n_all == block_size
+        parts = []
+        if not full_mask.all():
+            tails = (
+                tbl
+                if not full_mask.any()
+                else tbl.filter(pa.array(~full_mask)).combine_chunks()
+            )
+            merged = _merge_tails(tails)
+            if merged is not None:
+                parts.append(merged)
+        if full_mask.any():
+            full = (
+                tbl
+                if full_mask.all()
+                else tbl.filter(pa.array(full_mask)).combine_chunks()
+            )
+            parts.append(full.select(OUT_COLS))
+        if not parts:
+            return
+        out = (
+            parts[0]
+            if len(parts) == 1
+            else pa.concat_tables(parts).combine_chunks()
+        )
+        # block_id per (slice, term, fld, salt) group, (min_doc, max_doc)
+        # order — O(blocks) metadata sort, payloads untouched
+        sl = out.column("slice").to_numpy(zero_copy_only=False).astype(np.int32)
+        fl = out.column("fld").to_numpy(zero_copy_only=False).astype(np.int32)
+        sa = out.column("salt").to_numpy(zero_copy_only=False).astype(np.int32)
+        mind = out.column("min_doc").to_numpy(zero_copy_only=False).astype(np.int64)
+        maxd = out.column("max_doc").to_numpy(zero_copy_only=False).astype(np.int64)
+        td = _one_chunk(out.column("term").dictionary_encode())
+        tc = td.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((maxd, mind, sa, fl, tc, sl))
+        sl_o, fl_o, sa_o, tc_o = sl[order], fl[order], sa[order], tc[order]
+        nblk = order.size
+        new_grp = np.empty(nblk, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (
+            (sl_o[1:] != sl_o[:-1])
+            | (tc_o[1:] != tc_o[:-1])
+            | (fl_o[1:] != fl_o[:-1])
+            | (sa_o[1:] != sa_o[:-1])
+        )
+        grp_first = np.flatnonzero(new_grp)
+        block_ids = (
+            np.arange(nblk, dtype=np.int64)
+            - grp_first[np.cumsum(new_grp) - 1]
+        )
+        out = out.take(pa.array(order)).add_column(
+            4, "block_id", pa.array(block_ids.astype(np.int32), type=pa.int32())
+        )
+        for b in out.to_batches():
+            yield b
 
     return pack
 
@@ -1060,28 +1170,19 @@ class IndexBuilder:
         # crashed earlier attempt left behind — stale derived markers
         # must never survive over data about to be replaced
         self._clear_gen_manifests(gen)
-        # Three independent heads precede the fused tokenize->pack job:
-        # the salt-plan sample (needs only the text columns), the
-        # n_slices LIMIT probe (first build only), and the docs write.
-        # The salt job is submitted FIRST from a driver thread — it
-        # gates the pack job, so it must never queue behind the others
-        # — then the probe + meta write and the docs write run under
-        # it; Spark schedules concurrent jobs FIFO, so their tasks
-        # back-fill cores (guide: overlap independent jobs). Commit
-        # order is unchanged: the raw manifest still flips only after
-        # every job's output (and the gen dictionary) is fully on
-        # disk. The raw-format mismatch check moved after the salt
-        # submission: the stray sample job it may leave on that raise
-        # path writes nothing.
+        # Two independent heads: the n_slices LIMIT probe (first build
+        # only, bounded) and the docs write; salting is decided inside
+        # the pack job's map tasks (r6 local rule — no salt-plan job at
+        # all), so the fused tokenize->pack job starts immediately. The
+        # docs write is submitted from a driver thread first and the
+        # pack job runs under it; Spark schedules concurrent jobs FIFO,
+        # so their tasks back-fill cores (guide: overlap independent
+        # jobs). Commit order is unchanged: the raw manifest still
+        # flips only after every job's output (and the gen dictionary)
+        # is fully on disk.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            salt_fut = pool.submit(
-                lambda: {
-                    (r["term"], int(r["fld"])): int(r["n_salts"])
-                    for r in self._salt_plan(df, n_rows=None).collect()
-                }
-            )
+        with ThreadPoolExecutor(max_workers=1) as pool:
             if self.n_slices is None:
                 self.n_slices = self._resolve_auto_slices(df)
             meta_path = self._p("index_meta.json")
@@ -1111,7 +1212,7 @@ class IndexBuilder:
                 )
             docs_fut = pool.submit(self._stage_docs, df, gen)
             try:
-                self._stage_pack_fused(df, gen, heavy=salt_fut.result())
+                self._stage_pack_fused(df, gen)
             finally:
                 n_docs = docs_fut.result()
         self._stage_gen_dict(gen, n_docs=n_docs)
@@ -1183,16 +1284,19 @@ class IndexBuilder:
         ).parquet(self._p("docs", f"gen={gen}"))
         return int(obs.get["n"] or 0)
 
-    def _tokenized(self, df: DataFrame, partial_heavy: dict | None = None) -> DataFrame:
+    def _tokenized(
+        self, df: DataFrame, partial_salt_threshold: int | None = None
+    ) -> DataFrame:
         """Input scan -> shuffle-ready postings (IN FLIGHT only).
 
         ONE mapInArrow over (slice, doc_id, text): tokenize, group
         term->positions linearly (batch-level factorize + lexsort, no
         per-doc Python beyond the tokenizer), emit positions already
         varint-encoded. No action of its own — this plan feeds the
-        pack shuffle directly. With ``partial_heavy`` (a driver-side
-        {(term, fld): n_salts} map) the output is PARTIAL_SCHEMA rows —
-        one per (task, slice, term, fld) group — instead of one row per
+        pack shuffle directly. With ``partial_salt_threshold`` the
+        output is PARTIAL_SCHEMA rows — one per (task, slice, term,
+        fld) group, salted locally once the task's cumulative count
+        for the group crosses the threshold — instead of one row per
         posting, collapsing the pack exchange and both mapInArrow
         boundary crossings to O(groups) rows."""
         doc_id = self.doc_id_col()
@@ -1204,11 +1308,12 @@ class IndexBuilder:
             .withColumn("slice", self._slice_col())
             .select("slice", "doc_id", *[f"f{i}" for i in range(len(self.text_cols))])
         )
-        if partial_heavy is not None:
+        if partial_salt_threshold is not None:
             return src.mapInArrow(
                 _raw_postings_arrow_factory(
                     self.store_positions, len(self.text_cols), self.analyzer,
-                    partial_heavy=partial_heavy,
+                    partial_salt_threshold=partial_salt_threshold,
+                    block_size=self.block_size,
                 ),
                 PARTIAL_SCHEMA,
             )
@@ -1533,31 +1638,30 @@ class IndexBuilder:
             },
         )
 
-    def _stage_pack_fused(
-        self,
-        df: DataFrame,
-        gen: int,
-        n_rows: int | None = None,
-        heavy: dict | None = None,
-    ):
+    def _stage_pack_fused(self, df: DataFrame, gen: int):
         """tokenize -> partial blocks -> shuffle -> pack, in ONE job
         (the only pass over the corpus text and the only data shuffle
         of the build). The shuffle moves PARTIAL_SCHEMA rows — one per
         (map task, slice, term, fld) group with delta+varint payloads —
-        not one row per posting; the salt plan is collected driver-side
-        (it is tiny by construction: heavy terms only) so map tasks can
-        key heavy groups by task id. ``heavy``: a pre-collected
-        {(term, fld): n_salts} map (build() computes it concurrently
-        with the docs write); ``n_rows``: the docs stage's observed
-        input count — lets an inline salt plan skip its sample job."""
+        not one row per posting. Salting is decided INSIDE the map
+        tasks (local cumulative threshold, see _emit_partials): no
+        global heavy-term probe job runs, so the pack job is the
+        build's FIRST job over the corpus text and nothing gates it.
+        The threshold ~ salt_max_postings / n_map_tasks keeps the old
+        reducer-bound contract (an unsalted group's reducer receives
+        at most ~salt_max postings in total)."""
         t0 = time.time()
-        if heavy is None:
-            heavy = {
-                (r["term"], int(r["fld"])): int(r["n_salts"])
-                for r in self._salt_plan(df, n_rows=n_rows).collect()
-            }
+        try:
+            n_map = max(1, df.rdd.getNumPartitions())
+        except Exception:
+            n_map = 32
+        threshold = max(
+            self.block_size, self.salt_max_postings // n_map
+        )
         n_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        packed = self._tokenized(df, partial_heavy=heavy).repartition(
+        packed = self._tokenized(
+            df, partial_salt_threshold=threshold
+        ).repartition(
             n_shuffle, "slice", "term", "fld", "salt"
         ).mapInArrow(
             _pack_partials_arrow_factory(self.block_size, self.store_positions),

@@ -201,3 +201,38 @@ def test_fused_path_bit_identical_under_forced_pruning(spark, fused_idx):
         b = eng.search(q, k=100).df.collect()
         assert a == b, q
         assert a
+
+
+def test_block_ids_dense_and_full_blocks_pass_through(spark, workdir):
+    """r6 pack pass-through invariants: (1) map-side cut yields FULL
+    blocks (n == block_size) that survive to the stored layout, (2)
+    within every (slice, term, fld, salt) group block_ids are dense
+    0..k-1 (unique — the theta probe uses them as a window tiebreak),
+    (3) no posting is duplicated or lost across the overlapping runs —
+    each (doc, term, fld) pair appears exactly once in the whole
+    index."""
+    import pyspark.sql.functions as F
+
+    idx = os.path.join(workdir, "r6_passthrough_idx")
+    shutil.rmtree(idx, ignore_errors=True)
+    IndexBuilder(
+        spark, idx, n_slices=2, block_size=16, salt_max_postings=200
+    ).build(synth_transcripts(spark, 3000, seed=42))
+    blocks = spark.read.parquet(idx + "/postings/gen=0")
+    assert blocks.filter(F.col("n") == 16).count() > 0  # (1)
+    bad = (
+        blocks.groupBy("slice", "term", "fld", "salt")
+        .agg(
+            F.count("*").alias("k"),
+            F.countDistinct("block_id").alias("kd"),
+            F.max("block_id").alias("mx"),
+        )
+        .filter((F.col("kd") != F.col("k")) | (F.col("mx") != F.col("k") - 1))
+        .count()
+    )
+    assert bad == 0  # (2)
+    eng = SearchEngine(spark, idx)
+    unp = eng.unpack(blocks)
+    total = unp.count()
+    distinct = unp.select("doc_id", "term", "fld").distinct().count()
+    assert total == distinct > 0  # (3)
