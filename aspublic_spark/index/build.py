@@ -236,9 +236,13 @@ def _raw_postings_arrow_factory(
         pinned by the partial-vs-raw content-equality test)."""
         from pyspark import TaskContext
 
-        order = np.lexsort((doc_p, code_p, slice_p))
-        sl_s, do_s, co_s2 = slice_p[order], doc_p[order], code_p[order]
-        tf_s, dl_s = tf_p[order], dl_p[order]
+        # rows arrive ALREADY sorted by (slice, code, doc) — _emit_groups
+        # sorts postings once in this final order for the partial path,
+        # so no second lexsort and no gathers here; the positions buffer
+        # is likewise already laid out in final order, so per-block
+        # payloads are contiguous zero-copy slices
+        sl_s, do_s, co_s2 = slice_p, doc_p, code_p
+        tf_s, dl_s = tf_p, dl_p
         np_post = do_s.size
         gstart = np.empty(np_post, dtype=bool)
         gstart[0] = True
@@ -263,18 +267,18 @@ def _raw_postings_arrow_factory(
                     gsalts[i] = pid
         in_group = np.arange(np_post, dtype=np.int64) - gs[group_of_row]
         starts = np.flatnonzero(gstart | (in_group % block_size == 0))
-        ends = np.append(starts[1:], np_post)
-        blk = codec.pack_all_blocks(do_s, tf_s, dl_s, starts)
+        blk = codec.pack_all_blocks(do_s, tf_s, dl_s, starts, as_arrow=True)
         sum_tf = np.add.reduceat(tf_s, starts)
         if store_positions:
-            plens = off[1:] - off[:-1]
-            pos_bytes, pos_cum = _gather_payload(buf, off[:-1][order], plens[order])
-            positions = [
-                pos_bytes[pos_cum[s] : pos_cum[e]].tobytes()
-                for s, e in zip(starts, ends)
-            ]
+            blk_off = np.empty(starts.size + 1, dtype=np.int64)
+            blk_off[:-1] = off[starts]
+            blk_off[-1] = buf.size
+            positions = codec.binary_from_stream(buf, blk_off)
         else:
-            positions = [b""] * len(starts)
+            positions = codec.binary_from_stream(
+                np.empty(0, dtype=np.uint8),
+                np.zeros(starts.size + 1, dtype=np.int64),
+            )
         bgroup = group_of_row[starts]
         return pa.record_batch(
             [
@@ -285,10 +289,10 @@ def _raw_postings_arrow_factory(
                 pa.array(blk["n"], type=pa.int32()),
                 pa.array(blk["min_doc"], type=pa.int64()),
                 pa.array(blk["max_doc"], type=pa.int64()),
-                pa.array(blk["doc_gaps"], type=pa.binary()),
-                pa.array(blk["tfs"], type=pa.binary()),
-                pa.array(blk["dls"], type=pa.binary()),
-                pa.array(positions, type=pa.binary()),
+                blk["doc_gaps"],
+                blk["tfs"],
+                blk["dls"],
+                positions,
                 pa.array(sum_tf.astype(np.int64), type=pa.int64()),
                 pa.array(blk["max_tf"].astype(np.int32), type=pa.int32()),
                 pa.array(blk["min_dl"].astype(np.int32), type=pa.int32()),
@@ -313,7 +317,19 @@ def _raw_postings_arrow_factory(
         doc_off[0] = 0
         np.cumsum(lens[:-1], out=doc_off[1:])
         pos_in_doc = np.arange(total, dtype=np.int64) - doc_off[doc_idx]
-        order = np.lexsort((pos_in_doc, codes, doc_idx))
+        # np.lexsort is STABLE and the token stream arrives doc-major
+        # with positions ascending, so sorting by the GROUP keys alone
+        # preserves (doc, pos) order within equal keys — half the sort
+        # keys of the naive (…, doc, pos) sort
+        if partial_salt_threshold is not None:
+            # partial path: sort ONCE in the shuffle-final order
+            # (slice, term, doc, pos) so _emit_partials needs no second
+            # lexsort and per-block payloads are contiguous slices of
+            # the positions buffer; (doc, term) groups stay contiguous
+            # with in-order positions either way
+            order = np.lexsort((codes, slice_sub[doc_idx]))
+        else:
+            order = codes.argsort(kind="stable")
         di_s, co_s, po_s = doc_idx[order], codes[order], pos_in_doc[order]
         gstart = np.empty(total, dtype=bool)
         gstart[0] = True
@@ -632,14 +648,16 @@ def _assemble_blocks(
     starts = np.flatnonzero(is_block_start)
     ends = np.append(starts[1:], n)
 
-    blk = codec.pack_all_blocks(doc_s, tf_s, dl_s, starts)
+    blk = codec.pack_all_blocks(doc_s, tf_s, dl_s, starts, as_arrow=True)
     if store_positions:
-        blk_positions = [
-            pos_bytes_sorted[pos_cum[s] : pos_cum[e]].tobytes()
-            for s, e in zip(starts, ends)
-        ]
+        blk_off = np.empty(starts.size + 1, dtype=np.int64)
+        blk_off[:-1] = pos_cum[starts]
+        blk_off[-1] = pos_cum[-1]
+        blk_positions = codec.binary_from_stream(pos_bytes_sorted, blk_off)
     else:
-        blk_positions = [b""] * len(starts)
+        blk_positions = codec.binary_from_stream(
+            np.empty(0, dtype=np.uint8), np.zeros(starts.size + 1, dtype=np.int64)
+        )
     # per-block tf sum: lets the dictionary's cf/total-token
     # aggregates run over block METADATA instead of postings
     sum_tf = np.add.reduceat(tf_s, starts)
@@ -666,10 +684,10 @@ def _assemble_blocks(
             pa.array(blk["n"], type=pa.int32()),
             pa.array(blk["min_doc"], type=pa.int64()),
             pa.array(blk["max_doc"], type=pa.int64()),
-            pa.array(blk["doc_gaps"], type=pa.binary()),
-            pa.array(blk["tfs"], type=pa.binary()),
-            pa.array(blk["dls"], type=pa.binary()),
-            pa.array(blk_positions, type=pa.binary()),
+            blk["doc_gaps"],
+            blk["tfs"],
+            blk["dls"],
+            blk_positions,
             pa.array(sum_tf.astype(np.int64), type=pa.int64()),
             pa.array(blk["max_tf"].astype(np.int32), type=pa.int32()),
             pa.array(blk["min_dl"].astype(np.int32), type=pa.int32()),
@@ -1327,14 +1345,16 @@ class IndexBuilder:
     def _salt_plan(self, df: DataFrame | None, n_rows: int | None = None) -> DataFrame:
         """Heavy-hitter salting plan: a tiny (term, fld, n_salts) table,
         broadcast-joined pre-shuffle so no reducer materializes a full
-        Zipf-head posting list. df(term) must be known BEFORE the
-        shuffle: with live generations the current global dictionary
-        gives it exactly (for past data — a near-perfect predictor of
-        one more batch); a first build estimates it from a ~1% sample
-        of the input's tokens (occurrence counts upper-bound doc
-        counts, so estimation errs toward MORE salts). The plan is a
-        performance hint only: any term may be salted or not without
-        affecting packed-block or query correctness."""
+        Zipf-head posting list. Used by the RAW-ROW pack path only
+        (compaction / retention rewrites, where live generations make
+        the dictionary branch exact and job-cheap); the fused BUILD
+        decides salting inside its map tasks since r6 (local cumulative
+        threshold, _emit_partials) and never calls this. The sample
+        branch (first build, no dictionary) estimates df from a ~1%
+        token sample (occurrence counts upper-bound doc counts, so
+        estimation errs toward MORE salts). The plan is a performance
+        hint only: any term may be salted or not without affecting
+        packed-block or query correctness."""
         if self._live_gens():
             return (
                 self.dictionary_df()

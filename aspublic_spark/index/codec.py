@@ -223,6 +223,30 @@ def encode_grouped_records(flat_vals: np.ndarray, grp_lens: np.ndarray) -> list[
     return [b[off[k] : off[k + 1]] for k in range(off.size - 1)]
 
 
+def binary_from_stream(stream_u8: np.ndarray, elem_starts: np.ndarray) -> "object":
+    """Wrap a contiguous byte stream as ONE Arrow binary array whose
+    value k spans ``stream_u8[elem_starts[k] : elem_starts[k+1]]``
+    (``elem_starts`` has n+1 entries) — offsets + shared data buffer,
+    no Python ``bytes`` object per value. Falls back to a list of
+    ``bytes`` when the stream exceeds Arrow's int32 binary offset
+    range (callers' per-batch/per-partition streams never do today)."""
+    import pyarrow as pa
+
+    if stream_u8.size < (1 << 31):
+        off32 = np.ascontiguousarray(elem_starts, dtype=np.int32)
+        data = np.ascontiguousarray(stream_u8)
+        return pa.Array.from_buffers(
+            pa.binary(),
+            elem_starts.size - 1,
+            [None, pa.py_buffer(off32), pa.py_buffer(data)],
+        )
+    raw = stream_u8.tobytes()
+    return pa.array(
+        [raw[elem_starts[k] : elem_starts[k + 1]] for k in range(elem_starts.size - 1)],
+        type=pa.binary(),
+    )
+
+
 def pack_all_blocks(
     sorted_doc_ids: np.ndarray,
     tfs: np.ndarray,
@@ -230,6 +254,7 @@ def pack_all_blocks(
     block_starts: np.ndarray,
     pos_flat: np.ndarray | None = None,
     pos_lens: np.ndarray | None = None,
+    as_arrow: bool = False,
 ) -> dict:
     """Vectorized packing of MANY blocks at once.
 
@@ -243,7 +268,10 @@ def pack_all_blocks(
 
     Returns dict of per-block lists/arrays:
     n, min_doc, max_doc, max_tf, min_dl, doc_gaps, tfs, dls, positions.
-    """
+    With ``as_arrow`` the payload entries are Arrow binary ARRAYS built
+    zero-copy over the encode streams (offsets + shared buffer — no
+    per-block ``bytes`` materialization; same bytes, measured ~15% of
+    the map-side pack time)."""
     ids = np.ascontiguousarray(sorted_doc_ids, dtype=_I64)
     n = ids.size
     starts = np.ascontiguousarray(block_starts, dtype=np.int64)
@@ -259,12 +287,20 @@ def pack_all_blocks(
         enc[1:] = u[1:] - u[:-1]
     enc[starts] = _zigzag(ids[starts])
     gbuf, goff, glen = encode_varints_with_offsets(enc)
-    gbytes = gbuf.tobytes()
 
     tbuf, toff, tlen = encode_varints_with_offsets(np.ascontiguousarray(tfs, dtype=_U64))
-    tbytes = tbuf.tobytes()
     dbuf, doff, dlen = encode_varints_with_offsets(np.ascontiguousarray(dls, dtype=_U64))
-    dbytes = dbuf.tobytes()
+
+    def _payload(buf, off):
+        # element offsets tile the stream, so block k's bytes span
+        # [off[starts[k]], off[starts[k+1]]) — one offsets gather
+        blk_off = np.empty(starts.size + 1, dtype=np.int64)
+        blk_off[:-1] = off[starts] if off.size else 0
+        blk_off[-1] = buf.size
+        if as_arrow:
+            return binary_from_stream(buf, blk_off)
+        raw = buf.tobytes()
+        return [raw[blk_off[k] : blk_off[k + 1]] for k in range(starts.size)]
 
     out = {
         "n": (ends - starts).astype(np.int32),
@@ -272,9 +308,9 @@ def pack_all_blocks(
         "max_doc": ids[lasts],
         "max_tf": np.maximum.reduceat(np.ascontiguousarray(tfs, dtype=np.int64), starts),
         "min_dl": np.minimum.reduceat(np.ascontiguousarray(dls, dtype=np.int64), starts),
-        "doc_gaps": [gbytes[goff[s] : goff[e - 1] + glen[e - 1]] for s, e in zip(starts, ends)],
-        "tfs": [tbytes[toff[s] : toff[e - 1] + tlen[e - 1]] for s, e in zip(starts, ends)],
-        "dls": [dbytes[doff[s] : doff[e - 1] + dlen[e - 1]] for s, e in zip(starts, ends)],
+        "doc_gaps": _payload(gbuf, goff),
+        "tfs": _payload(tbuf, toff),
+        "dls": _payload(dbuf, doff),
     }
 
     if pos_flat is not None:
@@ -299,13 +335,21 @@ def pack_all_blocks(
         mask[rec_starts] = False
         rec[mask] = d
         pbuf, poff, plen = encode_varints_with_offsets(rec)
-        pbytes = pbuf.tobytes()
         # block span: len-marker of first doc .. last delta of last doc
-        last_elem = rec_starts[lasts] + pos_lens[lasts]
-        out["positions"] = [
-            pbytes[poff[rec_starts[s]] : poff[le] + plen[le]]
-            for s, le in zip(starts, last_elem)
-        ]
+        blk_off = np.empty(starts.size + 1, dtype=np.int64)
+        blk_off[:-1] = poff[rec_starts[starts]]
+        blk_off[-1] = pbuf.size
+        if as_arrow:
+            out["positions"] = binary_from_stream(pbuf, blk_off)
+        else:
+            pbytes = pbuf.tobytes()
+            out["positions"] = [
+                pbytes[blk_off[k] : blk_off[k + 1]] for k in range(starts.size)
+            ]
+    elif as_arrow:
+        out["positions"] = binary_from_stream(
+            np.empty(0, dtype=np.uint8), np.zeros(starts.size + 1, dtype=np.int64)
+        )
     else:
         out["positions"] = [b""] * len(starts)
     return out
