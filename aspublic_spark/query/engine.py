@@ -522,19 +522,38 @@ def _fused_score_factory(spec: dict):
             score[gid[m]] = score[gid[m]] + ws[m]
 
         # -- presence masks over docs_u --------------------------------
+        # Scoring (positive, scaled) rows already sit in the fold's doc
+        # groups, so their presence is a vectorized compare + scatter
+        # through ``gid`` — no per-term binary search (searchsorted over
+        # ~docs_u-sized term lists was HALF the evaluator on heavy AND
+        # queries). The remaining rows (NOT side, and any positive row
+        # without a scale entry) are located in docs_u with ONE shared
+        # searchsorted, then every term's mask is a compare + scatter
+        # over that precomputed position map. Bit-identical masks to
+        # the per-term search (same membership test, same docs_u).
+        code_sorted = code_p[sel][order]
+        rest_idx = np.flatnonzero(~sel)
+        if rest_idx.size:
+            rest_doc = doc_p[rest_idx]
+            rest_pos = np.searchsorted(docs_u, rest_doc)
+            rest_hit = rest_pos < docs_u.size
+            rest_pos_c = np.where(rest_hit, rest_pos, 0)
+            rest_hit &= docs_u[rest_pos_c] == rest_doc
+            rest_code = code_p[rest_idx]
+            rest_neg = neg_p[rest_idx]
+        else:
+            rest_pos_c = rest_hit = rest_code = rest_neg = None
+
         def present_mask(term: str, negside: bool) -> np.ndarray:
             m = np.zeros(docs_u.size, dtype=bool)
             c = code_of.get(term)
             if c is None:
                 return m
-            rows = (code_p == c) & (neg_p == negside)
-            dd = doc_p[rows]
-            if dd.size:
-                ii = np.searchsorted(docs_u, dd)
-                inb = ii < docs_u.size
-                ii, dd = ii[inb], dd[inb]
-                hit = docs_u[ii] == dd
-                m[ii[hit]] = True
+            if not negside:
+                m[gid[code_sorted == c]] = True
+            if rest_hit is not None:
+                r = (rest_code == c) & (rest_neg == negside) & rest_hit
+                m[rest_pos_c[r]] = True
             return m
 
         def mask_from_docs(docs_arr: np.ndarray) -> np.ndarray:

@@ -130,6 +130,47 @@ def time_entry(repeats: int = 2):
     print("ENTRY", rows)
 
 
+def sf1_decade(n_turns: int = 2_000_000):
+    """One decade above the frozen bench's sf0.1 corpus: build 2M turns
+    and run the same query families with the same single-shot protocol
+    (one warm-up per plan shape, one timed shot per family, fresh
+    engine for the forced-blockmax datapoint). Grounds the scale
+    claims (threshold-gated pruning, auto n_slices, broadcast bounds)
+    with measurement instead of plan reasoning. bench.py is frozen, so
+    this lives here; cite results in OPTIMIZATION_r06.md."""
+    from aspublic_spark.functions.tokenizer import tokens_udf
+    from aspublic_spark.query.engine import SearchEngine
+    from aspublic_spark.session import get_spark
+    from aspublic_spark.tables import synth_transcripts
+
+    spark = get_spark("bench_extra_sf1", cpus=CPUS, shuffle_partitions=CPUS)
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    df = _materialize_input(spark, n_turns, 42, f"{scratch}/bench_input_sf1")
+    synth_transcripts(spark, 20_000 * CPUS, seed=1).select(tokens_udf("text")).count()
+    idx_dir = "/tmp/bench_idx_extra_sf1"
+    build_secs = min(_build(spark, df, idx_dir) for _ in range(2))
+    print(f"sf1 build: {build_secs:.2f}s = {n_turns/build_secs:.0f} turns/sec", flush=True)
+    eng = _engine(spark, idx_dir)
+    out = {}
+    for name, q, kw in QUERY_SET:
+        t0 = time.time()
+        eng.search(q, k=50, **kw).df.collect()
+        out[name] = round(time.time() - t0, 3)
+        print(name, out[name], flush=True)
+    pruned = SearchEngine(spark, idx_dir, cache_tables=True, prune_min_postings=0)
+    t0 = time.time()
+    res = pruned.search("the", k=50)
+    res.df.collect()
+    out["q_heavy_blockmax"] = round(time.time() - t0, 3)
+    assert res.pruning.get("theta_pruned"), "block-max did not fire"
+    # does the DEFAULT threshold auto-enable pruning at this volume?
+    dflt = SearchEngine(spark, idx_dir, cache_tables=True)
+    auto = dflt.search("the", k=50)
+    auto.df.collect()
+    out["default_pruning_fired"] = bool(auto.pruning.get("theta_pruned"))
+    print("SF1", {"build_s": round(build_secs, 2), "tps": round(n_turns / build_secs), **out})
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "time"
     if cmd == "plans":
@@ -138,5 +179,7 @@ if __name__ == "__main__":
         time_families(int(sys.argv[2]) if len(sys.argv) > 2 else 5)
     elif cmd == "entry":
         time_entry(int(sys.argv[2]) if len(sys.argv) > 2 else 2)
+    elif cmd == "sf1":
+        sf1_decade(int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000)
     else:
         raise SystemExit(f"unknown command {cmd}")
